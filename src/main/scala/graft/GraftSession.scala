@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Scale posture: AQE on (runtime join-strategy switch, skew splitting,
+  * partition coalescing), shuffle partitions sized for the local[32]
+  * test harness via GRAFT defaults — on a real cluster these are
+  * overridden by spark-submit conf, nothing here hard-codes cluster
+  * assumptions. Session timezone pinned UTC so timestamp semantics match
+  * the DuckDB oracle.
+  */
+object GraftSession {
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
+      // read as long and normalize in Tables.events (DuckDB truncates to
+      // micros the same way).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash-groupBy),
+  * n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Cross-engine determinism: every hash derives from md5 (identical in
+  * Spark and DuckDB) via hex-prefix → integer; MinHash permutations are
+  * fixed (a*h+b) mod p with hardcoded coefficients, all arithmetic
+  * staying well inside int64.
+  *
+  * Scale notes:
+  *  - exact dedup = hash aggregate on the fingerprint → one shuffle on
+  *    a well-distributed key; at 100 TB this is the canonical map-side
+  *    combinable groupBy.
+  *  - MinHash/LSH: cost is O(docs × shingles × k) map work plus a
+  *    self-join on (band, signature) — the join key is a tiny signature
+  *    string, so the shuffle moves signatures, not documents. Candidate
+  *    verification happens on the candidate pairs only (LSH's point).
+  *  - naive all-pairs Jaccard is intentionally bounded (doc_id < 60):
+  *    it exists as the correctness oracle for the LSH path, not the
+  *    scale path.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** Distinct word 3-gram shingles per document (doc_id, sh). */
+  private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame = {
+    val base = maxDocId.fold(docs(s, dir))(m => docs(s, dir).filter(col("doc_id") < m))
+    base
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as("sh"))
+      .distinct()
+  }
+
+  private val shinglesSqlAll: String =
+    "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
+      "WHERE len(string_split(text,' ')) >= 3), " +
+      "s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh " +
+      "FROM t, unnest(range(1, len(toks)-1)) AS u(i))"
+
+  private val shinglesSqlBounded: String =
+    "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
+      "WHERE doc_id < 60 AND len(string_split(text,' ')) >= 3), " +
+      "s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh " +
+      "FROM t, unnest(range(1, len(toks)-1)) AS u(i))"
+
+  // 16 fixed MinHash permutations (a*h + b) mod p, p = 2^31-1. h < 2^28
+  // (7 hex chars of md5), a < 2^15 → products < 2^43, no overflow.
+  private val minhashPerms: Seq[(Int, Int, Int)] = Seq(
+    (0, 737, 941), (1, 1553, 2087), (2, 2671, 3217), (3, 3823, 4391),
+    (4, 4973, 5519), (5, 6101, 6689), (6, 7237, 7829), (7, 8389, 8969),
+    (8, 9511, 10111), (9, 10663, 11261), (10, 11779, 12409), (11, 12917, 13553),
+    (12, 14081, 14699), (13, 15227, 15859), (14, 16381, 17011), (15, 17519, 18149),
+  )
+  private val P = 2147483647L
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q25_dedup_exact",
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy(expr("md5(text)").as("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
+      Some(
+        "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
+          "FROM documents GROUP BY md5(text)"),
+    ),
+    QuerySpec(
+      "q26_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingles(s, dir, Some(60L)).cache()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+          .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+          .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+          .filter(col("jaccard") >= 0.015)
+          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(
+        s"WITH $shinglesSqlBounded, " +
+          "sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1), " +
+          "p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter FROM s a " +
+          "JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.n + y.n - inter), 6) AS jaccard " +
+          "FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id " +
+          "WHERE CAST(inter AS DOUBLE)/(x.n + y.n - inter) >= 0.015"),
+    ),
+    QuerySpec(
+      "q27_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingles(s, dir, None)
+        val h = sh.withColumn(
+          "h0", expr("CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+        val perms = minhashPerms.toDF("i", "a", "b")
+        val mh = h
+          .crossJoin(broadcast(perms))
+          .groupBy(col("doc_id"), col("i"))
+          .agg(min(expr(s"(a * h0 + b) % $P")).as("m"))
+        val bands = mh
+          .groupBy(col("doc_id"), expr("i div 2").as("band"))
+          .agg(expr(
+            "array_join(transform(array_sort(collect_list(struct(i, m))), x -> CAST(x.m AS STRING)), ',')")
+            .as("sig"))
+        bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("n_shared_bands"))
+      },
+      Some(
+        s"WITH $shinglesSqlAll, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s), " +
+          "perms AS (SELECT * FROM (VALUES " +
+          minhashPerms.map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",") +
+          ") AS v(i, a, b)), " +
+          s"mh AS (SELECT doc_id, i, MIN((a * h0 + b) % $P) AS m FROM h, perms GROUP BY 1, 2), " +
+          "bands AS (SELECT doc_id, i // 2 AS band, " +
+          "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig FROM mh GROUP BY 1, 2) " +
+          "SELECT a.doc_id da, b.doc_id db, COUNT(*) AS n_shared_bands FROM bands a " +
+          "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2"),
+    ),
+    QuerySpec(
+      "q28_simhash",
+      (s, dir) => {
+        val sh = shingles(s, dir, None)
+        val h = sh.withColumn(
+          "h32", expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
+        h.select(col("doc_id"), col("h32"), explode(expr("sequence(0, 31)")).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(sum(expr("2 * (shiftright(h32, j) % 2) - 1")).as("bal"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      },
+      Some(
+        s"WITH $shinglesSqlAll, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
+          "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
+          "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2) " +
+          "SELECT doc_id, SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash " +
+          "FROM bits GROUP BY doc_id"),
+    ),
+    QuerySpec(
+      "q29_simhash_pairs",
+      (s, dir) => {
+        val sig = specs.find(_.name == "q28_simhash").get.fn(s, dir)
+        sig.as("a")
+          .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
+          .filter(col("hamming") <= 10)
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("hamming"))
+      },
+      Some(
+        s"WITH $shinglesSqlAll, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
+          "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
+          "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2), " +
+          "sig AS (SELECT doc_id, SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash " +
+          "FROM bits GROUP BY doc_id) " +
+          "SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+          "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10"),
+    ),
+  )
+}

@@ -1,0 +1,346 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator surface (SURVEY.md §2.3 Q1–Q20).
+  *
+  * Every query is declared through the DataFrame API so Catalyst owns the
+  * physical plan: filters/projections push to the parquet scan, small
+  * dimensions are broadcast explicitly, aggregates get map-side partials,
+  * AQE re-plans shuffles at runtime.
+  *
+  * Float discipline for the hash oracle: money columns are exact
+  * 2-decimal values, so sums are computed over DECIMAL casts (exact,
+  * order-independent — identical in Spark and DuckDB regardless of
+  * partial-aggregation order) and converted to DOUBLE only at the end.
+  * Genuinely floating aggregates (corr) are rounded to 6 decimals on both
+  * sides.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // SUM over an exact DECIMAL(18,2) view of a 2-decimal money column,
+  // surfaced as DOUBLE. Deterministic under any aggregation order.
+  private def dsum(e: String): org.apache.spark.sql.Column =
+    expr(s"CAST(SUM($e) AS DOUBLE)")
+  private val price = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val disc = "CAST(l_discount AS DECIMAL(18,2))"
+  private val tax = "CAST(l_tax AS DECIMAL(18,2))"
+  private val qty = "CAST(l_quantity AS DECIMAL(18,2))"
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q01_scan_project",
+      (s, dir) => t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      Some("SELECT l_orderkey, l_quantity FROM lineitem"),
+    ),
+    QuerySpec(
+      "q02_filter",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_discount") > 0.05 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"),
+      Some(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_returnflag " +
+          "FROM lineitem WHERE l_discount > 0.05 AND l_returnflag = 'R'"),
+    ),
+    QuerySpec(
+      "q03_csv_roundtrip",
+      (s, dir) => {
+        // Reference S1/S2 semantics: TSV scan with explicit schema,
+        // comment skip, malformed-row drop. Round-trip `nation` through
+        // TSV and return it — must equal the parquet original.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_nation_tsv").toString
+        t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+          .option("sep", "\t").option("header", "true").csv(tmp)
+        s.read
+          .option("sep", "\t").option("header", "true")
+          .option("comment", "#").option("mode", "DROPMALFORMED")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .csv(tmp)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+    ),
+    QuerySpec(
+      "q04_join_inner",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+      },
+      Some(
+        "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    ),
+    QuerySpec(
+      "q05_join_multiway",
+      (s, dir) => {
+        // Star join: fact lineitem ⋈ orders shuffles on the key; the
+        // dimension chain customer→nation→region is broadcast (no
+        // shuffle). At 100 TB only the fact-fact join shuffles.
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            expr(s"CAST(SUM($price * (1 - $disc)) AS DOUBLE)").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        "SELECT r_name, n_name, " +
+          s"CAST(SUM($price * (1 - $disc)) AS DOUBLE) AS revenue, COUNT(*) AS n_items " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "GROUP BY r_name, n_name"),
+    ),
+    QuerySpec(
+      "q06_join_left",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      },
+      Some(
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice " +
+          "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"),
+    ),
+    QuerySpec(
+      "q07_join_semi",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+      },
+      Some(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+          "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    ),
+    QuerySpec(
+      "q08_join_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+      },
+      Some(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
+    ),
+    QuerySpec(
+      "q09_join_cross",
+      (s, dir) =>
+        t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name"),
+      Some(
+        "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation"),
+    ),
+    QuerySpec(
+      "q10_join_theta",
+      (s, dir) => {
+        // Theta self-join: equi part (same nation) hash-partitions; the
+        // `>` rides as a post-join predicate, so this stays a hash join
+        // rather than a cartesian product at scale.
+        val s1 = t(s, dir, "supplier").select(
+          col("s_suppkey").as("k1"), col("s_nationkey").as("nation"))
+        val s2 = t(s, dir, "supplier").select(
+          col("s_suppkey").as("k2"), col("s_nationkey").as("nation2"))
+        s1.join(s2, s1("nation") === s2("nation2") && s1("k1") > s2("k2"))
+          .select("k1", "k2", "nation")
+      },
+      Some(
+        "SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2, s1.s_nationkey AS nation " +
+          "FROM supplier s1 JOIN supplier s2 " +
+          "ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey > s2.s_suppkey"),
+    ),
+    QuerySpec(
+      "q11_agg_hash",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(qty).as("sum_qty"),
+            dsum(price).as("sum_base_price"),
+            expr(s"CAST(SUM($price * (1 - $disc)) AS DOUBLE)").as("sum_disc_price"),
+            expr(s"CAST(SUM($price * (1 - $disc) * (1 + $tax)) AS DOUBLE)").as("sum_charge"),
+            expr(s"CAST(SUM($qty) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+            expr(s"CAST(SUM($price) AS DOUBLE) / COUNT(*)").as("avg_price"),
+            count(lit(1)).as("count_order")),
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          s"CAST(SUM($qty) AS DOUBLE) AS sum_qty, " +
+          s"CAST(SUM($price) AS DOUBLE) AS sum_base_price, " +
+          s"CAST(SUM($price * (1 - $disc)) AS DOUBLE) AS sum_disc_price, " +
+          s"CAST(SUM($price * (1 - $disc) * (1 + $tax)) AS DOUBLE) AS sum_charge, " +
+          s"CAST(SUM($qty) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+          s"CAST(SUM($price) AS DOUBLE) / COUNT(*) AS avg_price, " +
+          "COUNT(*) AS count_order " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    ),
+    QuerySpec(
+      "q12_count_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_rows")),
+      Some(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows " +
+          "FROM lineitem GROUP BY l_returnflag"),
+    ),
+    QuerySpec(
+      // HLL++ sketch — tolerance-checked only (rows-only oracle): the
+      // estimate is engine-specific by design.
+      "q12b_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None,
+    ),
+    QuerySpec(
+      "q13_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(dsum(qty).as("sum_qty"), count(lit(1)).as("n")),
+      Some(
+        s"SELECT l_returnflag, l_linestatus, CAST(SUM($qty) AS DOUBLE) AS sum_qty, COUNT(*) AS n " +
+          "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    ),
+    QuerySpec(
+      "q14_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+    ),
+    QuerySpec(
+      "q15_setops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val hi = o.filter(col("o_totalprice") > 250000.0).select("o_orderkey")
+        val fs = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+        hi.union(fs).distinct().except(hi.intersect(fs))
+      },
+      Some(
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 250000 " +
+          "UNION SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') " +
+          "EXCEPT " +
+          "(SELECT o_orderkey FROM orders WHERE o_totalprice > 250000 " +
+          "INTERSECT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"),
+    ),
+    QuerySpec(
+      "q16_window",
+      (s, dir) => {
+        val w1 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+        t(s, dir, "orders").select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(w1).cast("bigint").as("rn"),
+          rank().over(w2).cast("bigint").as("rnk"),
+          lag(col("o_totalprice"), 1).over(w1).as("prev_price"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)").as("run_sum"))
+      },
+      Some(
+        "SELECT o_custkey, o_orderkey, " +
+          "CAST(row_number() OVER w1 AS BIGINT) AS rn, " +
+          "CAST(rank() OVER w2 AS BIGINT) AS rnk, " +
+          "lag(o_totalprice, 1) OVER w1 AS prev_price, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum " +
+          "FROM orders WINDOW " +
+          "w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+          "w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"),
+    ),
+    QuerySpec(
+      "q17_scalars",
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          concat(lower(substring(col("o_orderpriority"), 1, 3)), lit("_"), col("o_orderstatus")).as("tag"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          date_format(trunc(to_date(col("o_orderdate")), "month"), "yyyy-MM-dd").as("month_start"),
+          sqrt(col("o_totalprice")).as("sq"),
+          abs(col("o_totalprice") - 250000.0).as("ab"),
+          floor(col("o_totalprice")).cast("bigint").as("fl"),
+          ceil(col("o_totalprice")).cast("bigint").as("ce")),
+      Some(
+        "SELECT o_orderkey, " +
+          "lower(substr(o_orderpriority, 1, 3)) || '_' || o_orderstatus AS tag, " +
+          "CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+          "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+          "sqrt(o_totalprice) AS sq, " +
+          "abs(o_totalprice - 250000.0) AS ab, " +
+          "CAST(floor(o_totalprice) AS BIGINT) AS fl, " +
+          "CAST(ceil(o_totalprice) AS BIGINT) AS ce " +
+          "FROM orders"),
+    ),
+    QuerySpec(
+      "q18_json",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k")),
+      Some(
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"),
+    ),
+    QuerySpec(
+      "q18b_explode",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
+      Some(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
+    ),
+    QuerySpec(
+      "q19_corr",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r_qty_price"),
+            round(corr(col("l_discount"), col("l_tax")), 6).as("r_disc_tax")),
+      Some(
+        "SELECT l_returnflag, " +
+          "round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price, " +
+          "round(corr(l_discount, l_tax), 6) AS r_disc_tax " +
+          "FROM lineitem GROUP BY l_returnflag"),
+    ),
+    QuerySpec(
+      "q20_dedup",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id", "ts")
+          .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_dups")),
+      Some(
+        "SELECT user_id, ts, MIN(event_id) AS event_id, COUNT(*) AS n_dups " +
+          "FROM events GROUP BY user_id, ts"),
+    ),
+  )
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All computations are integer-exact or derived from exact integers so
+  * the DuckDB oracle hash-matches bit-for-bit: counts come from
+  * `regexp_extract_all`/`split` sizes, ratios are single IEEE divisions
+  * of identical integers, fingerprints are md5.
+  *
+  * Scale: every query is a narrow projection + per-row scalar work —
+  * embarrassingly parallel, no shuffle except the final nothing. At
+  * 100 TB these run at scan speed.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  // language marker lexicons (tiny function-word profiles)
+  private val markers = Seq(
+    "en" -> "\\b(the|a|is|of|and)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|et|est|une)\\b",
+  )
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q21_fingerprint",
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          expr("md5(text)").as("fp"),
+          expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("fp64")),
+      Some(
+        "SELECT doc_id, md5(text) AS fp, " +
+          "('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64 FROM documents"),
+    ),
+    QuerySpec(
+      "q22_token_count",
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("n_word_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT)")
+            .as("n_bpe_tokens"),
+          expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' '))")
+            .as("mean_token_len")),
+      Some(
+        "SELECT doc_id, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens, " +
+          "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens, " +
+          "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len " +
+          "FROM documents"),
+    ),
+    QuerySpec(
+      "q23_quality_score",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("stop_cnt", expr("size(regexp_extract_all(text, '\\\\b(the|a)\\\\b', 0))"))
+          .withColumn("digit_cnt", expr("size(regexp_extract_all(text, '[0-9]', 0))"))
+          .select(
+            col("doc_id"),
+            col("n_tokens").cast("bigint").as("n_tokens"),
+            col("stop_cnt").cast("bigint").as("stop_cnt"),
+            col("digit_cnt").cast("bigint").as("digit_cnt"),
+            expr("CAST(stop_cnt AS DOUBLE) / n_tokens").as("stop_ratio"),
+            expr("round(least(n_tokens / 100.0, 1.0) * 0.5 " +
+              "+ least(5.0 * stop_cnt / n_tokens, 1.0) * 0.5, 6)").as("quality")),
+      Some(
+        "WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+          "len(regexp_extract_all(text, '\\b(the|a)\\b')) AS stop_cnt, " +
+          "len(regexp_extract_all(text, '[0-9]')) AS digit_cnt FROM documents) " +
+          "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+          "CAST(stop_cnt AS BIGINT) AS stop_cnt, CAST(digit_cnt AS BIGINT) AS digit_cnt, " +
+          "CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio, " +
+          "round(least(n_tokens / 100.0, 1.0) * 0.5 " +
+          "+ least(5.0 * stop_cnt / n_tokens, 1.0) * 0.5, 6) AS quality FROM b"),
+    ),
+    QuerySpec(
+      "q24_langid",
+      (s, dir) => {
+        val hits = markers.foldLeft(docs(s, dir)) { case (df, (lang, re)) =>
+          df.withColumn(
+            s"${lang}_hits",
+            expr(s"CAST(size(regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)) AS BIGINT)"))
+        }
+        hits.select(
+          col("doc_id") +: col("lang").as("labeled_lang") +:
+            markers.map { case (l, _) => col(s"${l}_hits") } :+
+            expr(
+              "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+                "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+                "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+                "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END").as("predicted_lang"): _*)
+      },
+      Some {
+        val hitCols = markers
+          .map { case (l, re) => s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS ${l}_hits" }
+          .mkString(", ")
+        s"WITH h AS (SELECT doc_id, lang AS labeled_lang, $hitCols FROM documents) " +
+          "SELECT doc_id, labeled_lang, en_hits, es_hits, de_hits, fr_hits, " +
+          "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+          "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+          "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+          "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS predicted_lang FROM h"
+      },
+    ),
+  )
+}

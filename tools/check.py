@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local correctness self-check mimicking the driver's DuckDB oracle gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query parquet under verifyOutDir, runs the matching oracle SQL
+from oracle_sql.json in DuckDB over the sfDir tables, canonicalizes both
+result frames (columns sorted by name, rows sorted, floats rounded), and
+reports match/mismatch. Queries without oracle SQL get a rows>0 check.
+"""
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # bytes (e.g. parquet binary) → hex for stable compare
+            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(4)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def normalize_ints(df: pd.DataFrame) -> pd.DataFrame:
+    for c in df.columns:
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "uint64"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            ok = len(got) > 0
+            print(f"{'pass' if ok else 'FAIL'} {name}: rows-only ({len(got)} rows)")
+            n_pass += ok
+            n_fail += not ok
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        g, e = canon(normalize_ints(got)), canon(normalize_ints(exp))
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            print(f"pass {name} ({len(g)} rows)")
+            n_pass += 1
+        except AssertionError as ex:
+            print(f"FAIL {name}: {str(ex).splitlines()[-1] if str(ex) else 'diff'}")
+            # show first differing rows
+            neq = (g != e) & ~(g.isna() & e.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print("  spark:", g.loc[i].to_dict())
+                print("  duck :", e.loc[i].to_dict())
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
