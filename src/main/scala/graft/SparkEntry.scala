@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** All declared operator queries, in registration order. */
   def specs: Seq[QuerySpec] =
-    operators.Relational.specs
+    operators.Relational.specs ++
+      operators.TextOps.specs ++
+      operators.DedupOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

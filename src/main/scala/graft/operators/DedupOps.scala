@@ -63,6 +63,26 @@ object DedupOps {
   )
   private val P = 2147483647L
 
+  /** (doc_id, simhash) — 32-bit SimHash over word 3-gram shingles. */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, None)
+    val h = sh.withColumn(
+      "h32", expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
+    h.select(col("doc_id"), col("h32"), explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("2 * (shiftright(h32, j) % 2) - 1")).as("bal"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
+
+  private val simhashSqlCtes: String =
+    s"$shinglesSqlAll, " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
+      "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
+      "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash " +
+      "FROM bits GROUP BY doc_id)"
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q25_dedup_exact",
@@ -77,7 +97,9 @@ object DedupOps {
     QuerySpec(
       "q26_ngram_jaccard",
       (s, dir) => {
-        val sh = shingles(s, dir, Some(60L)).cache()
+        // no .cache(): the frame is bounded to <60 docs, recomputing the
+        // shingle scan is cheaper than leaking a persisted block per call
+        val sh = shingles(s, dir, Some(60L))
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -139,44 +161,43 @@ object DedupOps {
     ),
     QuerySpec(
       "q28_simhash",
-      (s, dir) => {
-        val sh = shingles(s, dir, None)
-        val h = sh.withColumn(
-          "h32", expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
-        h.select(col("doc_id"), col("h32"), explode(expr("sequence(0, 31)")).as("j"))
-          .groupBy("doc_id", "j")
-          .agg(sum(expr("2 * (shiftright(h32, j) % 2) - 1")).as("bal"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
-      },
-      Some(
-        s"WITH $shinglesSqlAll, " +
-          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
-          "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
-          "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2) " +
-          "SELECT doc_id, SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash " +
-          "FROM bits GROUP BY doc_id"),
+      (s, dir) => simhashSig(s, dir),
+      Some(s"WITH $simhashSqlCtes SELECT doc_id, simhash FROM sig"),
     ),
     QuerySpec(
+      // Near-dup pairs at hamming ≤ 3 via banded candidate generation:
+      // split the 32-bit signature into 4 bands of 8 bits; by pigeonhole
+      // any pair within hamming 3 agrees on ≥1 band, so the self-join is
+      // on (band, band_value) — candidates only, never all pairs. At
+      // 100 TB widen the signature (64/128-bit) and the bands (16-bit+)
+      // so bucket sizes stay bounded; the plan shape is unchanged.
       "q29_simhash_pairs",
       (s, dir) => {
-        val sig = specs.find(_.name == "q28_simhash").get.fn(s, dir)
-        sig.as("a")
-          .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .withColumn("hamming", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
-          .filter(col("hamming") <= 10)
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("hamming"))
+        val sig = simhashSig(s, dir)
+        val bands = sig
+          .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("bv", expr("shiftright(simhash, 8 * b) % 256"))
+        bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .filter(col("hamming") <= 3)
+          .select("da", "db", "hamming")
       },
       Some(
-        s"WITH $shinglesSqlAll, " +
-          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
-          "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
-          "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2), " +
-          "sig AS (SELECT doc_id, SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash " +
-          "FROM bits GROUP BY doc_id) " +
-          "SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
-          "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
-          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10"),
+        s"WITH $simhashSqlCtes, " +
+          "bands AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bv " +
+          "FROM sig, unnest(range(0, 4)) AS u(b)), " +
+          "cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb " +
+          "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+          "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+          "FROM cand WHERE bit_count(xor(sa, sb)) <= 3"),
     ),
   )
 }

@@ -54,7 +54,9 @@ object Relational {
         // Reference S1/S2 semantics: TSV scan with explicit schema,
         // comment skip, malformed-row drop. Round-trip `nation` through
         // TSV and return it — must equal the parquet original.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_nation_tsv").toString
+        // fixed path + overwrite: repeated bench/verify runs reuse one
+        // directory instead of leaking a fresh temp dir per invocation
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nation_tsv"
         t(s, dir, "nation").coalesce(1).write.mode("overwrite")
           .option("sep", "\t").option("header", "true").csv(tmp)
         s.read
@@ -339,8 +341,13 @@ object Relational {
           .groupBy("user_id", "ts")
           .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_dups")),
       Some(
-        "SELECT user_id, ts, MIN(event_id) AS event_id, COUNT(*) AS n_dups " +
-          "FROM events GROUP BY user_id, ts"),
+        // DuckDB reads parquet TIMESTAMP(NANOS) at nanosecond precision;
+        // Spark groups at micros (nanosAsLong → ts div 1000). Truncate in
+        // the oracle too so group cardinality matches even if the fixture
+        // ever contains rows distinct only below microsecond resolution.
+        "SELECT user_id, date_trunc('microseconds', ts) AS ts, " +
+          "MIN(event_id) AS event_id, COUNT(*) AS n_dups " +
+          "FROM events GROUP BY user_id, date_trunc('microseconds', ts)"),
     ),
   )
 }

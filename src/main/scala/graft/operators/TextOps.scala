@@ -72,8 +72,12 @@ object TextOps {
             col("stop_cnt").cast("bigint").as("stop_cnt"),
             col("digit_cnt").cast("bigint").as("digit_cnt"),
             expr("CAST(stop_cnt AS DOUBLE) / n_tokens").as("stop_ratio"),
-            expr("round(least(n_tokens / 100.0, 1.0) * 0.5 " +
-              "+ least(5.0 * stop_cnt / n_tokens, 1.0) * 0.5, 6)").as("quality")),
+            // `D` suffixes: Spark parses a bare `100.0` literal as
+            // DECIMAL(3,1) and would run the whole score in decimal
+            // arithmetic (emitting DecimalType), while the oracle works
+            // in IEEE doubles — force double math end to end.
+            expr("round(least(n_tokens / 100.0D, 1.0D) * 0.5D " +
+              "+ least(5.0D * stop_cnt / n_tokens, 1.0D) * 0.5D, 6)").as("quality")),
       Some(
         "WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
           "len(regexp_extract_all(text, '\\b(the|a)\\b')) AS stop_cnt, " +

@@ -26,7 +26,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # bytes (e.g. parquet binary) → hex for stable compare
             df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
         if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(4)
+            # 6 decimals, matching the query-side rounding discipline
+            # (q19/q26 round(., 6)); 4 would mask real 5th/6th-decimal
+            # divergences between engines
+            df[c] = df[c].round(6)
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
@@ -35,7 +38,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def normalize_ints(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32", "uint64"):
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64"):
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) in ("float32",):
             df[c] = df[c].astype("float64")
