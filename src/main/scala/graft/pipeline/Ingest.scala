@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Expression-file ingest → COO matrix (reference `Input.scala:104-162`,
+  * S2/P2/P3/U1/A8).
+  *
+  * Scale design: the reference reads one file per (sample, type) in a
+  * driver loop and chains 477 unions (`Input.scala:116-131`) — a plan
+  * with 477 scan nodes. Here all files of a sample-type are read in ONE
+  * multi-path scan; `input_file_name()` recovers which sample a row
+  * belongs to via a broadcast file→sample dictionary. At 100 TB this is
+  * a single distributed scan whose parallelism comes from file splits,
+  * not from plan width.
+  *
+  * Lenient semantics (reference `lenient = true`, `Input.scala:121`):
+  * the header line and any row whose value column fails the double cast
+  * are dropped; only the first two columns are read (S2's
+  * `includedFields = Array(0,1)`).
+  *
+  * Dictionaries: the reference assigns probe ids from `Set` iteration
+  * order — nondeterministic (SURVEY §8 Q3). We sort names before
+  * assigning dense ids so every run is reproducible.
+  */
+object Ingest {
+
+  final case class MatrixEntry(sample: Int, probe: Int, value: Double)
+
+  final case class IngestResult(
+      matrix: DataFrame, // (sample INT, probe INT, value DOUBLE)
+      sampleDict: DataFrame, // (name STRING, sample INT)
+      probeDict: DataFrame, // (name STRING, probe INT)
+  )
+
+  /** All expression rows of one sample-type as (sample_name, probe_name,
+    * value) — one multi-path scan, sample recovered from the file path.
+    */
+  def readType(
+      spark: SparkSession,
+      baseDir: String,
+      fileToSample: Map[String, String], // relative path → sample name
+  ): DataFrame = {
+    require(fileToSample.nonEmpty, "no files for sample-type")
+    val base = baseDir.stripSuffix("/") + "/"
+    val paths = fileToSample.keys.map(base + _).toSeq.sorted
+    // input_file_name() yields a URI (file:///...); strip everything up
+    // to the base dir and look the relative path up exactly — O(1) per
+    // row, not O(#files), so tagging stays scan-speed at any file count
+    val lookup = udf { (fileName: String) =>
+      val i = fileName.indexOf(base)
+      if (i < 0) null else fileToSample.getOrElse(fileName.substring(i + base.length), null)
+    }
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true") // drops each file's header line
+      .schema(StructType(Seq( // S2: only cols 0-1 reach the plan
+        StructField("probe_name", StringType),
+        StructField("raw_value", StringType),
+      )))
+      .csv(paths: _*)
+      .withColumn("sample_name", lookup(input_file_name()))
+      .withColumn("value", col("raw_value").cast(DoubleType))
+      .filter(col("value").isNotNull && col("probe_name").isNotNull) // lenient
+      .select("sample_name", "probe_name", "value")
+  }
+
+  /** Deterministic dense-id dictionary over a name column: sorted, then
+    * ids assigned by partition-local index + offset (zipWithIndex) — no
+    * single-partition window, so the build distributes at any scale.
+    */
+  def dictionary(df: DataFrame, nameCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(nameCol).distinct().orderBy(nameCol).as[String]
+    val ids = sorted.rdd.zipWithIndex().map { case (n, i) => (n, i.toInt) }
+    spark.createDataFrame(ids).toDF(nameCol, idCol)
+  }
+
+  /** Full ingest: every declared sample-type of the config, read, tagged,
+    * unioned, dictionary-encoded (reference appends the per-type probe
+    * column spaces into one, `Input.scala:116-131` — probe names
+    * don't collide across types in practice; we keep that semantic).
+    */
+  def ingest(
+      spark: SparkSession,
+      baseDir: String,
+      config: DefParser.PipelineConfig,
+  ): IngestResult = {
+    val perType = config.sampleTypes.flatMap { t =>
+      val files = config.samples.flatMap(s => s.files.get(t).map(_ -> s.name)).toMap
+      if (files.isEmpty) None else Some(readType(spark, baseDir, files))
+    }
+    require(perType.nonEmpty, "no expression files registered")
+    val named = perType.reduce(_ union _)
+
+    // sample dictionary is driver-known (config) — tiny, sorted, broadcast
+    val sampleDict = {
+      import spark.implicits._
+      config.samples.map(_.name).sorted.zipWithIndex
+        .toDF("sample_name", "sample")
+    }
+    val probeDict = dictionary(named, "probe_name", "probe")
+
+    val matrix = named
+      .join(broadcast(sampleDict), "sample_name")
+      .join(broadcast(probeDict), "probe_name")
+      .select(col("sample"), col("probe"), col("value"))
+    IngestResult(matrix, sampleDict, probeDict)
+  }
+}

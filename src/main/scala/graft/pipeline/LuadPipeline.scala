@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end LUAD pipeline (reference `PipeLine.scala:7-42`):
+  * definition file → ingest → ALS completion → optional Pearson/CC
+  * probe filter → SVM train → predict → name-decoded output.
+  *
+  * Differences from the reference, all deliberate (SURVEY §4.1
+  * anti-patterns): shared subtrees are persisted instead of recomputed
+  * per action; the completed matrix never round-trips through the
+  * driver; everything is a pure function of (SparkSession, config).
+  */
+object LuadPipeline {
+
+  final case class Result(
+      predictions: DataFrame, // (sample_name STRING, prediction DOUBLE)
+      nProbesBefore: Long,
+      nProbesAfter: Long,
+  )
+
+  def run(
+      spark: SparkSession,
+      baseDir: String,
+      config: DefParser.PipelineConfig,
+      alsParams: Completion.AlsParams = Completion.AlsParams(),
+      svmParams: Svm.SvmParams = Svm.SvmParams(),
+  ): Result = {
+    import spark.implicits._
+
+    val ing = Ingest.ingest(spark, baseDir, config)
+    val matrix = ing.matrix.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val completed = Completion.complete(spark, matrix, alsParams)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBefore = completed.select("probe").distinct().count()
+
+    val filtered = Network(spark, completed, config.pcThreshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAfter = filtered.select("probe").distinct().count()
+
+    val features = Svm.assembleFeatures(filtered)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // training labels / prediction ids via the sample dictionary (F1/F2)
+    val sampleDict = ing.sampleDict
+    val labels = config.training
+      .map(s => (s.name, s.tumorous)).toDF("sample_name", "tumorous")
+      .join(sampleDict, "sample_name")
+      .select("sample", "tumorous")
+    val predictIds = config.predicting.map(_.name).toDF("sample_name")
+      .join(sampleDict, "sample_name")
+      .select("sample")
+
+    val model = Svm.train(spark, features, labels, svmParams)
+    val toScore = features.join(broadcast(predictIds), Seq("sample"), "left_semi")
+    val preds = Svm.predict(model, toScore)
+
+    // P5 reverse decode: id → name; the reference emits "Unknown" for
+    // unmapped ids (`PipeLine.scala:30`) — impossible here by
+    // construction, kept as coalesce for the same output contract.
+    val decoded = preds
+      .join(broadcast(sampleDict), Seq("sample"), "left")
+      .select(
+        coalesce(col("sample_name"), lit("Unknown")).as("sample_name"),
+        col("prediction"))
+
+    matrix.unpersist(); completed.unpersist()
+    Result(decoded, nBefore, nAfter)
+  }
+
+  /** Output sink (K1/K2, `PipeLine.scala:33-38`): stdout when no output
+    * path, else tab-separated file with `%s%` replaced by epoch millis.
+    */
+  def writeOutput(result: DataFrame, outputPath: Option[String]): Unit =
+    outputPath match {
+      case None => result.collect().foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
+      case Some(p) =>
+        val path = p.replace("%s%", System.currentTimeMillis().toString)
+        result.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+    }
+
+  /** CLI mirroring the reference driver: args(0) = definition file. */
+  def main(args: Array[String]): Unit = {
+    val defFile = args(0)
+    val baseDir = new java.io.File(defFile).getAbsoluteFile.getParent
+    val spark = graft.GraftSession.local()
+    val config = DefParser.parseFile(defFile)
+    val result = run(spark, baseDir, config)
+    writeOutput(result.predictions, config.outputPath)
+    spark.stop()
+  }
+}

@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pearson co-expression network + connected-components probe filter
+  * (reference `PreProcess.scala:27-93,156-218`, A2/A3/F5/F6/G1/G2/A5/A6/F3).
+  *
+  * Scale design:
+  *  - The reference collects all per-probe stats to the driver and runs
+  *    an O(P²) nested loop against the broadcast copy
+  *    (`PreProcess.scala:56-79`), pairing the two value lists
+  *    positionally (quirk Q2). Here ΣXY comes from a self-join on the
+  *    sample key — alignment is explicit, the shuffle key is `sample`,
+  *    and partial aggregation is map-side combinable. Cost is
+  *    O(Σ_sample nnz_sample²) — the honest cost of all-pairs — but
+  *    distributed, with no driver copy.
+  *  - Connected components: GraphX `connectedComponents()` (Pregel,
+  *    incremental frontier — same semantics as the reference's delta
+  *    iteration `PreProcess.scala:179-197`, maxIter 100). A pure
+  *    DataFrame loop fallback is provided for the SQL-only engine path;
+  *    it checkpoints each round to truncate lineage.
+  *  - Representative per component: `min(probe)` — the reference takes
+  *    an arbitrary group-first (quirk Q3); min is deterministic.
+  */
+object Network {
+
+  /** Per-probe-pair Pearson r over a COO matrix (sample, probe, value),
+    * upper triangle only (pi < pj), NaN/Inf guarded, |r| >= threshold.
+    *
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * with n = number of samples where BOTH probes are present (on a
+    * completed matrix that is all samples — matching the reference,
+    * which only runs this after completion).
+    */
+  def pearsonEdges(matrix: DataFrame, threshold: Double): DataFrame = {
+    val a = matrix.select(
+      col("sample"), col("probe").as("pi"), col("value").as("x"))
+    val b = matrix.select(
+      col("sample"), col("probe").as("pj"), col("value").as("y"))
+    a.join(b, Seq("sample"))
+      .filter(col("pi") < col("pj")) // F6 upper triangle
+      .groupBy("pi", "pj")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn(
+        "den",
+        sqrt(
+          (col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+      // F5 guard, ANSI-safe: a zero-variance probe gives den = 0 — the
+      // reference's NaN/Inf filter; under ANSI mode the division itself
+      // would throw, so gate it instead of filtering afterwards
+      .withColumn(
+        "r",
+        when(col("den") > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")))
+      .filter(col("r").isNotNull && !isnan(col("r")))
+      .filter(abs(col("r")) >= threshold)
+      .select("pi", "pj", "r")
+  }
+
+  /** Dense skinny-matrix Pearson: when the sample dimension is small
+    * (the reference corpus is 62 samples × 21.5k probes), the
+    * relational self-join would shuffle O(P²·n) rows (~1.4e10 at
+    * reference shape) — hopeless. Instead: standardize each probe's
+    * sample-vector so that r_ij = z_i · z_j, broadcast the standardized
+    * matrix (P × n doubles — ~10 MB at reference shape), and compute
+    * the upper triangle as a distributed block-nested loop over probe
+    * ranges. This is the reference's own A3 design (collected stats +
+    * closure broadcast, `PreProcess.scala:56-79`) made distributed and
+    * sample-aligned (quirk Q2 fixed). Cost O(P²·n / cores), no shuffle
+    * at all. For millions of samples use `pearsonEdges` (relational) or
+    * DIMSUM-style approximation instead.
+    *
+    * Requires a COMPLETE matrix (every sample × probe cell present) —
+    * asserted; the reference runs it post-completion only.
+    */
+  def pearsonEdgesDense(spark: SparkSession, matrix: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val rows = matrix
+      .groupBy("probe")
+      .agg(expr("transform(array_sort(collect_list(struct(sample, value))), x -> x.value)").as("vs"))
+      .as[(Int, Seq[Double])]
+      .collect()
+    require(rows.nonEmpty, "empty matrix")
+    val n = rows.head._2.size
+    require(
+      rows.forall(_._2.size == n),
+      "pearsonEdgesDense requires a complete matrix (equal sample counts per probe)")
+    // standardize: z = (x - mean) / (sd·sqrt(n)) so dot(z_i, z_j) = r
+    val probes = rows.map(_._1).sorted
+    val z: Map[Int, Array[Double]] = rows.map { case (p, vs) =>
+      val a = vs.toArray
+      val mean = a.sum / n
+      val ss = a.map(v => (v - mean) * (v - mean)).sum
+      val norm = math.sqrt(ss)
+      p -> (if (norm == 0.0) null else a.map(v => (v - mean) / norm))
+    }.toMap
+    val bz = spark.sparkContext.broadcast(z)
+    val bp = spark.sparkContext.broadcast(probes)
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.sparkContext
+      .parallelize(probes.toIndexedSeq, math.min(parts, probes.length))
+      .flatMap { pi =>
+        val zi = bz.value(pi)
+        if (zi == null) Iterator.empty
+        else
+          bp.value.iterator
+            .filter(_ > pi)
+            .flatMap { pj =>
+              val zj = bz.value(pj)
+              if (zj == null) None
+              else {
+                var d = 0.0; var k = 0
+                while (k < zi.length) { d += zi(k) * zj(k); k += 1 }
+                if (math.abs(d) >= threshold) Some((pi, pj, d)) else None
+              }
+            }
+      }
+      .toDF("pi", "pj", "r")
+  }
+
+  /** Connected components over an (pi, pj) edge list via GraphX
+    * (G1/G2). Returns (probe, component) with component = min probe id
+    * in the component.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges
+      .select(col("pi").cast("long"), col("pj").cast("long"))
+      .as[(Long, Long)]
+      .rdd
+      .map { case (i, j) => Edge(i, j, ()) }
+    val graph = Graph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val cc = graph.connectedComponents(maxIterations = 100)
+    cc.vertices
+      .map { case (v, c) => (v.toInt, c.toInt) }
+      .toDF("probe", "component")
+  }
+
+  /** DataFrame-only connected components: iterative min-label
+    * propagation with a shrinking plan (G1's delta-iteration semantics,
+    * SQL-expressible engine path). Each round: candidate = min component
+    * over neighbors ∪ self; converged when no label changes.
+    * `localCheckpoint` truncates lineage so 100 rounds don't stack 100
+    * joins into one plan.
+    */
+  def connectedComponentsDF(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val sym = edges
+      .select(col("pi").as("src"), col("pj").as("dst"))
+      .union(edges.select(col("pj").as("src"), col("pi").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym
+      .select(col("src").as("probe"))
+      .distinct()
+      .withColumn("component", col("probe"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val candidates = sym
+        .join(labels.withColumnRenamed("probe", "src"), "src")
+        .groupBy(col("dst").as("probe"))
+        .agg(min(col("component")).as("candidate"))
+      val next = labels
+        .join(candidates, Seq("probe"), "left")
+        .select(
+          col("probe"),
+          least(col("component"), coalesce(col("candidate"), col("component")))
+            .as("component"),
+          (col("candidate") < col("component")).as("improved"))
+      val materialized = next.localCheckpoint()
+      changed = materialized.filter(col("improved")).count()
+      labels = materialized.select("probe", "component")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** One representative probe per component (A6, deterministic `min`),
+    * then keep only representatives plus probes untouched by the
+    * network (reference F3: `newProbes` = component reps; probes with
+    * no edge at all never entered the graph and survive).
+    */
+  def filterMatrix(
+      matrix: DataFrame,
+      components: DataFrame,
+  ): DataFrame = {
+    val reps = components.groupBy("component").agg(min(col("probe")).as("probe"))
+    val inGraph = components.select("probe")
+    val survivors = reps
+      .select("probe")
+      .union(matrix.select("probe").distinct().join(inGraph, Seq("probe"), "left_anti"))
+    matrix.join(broadcast(survivors), Seq("probe"), "left_semi")
+  }
+
+  /** Full network step: edges → components → filtered matrix.
+    * threshold None → pass-through (reference `PreProcess.scala:156`).
+    */
+  def apply(
+      spark: SparkSession,
+      matrix: DataFrame,
+      threshold: Option[Double],
+  ): DataFrame = threshold match {
+    case None => matrix
+    case Some(t) =>
+      // skinny matrix (few samples, many probes — the reference shape)
+      // → dense broadcast block-multiply; otherwise relational self-join
+      val nSamples = matrix.select("sample").distinct().count()
+      val edges =
+        if (nSamples <= 10000) pearsonEdgesDense(spark, matrix, t)
+        else pearsonEdges(matrix, t)
+      val comps = connectedComponents(spark, edges)
+      filterMatrix(matrix, comps)
+  }
+}
