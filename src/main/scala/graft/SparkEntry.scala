@@ -9,7 +9,11 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     operators.Relational.specs ++
       operators.TextOps.specs ++
-      operators.DedupOps.specs
+      operators.DedupOps.specs ++
+      operators.SimilarityOps.specs ++
+      operators.MultimodalOps.specs ++
+      operators.WindowOps.specs ++
+      operators.PipelineOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -124,20 +124,22 @@ object DedupOps {
     QuerySpec(
       "q27_minhash_lsh",
       (s, dir) => {
-        import s.implicits._
+        // Single-pass signatures: all 16 permutation minima as 16
+        // aggregate columns of ONE map-side-combinable groupBy — no
+        // perm crossJoin (which multiplied the shingle stream ×16 and
+        // shuffled it twice). Bands then unpivot driver-free via stack.
         val sh = shingles(s, dir, None)
         val h = sh.withColumn(
           "h0", expr("CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
-        val perms = minhashPerms.toDF("i", "a", "b")
-        val mh = h
-          .crossJoin(broadcast(perms))
-          .groupBy(col("doc_id"), col("i"))
-          .agg(min(expr(s"(a * h0 + b) % $P")).as("m"))
-        val bands = mh
-          .groupBy(col("doc_id"), expr("i div 2").as("band"))
-          .agg(expr(
-            "array_join(transform(array_sort(collect_list(struct(i, m))), x -> CAST(x.m AS STRING)), ',')")
-            .as("sig"))
+        val minAggs = minhashPerms.map { case (i, a, b) =>
+          min(expr(s"($a * h0 + $b) % $P")).as(s"m$i")
+        }
+        val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+        val stackArgs = (0 until 8)
+          .map(bd => s"$bd, concat_ws(',', m${2 * bd}, m${2 * bd + 1})")
+          .mkString(", ")
+        val bands = mh.select(
+          col("doc_id"), expr(s"stack(8, $stackArgs) AS (band, sig)"))
         bands.as("a")
           .join(
             bands.as("b"),

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payload columns with
+  * typed metadata, decoded/feature-extracted in distributed batches.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC FAKE decoder (arithmetic on the raw
+  * bytes). Everything around it is the real production shape:
+  *  - payloads are `BinaryType` columns (exactly how parquet stores
+  *    image/audio blobs at 100 TB), carried next to typed metadata;
+  *  - decode runs per-PARTITION via `mapPartitions`, the Scala
+  *    equivalent of `mapInPandas`: one decoder instance per task, rows
+  *    streamed through it in batches, output schema declared up front;
+  *  - swapping the stub for a real codec changes ONE function, not the
+  *    plumbing. At scale, partition count controls decoder parallelism
+  *    and memory (one in-flight batch per core).
+  */
+object MultimodalOps {
+
+  /** Output row of the fake decoder. */
+  final case class DecodedMedia(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      channels: Long,
+      feat: Array[Double], // 4-bin byte histogram, normalized
+  )
+
+  /** DETERMINISTIC STUB — stands in for e.g. JPEG decode + resize +
+    * embed. Derives pseudo image dimensions from the payload hash and a
+    * 4-bin byte histogram as the "feature vector". Replace the body
+    * with a real codec (javax.imageio / ffmpeg bindings) to productionize;
+    * the signature and the surrounding plumbing stay unchanged.
+    */
+  def decodeStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    val hist = new Array[Double](4)
+    payload.foreach(b => hist((b & 0xff) / 64) += 1.0)
+    val n = math.max(payload.length, 1)
+    DecodedMedia(
+      doc_id = docId,
+      n_bytes = payload.length.toLong,
+      width = 64L + h % 577,
+      height = 64L + (h / 577) % 433,
+      channels = 3L,
+      feat = hist.map(_ / n), // raw ratio — same ints / same divide on
+      // both engines ⇒ bit-identical doubles, no rounding games
+    )
+  }
+
+  /** The real plumbing: binary column in, typed rows out, one decoder
+    * per partition (mapPartitions ≈ mapInPandas batch shape).
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init happens HERE (codec handles, model
+        // weights, ...) — once per task, not once per row
+        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+      .toDF()
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q33_multimodal_decode",
+      (s, dir) => {
+        // fixture has no blob column — treat the utf8 text bytes as the
+        // opaque payload; the plumbing neither knows nor cares
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        decodeMedia(s, media)
+          .select(
+            col("doc_id"), col("n_bytes"), col("width"), col("height"),
+            col("channels"), element_at(col("feat"), 2).as("feat_bin1"))
+      },
+      // oracle re-derives the stub's arithmetic in SQL. The fixture
+      // text is pure ASCII (verified), so byte i == char i and
+      // md5(text) == md5 of the utf8 payload — DuckDB's md5 only takes
+      // VARCHAR. Bin 1 of the histogram = bytes 64..127.
+      Some(
+        "WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+          "('0x' || substr(md5(text), 1, 8))::BIGINT AS hv, text FROM documents), " +
+          "f AS (SELECT doc_id, n_bytes, 64 + hv % 577 AS width, " +
+          "64 + (hv // 577) % 433 AS height, " +
+          "(SELECT COUNT(*) FROM unnest(range(1, n_bytes + 1)) AS u(i) " +
+          " WHERE ord(text[i:i]) // 64 = 1) AS bin1 FROM h) " +
+          "SELECT doc_id, n_bytes, width, height, CAST(3 AS BIGINT) AS channels, " +
+          "CAST(bin1 AS DOUBLE) / n_bytes AS feat_bin1 FROM f"),
+    ),
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LUAD pipeline's operators (graft.pipeline.*) exercised over the
+  * driver fixtures so the DuckDB gate covers them: the pipeline's own
+  * corpus isn't part of the fixture set, so each operator runs on a COO
+  * view of the TPC-H-ish tables with equivalent-SQL oracles where
+  * expressible (ALS/SVM are not SQL-expressible — rows-only here,
+  * golden-checked in ScalaTest instead).
+  */
+object PipelineOps {
+
+  /** COO view of lineitem: sample = l_orderkey, probe = l_linenumber,
+    * value = l_quantity. Orders have 1-7 lineitems → a sparse 7-probe
+    * matrix with plenty of co-occurrence.
+    */
+  private def coo(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      col("l_orderkey").cast("int").as("sample"),
+      col("l_linenumber").cast("int").as("probe"),
+      col("l_quantity").cast("double").as("value"))
+
+  /** COO with one entry per cell — the fixture's (orderkey, linenumber)
+    * is NOT unique (unlike real TPC-H), so duplicate cells are summed
+    * (the documented Q4 dedup policy).
+    */
+  private def cooDedup(s: SparkSession, dir: String): DataFrame =
+    coo(s, dir).groupBy("sample", "probe").agg(sum(col("value")).as("value"))
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q37_pearson_pairs",
+      (s, dir) =>
+        graft.pipeline.Network.pearsonEdges(coo(s, dir), 0.0)
+          .select(col("pi"), col("pj"), round(col("r"), 6).as("r")),
+      Some(
+        // DuckDB's corr() on the sample-aligned self-join is the same
+        // statistic pearsonEdges computes from raw sums
+        "SELECT a.l_linenumber AS pi, b.l_linenumber AS pj, " +
+          "round(corr(a.l_quantity, b.l_quantity), 6) AS r " +
+          "FROM lineitem a JOIN lineitem b " +
+          "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber " +
+          "GROUP BY 1, 2 HAVING corr(a.l_quantity, b.l_quantity) IS NOT NULL"),
+    ),
+    QuerySpec(
+      "q38_connected_components",
+      (s, dir) => {
+        // graph: suppliers chained by consecutive key within a nation →
+        // path components; CC via the pipeline's GraphX operator
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey").cast("int").as("k"), col("s_nationkey").as("n"))
+        val edges = sup.as("a")
+          .join(sup.as("b"), expr("a.n = b.n AND b.k = a.k + 1"))
+          .select(col("a.k").as("pi"), col("b.k").as("pj"))
+        graft.pipeline.Network.connectedComponents(s, edges)
+          .select(
+            col("probe").cast("bigint").as("node"),
+            col("component").cast("bigint").as("component"))
+      },
+      Some(
+        // min-reachable-id label propagation as a recursive CTE over the
+        // symmetrized edge set — component = min id reachable
+        "WITH RECURSIVE e AS (" +
+          "SELECT a.s_suppkey AS src, b.s_suppkey AS dst FROM supplier a " +
+          "JOIN supplier b ON a.s_nationkey = b.s_nationkey AND b.s_suppkey = a.s_suppkey + 1), " +
+          "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+          "reach(id, comp) AS (" +
+          "SELECT src, src FROM sym UNION " +
+          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
+          "SELECT CAST(id AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component " +
+          "FROM reach GROUP BY id"),
+    ),
+    QuerySpec(
+      // ALS matrix completion on the COO view — not SQL-expressible;
+      // rows-only gate here, RMSE/determinism golden-checked in
+      // CompletionSpec. Bounded to 200 samples so the bench-tier run
+      // stays O(seconds): completion cost scales with the GRID, not
+      // the input.
+      "q39_als_complete",
+      (s, dir) => {
+        val m = coo(s, dir).filter(col("sample") < 200)
+        graft.pipeline.Completion.complete(
+          s, m,
+          graft.pipeline.Completion.AlsParams(
+            rank = 4, maxIter = 4, regParam = 0.1, numBlocks = 8))
+      },
+      None,
+    ),
+    QuerySpec(
+      // LinearSVC train/predict on features assembled from the COO view
+      // (label: high-value order) — rows-only; recovery golden-checked
+      // in SvmSpec.
+      "q40_svm_predict",
+      (s, dir) => {
+        val m = cooDedup(s, dir).filter(col("sample") < 2000)
+        // complete the 7-probe grid with zeros so vectors align
+        val grid = m.select("sample").distinct()
+          .crossJoin(m.select("probe").distinct())
+        val dense = grid
+          .join(m, Seq("sample", "probe"), "left")
+          .withColumn("value", coalesce(col("value"), lit(0.0)))
+        val features = graft.pipeline.Svm.assembleFeatures(dense)
+        val labels = Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey").cast("int").as("sample"),
+            (col("o_totalprice") > 150000.0).as("tumorous"))
+          .join(features.select("sample"), "sample")
+        val model = graft.pipeline.Svm.train(
+          s, features, labels, graft.pipeline.Svm.SvmParams(maxIter = 5))
+        graft.pipeline.Svm.predict(model, features)
+      },
+      None,
+    ),
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (vec_id BIGINT,
+  * embedding ARRAY<FLOAT>, label INT).
+  *
+  * All dot products run in float64 via `aggregate(zip_with(...))` — a
+  * SEQUENTIAL left fold in index order, bit-identical between runs and
+  * (after 6-decimal rounding) engine-portable against the DuckDB
+  * oracle's equivalent per-index sum.
+  *
+  * Scale design:
+  *  - q30 brute force: the K query vectors are broadcast (crossJoin of
+  *    a tiny side); the only shuffle is the per-query top-k window over
+  *    candidate rows. This is the exact-recall baseline: O(N·K·d) map
+  *    work that parallelizes per input split.
+  *  - q31 IVF: coarse quantizer = per-label centroids (k-means cells
+  *    stand-in — the fixture's labels ARE cluster assignments). Probing
+  *    nprobe=2 of 10 cells prunes ~80% of candidates BEFORE any
+  *    distance math; at 100 TB the cell assignment becomes the
+  *    partition key so a probe only reads matching partitions
+  *    (partition pruning), and centroids come from k-means||
+  *    (spark.ml KMeans) instead of labels.
+  *  - q32 pairwise: same-cell blocking turns O(N²) into Σ|cell|² —
+  *    the embedding-space analog of LSH banding in DedupOps.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** float64 dot product of two float-array columns (sequential fold). */
+  private def dot(a: String, b: String): Column =
+    expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "0D, (acc, v) -> acc + v)")
+
+  private val norm: String =
+    "SQRT(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+
+  /** DuckDB-side float64 dot product over list columns a·b, 64 dims. */
+  private def duckDot(a: String, b: String): String =
+    s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 65)) AS u(i))"
+
+  private def duckNorm(e: String): String =
+    s"SQRT((SELECT SUM(CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE)) FROM unnest(range(1, 65)) AS u(i)))"
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q30_cosine_topk",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("n", expr(norm))
+        val q = e.filter(col("vec_id") < 5).select(
+          col("vec_id").as("qid"), col("embedding").as("qemb"), col("n").as("qn"))
+        val scored = e
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(
+            col("qid"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rk").cast("bigint").as("rk"))
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, embedding, " + duckNorm("embedding") + " AS n FROM embeddings), " +
+          "q AS (SELECT vec_id AS qid, embedding AS qemb, n AS qn FROM e WHERE vec_id < 5), " +
+          "scored AS (SELECT q.qid, e.vec_id, " +
+          duckDot("e.embedding", "q.qemb") + " / (e.n * q.qn) AS cosine " +
+          "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+          "ranked AS (SELECT qid, vec_id, cosine, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk FROM scored) " +
+          "SELECT qid, vec_id, round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk " +
+          "FROM ranked WHERE rk <= 10"),
+    ),
+    QuerySpec(
+      "q31_ann_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        // coarse cells: per-label centroid, one row per (label, dim)
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy("label", "i")
+          .agg(avg(col("v").cast("double")).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        // probe the nprobe=2 closest cells per query (centroid dot product)
+        val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
+        val probed = q
+          .crossJoin(broadcast(centroids))
+          .withColumn("cscore", dot("qemb", "cemb"))
+          .withColumn("crk", row_number().over(wq))
+          .filter(col("crk") <= 2)
+          .select("qid", "qemb", "label")
+        // candidates: only vectors in probed cells — the IVF prune
+        val en = e.withColumn("n", expr(norm))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        en.join(broadcast(probed), Seq("label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("qn", expr(norm.replace("embedding", "qemb")))
+          .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(
+            col("qid"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rk").cast("bigint").as("rk"))
+      },
+      Some(
+        "WITH cent AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c " +
+          "FROM embeddings, unnest(range(1, 65)) AS u(i) GROUP BY label, i), " +
+          "centroids AS (SELECT label, list(c ORDER BY i) AS cemb FROM cent GROUP BY label), " +
+          "q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5), " +
+          "probescore AS (SELECT q.qid, q.qemb, c.label, " +
+          duckDot("q.qemb", "c.cemb") + " AS cscore FROM q CROSS JOIN centroids c), " +
+          "probed AS (SELECT qid, qemb, label FROM (SELECT *, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label ASC) AS crk " +
+          "FROM probescore) WHERE crk <= 2), " +
+          "cand AS (SELECT p.qid, e.vec_id, " +
+          duckDot("e.embedding", "p.qemb") + " / (" +
+          duckNorm("e.embedding") + " * " + duckNorm("p.qemb") + ") AS cosine " +
+          "FROM embeddings e JOIN probed p ON e.label = p.label WHERE e.vec_id <> p.qid) " +
+          "SELECT qid, vec_id, round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk " +
+          "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk " +
+          "FROM cand) WHERE rk <= 5"),
+    ),
+    QuerySpec(
+      "q32_cosine_pairs",
+      (s, dir) => {
+        // all-pairs near-dup within a cell (same-label blocking): the
+        // fixture's clusters cap cell size, so cost is Σ|cell|², not N²
+        val e = emb(s, dir).withColumn("n", expr(norm))
+        val a = e.select(
+          col("label"), col("vec_id").as("va"), col("embedding").as("ea"), col("n").as("na"))
+        val b = e.select(
+          col("label"), col("vec_id").as("vb"), col("embedding").as("eb"), col("n").as("nb"))
+        a.join(b, Seq("label"))
+          .filter(col("va") < col("vb"))
+          .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.3)
+          .select(
+            col("label").cast("bigint").as("label"), col("va"), col("vb"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some(
+        "WITH e AS (SELECT label, vec_id, embedding, " + duckNorm("embedding") + " AS n FROM embeddings) " +
+          "SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS va, b.vec_id AS vb, " +
+          "round(" + duckDot("a.embedding", "b.embedding") + " / (a.n * b.n), 6) AS cosine " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "WHERE " + duckDot("a.embedding", "b.embedding") + " / (a.n * b.n) >= 0.3"),
+    ),
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events` — the batch semantics of the
+  * streaming surface (graft.streaming runs the same window specs as
+  * Structured Streaming queries; these batch twins are what the DuckDB
+  * oracle can check).
+  *
+  * Scale: `window()` is a projection (each row computes its bucket) +
+  * one hash aggregate on (bucket, keys) — map-side combinable, one
+  * shuffle. Sliding windows multiply rows by windows-per-event (here
+  * 2×) BEFORE the aggregate, which is the honest cost of overlap.
+  */
+object WindowOps {
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q34_window_tumbling",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+          .select(
+            col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value")),
+      Some(
+        "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type, " +
+          "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM events GROUP BY 1, 2"),
+    ),
+    QuerySpec(
+      "q35_window_sliding",
+      (s, dir) =>
+        // 1h windows sliding every 30min — every event lands in 2
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .select(col("window.start").as("w_start"), col("n"), col("n_users")),
+      Some(
+        // a sliding grid = union of the two offset tumbling grids
+        "WITH g AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, user_id FROM events " +
+          "UNION ALL " +
+          "SELECT time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 30 MINUTE) AS w_start, user_id FROM events) " +
+          "SELECT w_start, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM g GROUP BY 1"),
+    ),
+    QuerySpec(
+      "q36_window_session",
+      (s, dir) => {
+        // sessionization: per-user, a >30-minute silence starts a new
+        // session (batch twin of streaming session_window). Two window
+        // functions + one aggregate — all hash-partitioned by user.
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_ts").isNull ||
+                col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(
+            min(col("ts")).as("sess_start"),
+            max(col("ts")).as("sess_end"),
+            count(lit(1)).as("n_events"))
+      },
+      Some(
+        "WITH l AS (SELECT user_id, event_id, ts, " +
+          "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+          "m AS (SELECT *, CASE WHEN prev_ts IS NULL " +
+          "OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM l), " +
+          "sess AS (SELECT *, SUM(new_sess) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m) " +
+          "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+          "MIN(ts) AS sess_start, MAX(ts) AS sess_end, COUNT(*) AS n_events " +
+          "FROM sess GROUP BY 1, 2"),
+    ),
+  )
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2.3 streaming block): the
+  * reference is batch-only, but its ingest model — expression files
+  * dropped into a directory, one per sample — is exactly a streaming
+  * file source; and the extended engine exposes event-time windows with
+  * watermarked late-data handling plus model scoring via foreachBatch.
+  *
+  * Every transform here is the SAME logical plan as its batch twin in
+  * operators.WindowOps / pipeline.Ingest — Structured Streaming's
+  * incrementalization is what changes, not the query. That is the
+  * Spark-first answer to "Flink streaming": declare once, run either
+  * mode.
+  *
+  * Scale: state for windowed aggs is bounded by the watermark (late
+  * rows beyond it are dropped, state older than it is evicted);
+  * shuffle partitioning of the agg is the same hash partitioning as
+  * batch. File-source ingest at 100 TB: maxFilesPerTrigger bounds each
+  * micro-batch.
+  */
+object Streams {
+
+  /** Streaming file-source ingest of expression TSVs (S2's schema),
+    * sample recovered from the file name — the streaming twin of
+    * pipeline.Ingest.readType.
+    */
+  def expressionFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16) // bound micro-batch size
+      .schema("probe_name STRING, raw_value STRING")
+      .csv(dir)
+      .withColumn("file", input_file_name())
+      .withColumn("value", col("raw_value").cast("double"))
+      .filter(col("value").isNotNull && col("probe_name").isNotNull)
+      .select("file", "probe_name", "value")
+
+  /** Tumbling event-time counts with watermark: rows later than the
+    * watermark are dropped, state is evicted past it.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours",
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Sliding windows (1h every 30min) — same shape, overlapping. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows per user, 30-minute gap (built-in session_window
+    * state store — no custom mapGroupsWithState needed).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  /** foreachBatch scoring: apply a fitted model (or any batch
+    * DataFrame→DataFrame function) to each micro-batch — the streaming
+    * deployment mode of the trained LUAD SVM.
+    */
+  def scoreStream(
+      events: DataFrame,
+      score: DataFrame => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(score(batch), id)
+    }
+}

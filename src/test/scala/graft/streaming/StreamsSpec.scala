@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private case class Ev(ts: Timestamp, event_type: String, user_id: Long)
+
+  test("tumbling windows with watermark: counts per hour, late row dropped") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams
+      .tumblingCounts(input.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1),
+        Ev(ts("2024-01-01 10:45:00"), "click", 2),
+        Ev(ts("2024-01-01 11:10:00"), "view", 1))
+      q.processAllAvailable()
+      // advance watermark far past 10:00-11:00 so it finalizes
+      input.addData(Ev(ts("2024-01-01 14:00:00"), "view", 3))
+      q.processAllAvailable()
+      // this row is behind the watermark (14:00 − 1h = 13:00) → dropped
+      input.addData(Ev(ts("2024-01-01 10:50:00"), "click", 9))
+      input.addData(Ev(ts("2024-01-01 16:00:00"), "view", 3))
+      q.processAllAvailable()
+      val rows = s.table("tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L))) // late row NOT counted
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows: 30-minute gap splits sessions per user") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 09:00:00"), "a", 1),
+        Ev(ts("2024-01-01 09:10:00"), "a", 1), // same session
+        Ev(ts("2024-01-01 10:00:00"), "a", 1), // 50-min gap → new session
+        Ev(ts("2024-01-01 09:00:00"), "a", 2))
+      q.processAllAvailable()
+      val rows = s.table("sessions")
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toList.sorted
+      assert(rows == List((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming expression-file ingest matches batch ingest semantics") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.writeString(
+      dir.resolve("s1.expr.txt"),
+      "probe_id\traw_count\np1\t1.5\np2\t2.5\nbadline\n")
+    java.nio.file.Files.writeString(
+      dir.resolve("s2.expr.txt"),
+      "probe_id\traw_count\np1\t3.0\n")
+    val q = Streams.expressionFileStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("ingest")
+        .select(regexp_extract(col("file"), "([^/]+)\\.expr\\.txt", 1).as("sample"),
+          col("probe_name"), col("value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      // header + malformed dropped, 3 data rows across 2 files
+      assert(rows == Set(("s1", "p1", 1.5), ("s1", "p2", 2.5), ("s2", "p1", 3.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch scoring applies a batch function per micro-batch") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Ev]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = Streams.scoreStream(
+      input.toDF(),
+      batch => batch.withColumn("scored", lit(1)),
+      (scored, _) => seen.synchronized {
+        seen ++= scored.collect().map(r => (r.getAs[String]("event_type"), 1L))
+      }).start()
+    try {
+      input.addData(Ev(ts("2024-01-01 09:00:00"), "x", 1), Ev(ts("2024-01-01 09:01:00"), "y", 2))
+      q.processAllAvailable()
+      assert(seen.map(_._1).toSet == Set("x", "y"))
+    } finally q.stop()
+  }
+}
