@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run — otherwise the
+        // oracle compare would silently grade old results as current
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) {
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

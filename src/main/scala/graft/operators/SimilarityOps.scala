@@ -30,17 +30,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables(s, dir, "embeddings")
+  }
 
-  /** float64 dot product of two float-array columns (sequential fold). */
-  private def dot(a: String, b: String): Column =
-    expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-        "0D, (acc, v) -> acc + v)")
+  /** float64 dot product via the native codegen'd expression
+    * (graft.functions.FloatDot) — same sequential-fold semantics as the
+    * `aggregate(zip_with(...))` composition, no per-row allocations.
+    */
+  private def dot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
-  private val norm: String =
-    "SQRT(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+  private val norm: String = "SQRT(float_dot(embedding, embedding))"
 
   /** DuckDB-side float64 dot product over list columns a·b, 64 dims. */
   private def duckDot(a: String, b: String): String =

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FloatDotSpec extends SparkSpec {
+
+  test("float_dot matches the aggregate/zip_with composition bit-for-bit") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      col("id"),
+      expr("float_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "0D, (acc, v) -> acc + v)").as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    // and against a plain Scala fold
+    val got = both.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, a, b) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      assert(got(i) == expected, s"row $i")
+    }
+  }
+
+  test("float_dot: null array → null; registered via extensions class too") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(expr("float_dot(a, b)")).head().isNullAt(0))
+    // SparkSessionExtensions route constructs the same expression
+    val ext = new GraftExtensions
+    assert(ext != null) // instantiable for spark.sql.extensions
+  }
+
+  test("float_dot participates in whole-stage codegen (plan check)") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    // spark.range keeps the projection in the physical plan (a local
+    // Seq would be constant-folded into a LocalTableScan)
+    val df = s.range(1, 100)
+      .select(expr("transform(sequence(0, 63), i -> CAST(i * id AS FLOAT))").as("a"))
+      .select(expr("float_dot(a, a)").as("d"))
+    // `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[float_dot.*"), plan)
+    // dot(a,a) for id=1: sum of i^2, i=0..63 = 85344
+    assert(df.head().getDouble(0) == 85344.0)
+  }
+}
