@@ -91,6 +91,7 @@ case class FloatDot(left: Expression, right: Expression)
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> (exprs => FloatDot(exprs(0), exprs(1))),
+    "rolling_hash_min" -> (exprs => RollingHashMin(exprs(0), exprs(1))),
   )
 
   /** Imperative registration into an existing session (the driver
@@ -110,9 +111,14 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash_min"),
+      new ExpressionInfo(classOf[RollingHashMin].getName, "rolling_hash_min"),
+      (exprs: Seq[Expression]) => RollingHashMin(exprs(0), exprs(1))))
+  }
 }

@@ -89,6 +89,30 @@ object TextOps {
           "+ least(5.0 * stop_cnt / n_tokens, 1.0) * 0.5, 6) AS quality FROM b"),
     ),
     QuerySpec(
+      // Winnowing fingerprint via the native rolling-hash expression
+      // (graft.functions.RollingHashMin): min Rabin-Karp hash over all
+      // 16-byte windows, one codegen'd pass per row. The oracle
+      // recomputes each window independently (O(len·k)) — same values.
+      "q24b_rolling_fingerprint",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        docs(s, dir).select(
+          col("doc_id"),
+          expr("rolling_hash_min(text, 16)").as("fp_rolling"))
+      },
+      Some(
+        "WITH RECURSIVE powers(e, v) AS (" +
+          "SELECT 0, CAST(1 AS BIGINT) UNION ALL " +
+          "SELECT e + 1, v * 257 % 1000003 FROM powers WHERE e < 15), " +
+          "w AS (SELECT doc_id, text, i FROM documents, " +
+          "unnest(range(1, length(text) - 16 + 2)) AS u(i)), " +
+          "h AS (SELECT doc_id, i, " +
+          "SUM(ord(substr(text, CAST(i + j AS INT), 1)) * v) % 1000003 AS wh " +
+          "FROM w, unnest(range(0, 16)) AS t(j) JOIN powers p ON p.e = 15 - j " +
+          "GROUP BY doc_id, i) " +
+          "SELECT doc_id, MIN(wh) AS fp_rolling FROM h GROUP BY doc_id"),
+    ),
+    QuerySpec(
       "q24_langid",
       (s, dir) => {
         val hits = markers.foldLeft(docs(s, dir)) { case (df, (lang, re)) =>
