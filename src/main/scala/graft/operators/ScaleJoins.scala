@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-management join helpers for the 100 TB design point.
+  *
+  * AQE's skew-join splitting handles most skew at runtime; these exist
+  * for the cases it can't: a broadcast-too-big dimension with a few
+  * pathological hot keys (saltedJoin), and repeated fact-fact joins on
+  * the same key where paying one bucketed write amortizes every future
+  * shuffle away (co-located bucketed joins, see BucketingSpec for the
+  * no-Exchange plan proof).
+  */
+object ScaleJoins {
+
+  /** Equi-join `big ⋈ small` on `key` with the hot-key shuffle skew
+    * broken by salting: every big-side row gets a deterministic salt in
+    * [0, salts), the small side is replicated `salts`× — the shuffle
+    * key becomes (key, salt), spreading a hot key over `salts`
+    * partitions. Result is exactly the plain inner join.
+    *
+    * Salt derives from a hash of the whole big-side row (not rand()):
+    * deterministic across retries/replays — a task retry at 100 TB must
+    * not reshuffle rows to different salts.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltCol: Column =
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts))
+    val saltedBig = big.withColumn("__graft_salt", saltCol)
+    val saltedSmall = small
+      .withColumn("__graft_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    saltedBig
+      .join(saltedSmall, Seq(key, "__graft_salt"))
+      .drop("__graft_salt")
+  }
+}

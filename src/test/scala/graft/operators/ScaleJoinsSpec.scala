@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on a 90%-skewed key and shuffles on (key, salt)") {
+    val s = spark; import s.implicits._
+    // 90% of big-side rows share key 0 — the classic hot key
+    val big = (0 until 20000)
+      .map(i => (if (i % 10 == 0) i % 50 else 0, i.toLong))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val salted = ScaleJoins.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+
+    // the physical shuffle key must include the salt column
+    val plan = ScaleJoins.saltedJoin(big, small, "k", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"), plan)
+  }
+
+  test("bucketed tables co-locate: join runs with no shuffle exchange") {
+    val s = spark; import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val facts = (0 until 5000).map(i => (i % 500, i * 1.0)).toDF("k", "v")
+      val dims = (0 until 500).map(i => (i, s"d_$i")).toDF("k", "name")
+      facts.write.mode("overwrite")
+        .bucketBy(8, "k").sortBy("k")
+        .option("path", s"$wh/facts").saveAsTable("graft_facts")
+      dims.write.mode("overwrite")
+        .bucketBy(8, "k").sortBy("k")
+        .option("path", s"$wh/dims").saveAsTable("graft_dims")
+
+      val joined = s.table("graft_facts").join(s.table("graft_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-pruned co-located join: no Exchange node anywhere
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 5000)
+
+      // contrast: the same join on unbucketed frames shuffles both sides
+      val unbucketed = facts.join(dims, "k")
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS graft_facts")
+      s.sql("DROP TABLE IF EXISTS graft_dims")
+    }
+  }
+}
