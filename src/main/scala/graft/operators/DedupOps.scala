@@ -97,9 +97,11 @@ object DedupOps {
     QuerySpec(
       "q26_ngram_jaccard",
       (s, dir) => {
-        // no .cache(): the frame is bounded to <60 docs, recomputing the
-        // shingle scan is cheaper than leaking a persisted block per call
-        val sh = shingles(s, dir, Some(60L))
+        // localCheckpoint: sh feeds 4 plan branches (2× sizes, 2× the
+        // pair join) — materialize once instead of re-running the scan+
+        // shingle explode per branch (Catalyst doesn't reuse aliased
+        // subtrees; blocks are freed with the RDD, unlike cache())
+        val sh = shingles(s, dir, Some(60L)).localCheckpoint()
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a")
           .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -138,8 +140,11 @@ object DedupOps {
         val stackArgs = (0 until 8)
           .map(bd => s"$bd, concat_ws(',', m${2 * bd}, m${2 * bd + 1})")
           .mkString(", ")
+        // materialize signatures once — the self-join would otherwise
+        // run the whole shingle→minhash pipeline on both sides
         val bands = mh.select(
           col("doc_id"), expr(s"stack(8, $stackArgs) AS (band, sig)"))
+          .localCheckpoint()
         bands.as("a")
           .join(
             bands.as("b"),
@@ -175,7 +180,10 @@ object DedupOps {
       // so bucket sizes stay bounded; the plan shape is unchanged.
       "q29_simhash_pairs",
       (s, dir) => {
-        val sig = simhashSig(s, dir)
+        // signatures materialized once (localCheckpoint) — the banded
+        // self-join must not recompute the 2-shuffle simhash pipeline
+        // on both sides
+        val sig = simhashSig(s, dir).localCheckpoint()
         val bands = sig
           .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("bv", expr("shiftright(simhash, 8 * b) % 256"))
