@@ -13,6 +13,7 @@ object SparkEntry {
       operators.SimilarityOps.specs ++
       operators.MultimodalOps.specs ++
       operators.WindowOps.specs ++
+      operators.TemporalOps.specs ++
       operators.PipelineOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
