@@ -50,6 +50,48 @@ object SimilarityOps {
   private def duckNorm(e: String): String =
     s"SQRT((SELECT SUM(CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE)) FROM unnest(range(1, 65)) AS u(i)))"
 
+  /** IVF ANN as a reusable operator: coarse cells from per-`label`
+    * centroids, probe the `nprobe` best cells per query by centroid dot
+    * product, exact cosine only inside probed cells, top-k.
+    *
+    * `e` must have (vec_id, embedding, label); `q` (qid, qemb). Recall
+    * depends on how well cells capture cosine neighborhoods — see
+    * SimilarityRecallSpec: ≥0.9 on clustered data, and on unclustered
+    * data no cell scheme can do better than the scanned fraction.
+    */
+  def ivfTopK(
+      e: DataFrame,
+      q: DataFrame,
+      nprobe: Int,
+      k: Int,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
+    val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
+    val probed = q
+      .crossJoin(broadcast(centroids))
+      .withColumn("cscore", dot("qemb", "cemb"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= nprobe)
+      .select("qid", "qemb", "label")
+    val en = e.withColumn("n", expr(norm))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    en.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qn", expr(norm.replace("embedding", "qemb")))
+      .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(
+        col("qid"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk").cast("bigint").as("rk"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q30_cosine_topk",
@@ -84,35 +126,9 @@ object SimilarityOps {
       "q31_ann_ivf",
       (s, dir) => {
         val e = emb(s, dir)
-        // coarse cells: per-label centroid, one row per (label, dim)
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-          .groupBy("label", "i")
-          .agg(avg(col("v").cast("double")).as("c"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        // probe the nprobe=2 closest cells per query (centroid dot product)
-        val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
-        val probed = q
-          .crossJoin(broadcast(centroids))
-          .withColumn("cscore", dot("qemb", "cemb"))
-          .withColumn("crk", row_number().over(wq))
-          .filter(col("crk") <= 2)
-          .select("qid", "qemb", "label")
-        // candidates: only vectors in probed cells — the IVF prune
-        val en = e.withColumn("n", expr(norm))
-        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
-        en.join(broadcast(probed), Seq("label"))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("qn", expr(norm.replace("embedding", "qemb")))
-          .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .select(
-            col("qid"), col("vec_id"),
-            round(col("cosine"), 6).as("cosine"), col("rk").cast("bigint").as("rk"))
+        ivfTopK(e, q, nprobe = 2, k = 5)
       },
       Some(
         "WITH cent AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c " +

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan audit over the ENTIRE declared query surface: no query may
+  * compile to an unintended cartesian product or broadcast nested-loop
+  * join — the two plan shapes that silently explode at 100 TB.
+  * Whitelist: queries whose semantics genuinely need one (explicit
+  * cross joins; tiny broadcast query-sets in the ANN operators).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // q09: explicit cross join (5×25 rows). q30/q31: deliberate
+  // crossJoin of a ≤10-row broadcast side (query vectors / centroids).
+  // q39/q40: the missing-cell / grid enumeration is a deliberate
+  // dims×dims cross join (cost scales with the GRID, not input rows).
+  private val allowNestedLoop = Set(
+    "q09_join_cross", "q30_cosine_topk", "q31_ann_ivf",
+    "q39_als_complete", "q40_svm_predict")
+
+  test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
+    val offenders = SparkEntry.specs.flatMap { q =>
+      try {
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")) &&
+          !allowNestedLoop.contains(q.name)
+        if (bad) Some(q.name) else None
+      } catch {
+        case e: Throwable => Some(s"${q.name} (failed to plan: ${e.getMessage.take(80)})")
+      }
+    }
+    assert(offenders.isEmpty, s"unintended nested-loop plans: $offenders")
+  }
+}

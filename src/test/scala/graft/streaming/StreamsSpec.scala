@@ -82,6 +82,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling counts over the events fixture equal the batch twin") {
+    val s = spark; import s.implicits._
+    // same fixture file, once as a bounded stream, once as a batch scan
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    // the file stream source wants a directory — stage the fixture file
+    val stage = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+    val streamEvents =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val q = Streams.tumblingCounts(streamEvents, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("fixture_tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("fixture_tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val want = batch.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch scoring applies a batch function per micro-batch") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
