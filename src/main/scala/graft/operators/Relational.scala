@@ -226,6 +226,43 @@ object Relational {
           "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
     ),
     QuerySpec(
+      "q13b_grouping_sets",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.createOrReplaceTempView("graft_li")
+        s.sql(
+          "SELECT l_returnflag, l_linestatus, " +
+            s"CAST(SUM($qty) AS DOUBLE) AS sum_qty, COUNT(*) AS n, " +
+            "CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+            "FROM graft_li " +
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())")
+      },
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          s"CAST(SUM($qty) AS DOUBLE) AS sum_qty, COUNT(*) AS n, " +
+          "CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+          "FROM lineitem " +
+          "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"),
+    ),
+    QuerySpec(
+      // exact percentiles (interpolated) — Spark `percentile` and
+      // DuckDB `quantile_cont` implement the same linear interpolation
+      "q13c_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("round(percentile(l_extendedprice, 0.5), 6)").as("p50"),
+            expr("round(percentile(l_extendedprice, 0.9), 6)").as("p90"),
+            expr("round(percentile(l_quantity, 0.25), 6)").as("q25_qty")),
+      Some(
+        "SELECT l_returnflag, " +
+          "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, " +
+          "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90, " +
+          "round(quantile_cont(l_quantity, 0.25), 6) AS q25_qty " +
+          "FROM lineitem GROUP BY l_returnflag"),
+    ),
+    QuerySpec(
       "q14_topk",
       (s, dir) =>
         t(s, dir, "orders")
