@@ -173,5 +173,39 @@ object SimilarityOps {
           "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
           "WHERE " + duckDot("a.embedding", "b.embedding") + " / (a.n * b.n) >= 0.3"),
     ),
+    QuerySpec(
+      // semantic dedup: near-dup pairs (q32's blocking) chained into
+      // groups via connected components; keeper = min vec_id per group.
+      // The transitive closure is what turns pairwise similarity into
+      // an actual dedup decision (A near B near C → one keeper).
+      "q32b_semantic_dedup_groups",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("n", expr(norm))
+        val a = e.select(
+          col("label"), col("vec_id").as("va"), col("embedding").as("ea"), col("n").as("na"))
+        val b = e.select(
+          col("label"), col("vec_id").as("vb"), col("embedding").as("eb"), col("n").as("nb"))
+        val pairs = a.join(b, Seq("label"))
+          .filter(col("va") < col("vb"))
+          .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.3)
+          .select(col("va").cast("int").as("pi"), col("vb").cast("int").as("pj"))
+        graft.pipeline.Network.connectedComponents(s, pairs)
+          .select(
+            col("probe").cast("bigint").as("vec_id"),
+            col("component").cast("bigint").as("keeper"))
+      },
+      Some(
+        "WITH RECURSIVE e AS (SELECT label, vec_id, embedding, " +
+          duckNorm("embedding") + " AS n FROM embeddings), " +
+          "p AS (SELECT a.vec_id va, b.vec_id vb FROM e a JOIN e b " +
+          "ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "WHERE " + duckDot("a.embedding", "b.embedding") + " / (a.n * b.n) >= 0.3), " +
+          "sym AS (SELECT va AS src, vb AS dst FROM p UNION SELECT vb, va FROM p), " +
+          "reach(id, comp) AS (SELECT src, src FROM sym UNION " +
+          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
+          "SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS keeper " +
+          "FROM reach GROUP BY id"),
+    ),
   )
 }
