@@ -149,6 +149,81 @@ object SimilarityOps {
           "FROM cand) WHERE rk <= 5"),
     ),
     QuerySpec(
+      // Random-hyperplane LSH ANN (the bucketed alternative to IVF):
+      // L=4 independent tables of 6 sign bits each; a vector's bucket
+      // in table t is the 6-bit sign pattern of its projections onto 6
+      // fixed pseudo-random ±1 hyperplanes (derived from md5 so the
+      // DuckDB oracle regenerates them bit-identically). Candidates =
+      // bucket collisions in ANY table (multi-table union is what buys
+      // recall); exact cosine + top-3 only on candidates. At 100 TB
+      // (table, bucket) is the partition key — a probe touches L
+      // buckets, never the corpus.
+      "q31b_ann_lsh",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        def signOf(t: Int, k: Int, i: Int): Int = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$t:$k:$i".getBytes("UTF-8"))
+          if (((md(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+        }
+        // bucket expression: Σ_k 2^k · [proj_{t,k} ≥ 0], projections as
+        // codegen'd float_dot against ±1 literal hyperplanes
+        def bucketExpr(embCol: String, t: Int): Column = {
+          val bits = (0 until 6).map { k =>
+            val h = (0 until 64).map(i => s"CAST(${signOf(t, k, i)} AS DOUBLE)")
+              .mkString("array(", ", ", ")")
+            s"(CASE WHEN float_dot($embCol, $h) >= 0 THEN ${1 << k} ELSE 0 END)"
+          }
+          expr(bits.mkString("(", " + ", ")"))
+        }
+        def buckets(df: DataFrame, idCol: String, embCol: String): DataFrame =
+          (0 until 4).map { t =>
+            df.select(
+              col(idCol), col(embCol),
+              lit(t).as("t"), bucketExpr(embCol, t).as("bucket"))
+          }.reduce(_ union _)
+        val eb = buckets(e, "vec_id", "embedding")
+        val qb = buckets(q, "qid", "qemb")
+        val cand = eb.join(broadcast(qb), Seq("t", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "qemb", "vec_id", "embedding")
+          .distinct()
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        cand
+          .withColumn(
+            "cosine",
+            dot("embedding", "qemb") /
+              (expr(norm) * expr(norm.replace("embedding", "qemb"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(
+            col("qid"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"), col("rk").cast("bigint").as("rk"))
+      },
+      Some(
+        "WITH h AS (SELECT t, k, i, CASE WHEN ('0x' || substr(md5(t || ':' || k || ':' || i), 1, 1))::INT % 2 = 0 " +
+          "THEN 1 ELSE -1 END AS sgn FROM unnest(range(0, 4)) AS a(t), " +
+          "unnest(range(0, 6)) AS b(k), unnest(range(0, 64)) AS c(i)), " +
+          "proj AS (SELECT e.vec_id, h.t, h.k, " +
+          "SUM(CAST(e.embedding[CAST(h.i + 1 AS INT)] AS DOUBLE) * h.sgn) AS d " +
+          "FROM embeddings e, h GROUP BY 1, 2, 3), " +
+          "bk AS (SELECT vec_id, t, SUM(CASE WHEN d >= 0 THEN 1 << k ELSE 0 END) AS bucket " +
+          "FROM proj GROUP BY 1, 2), " +
+          "qb AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE vec_id < 5), " +
+          "cand AS (SELECT DISTINCT qb.qid, bk.vec_id FROM bk JOIN qb " +
+          "ON bk.t = qb.t AND bk.bucket = qb.bucket AND bk.vec_id <> qb.qid), " +
+          "scored AS (SELECT c.qid, c.vec_id, " +
+          duckDot("e.embedding", "q.embedding") + " / (" +
+          duckNorm("e.embedding") + " * " + duckNorm("q.embedding") + ") AS cosine " +
+          "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id " +
+          "JOIN embeddings q ON q.vec_id = c.qid) " +
+          "SELECT qid, vec_id, round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk " +
+          "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk " +
+          "FROM scored) WHERE rk <= 3"),
+    ),
+    QuerySpec(
       "q32_cosine_pairs",
       (s, dir) => {
         // all-pairs near-dup within a cell (same-label blocking): the
