@@ -74,6 +74,37 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
 
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * aggregate (event count + running sum of `value`) that survives
+    * across micro-batches — the escape hatch when built-in windows
+    * can't express the state machine. State is per-key and lives in
+    * the state store (RocksDB/HDFS-backed on a cluster), so state size
+    * scales with DISTINCT keys, not events.
+    */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def runningUserTotals(
+      events: DataFrame, // needs user_id LONG, value DOUBLE
+  ): org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var sum = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          val next = UserTotals(user, n, sum)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   /** foreachBatch scoring: apply a fitted model (or any batch
     * DataFrame→DataFrame function) to each micro-batch — the streaming
     * deployment mode of the trained LUAD SVM.

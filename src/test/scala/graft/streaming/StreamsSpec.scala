@@ -116,6 +116,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: per-user running totals persist across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.runningUserTotals(input.toDF().toDF("user_id", "value"))
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0)) // state must carry the earlier 2+3
+      q.processAllAvailable()
+      val latest = s.table("running")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.sum_value"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(latest(1L) == ((3L, 10.0)))
+      assert(latest(2L) == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch scoring applies a batch function per micro-batch") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
