@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Semantic property tests for the dedup signatures: the oracle gate
+  * proves Spark==DuckDB; these prove the signatures actually DETECT
+  * near-duplicates — a near-identical document pair must land within
+  * small hamming distance / share MinHash bands, and unrelated docs
+  * must not.
+  */
+class DedupSemanticsSpec extends SparkSpec {
+
+  private def randWords(rnd: Random, n: Int): IndexedSeq[String] =
+    (0 until n).map(_ => rnd.alphanumeric.filter(_.isLetter).take(3 + rnd.nextInt(5)).mkString.toLowerCase)
+
+  test("simhash: near-dup pair close in hamming, unrelated docs far") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(31)
+    val base = randWords(rnd, 120)
+    val nearDup = base.updated(10, "changed").updated(80, "word") // 2 of 120 words
+    val unrelated = (0 until 8).map(i => randWords(rnd, 120))
+    val docs = (Seq(base, nearDup) ++ unrelated).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+
+    // reuse q28's signature pipeline shape on our temp view via the
+    // same shingle+hash SQL the operator uses
+    val sig = s.sql(
+      """SELECT doc_id, simhash FROM (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |  FROM (
+        |    SELECT doc_id, j, SUM(2 * (shiftright(h32, j) % 2) - 1) AS bal
+        |    FROM (
+        |      SELECT DISTINCT doc_id,
+        |        CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT) AS h32
+        |      FROM (
+        |        SELECT doc_id,
+        |          explode(transform(sequence(1, size(split(text, ' ')) - 2),
+        |            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) AS sh
+        |        FROM documents)
+        |    ) LATERAL VIEW explode(sequence(0, 31)) AS j
+        |    GROUP BY doc_id, j
+        |  ) GROUP BY doc_id
+        |)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearH = hamming(sig(0L), sig(1L))
+    assert(nearH <= 6, s"near-dup hamming $nearH")
+    val unrelatedH = (2L until 10L).map(i => hamming(sig(0L), sig(i)))
+    assert(unrelatedH.forall(_ > 6), s"unrelated hammings $unrelatedH")
+  }
+
+  test("minhash bands: near-dup shares a band, unrelated docs do not collide") {
+    val s = spark
+    val rnd = new Random(77)
+    val base = randWords(rnd, 150)
+    val nearDup = base.updated(5, "xx") // 1 of 150 words changed
+    val unrelated = (0 until 6).map(_ => randWords(rnd, 150))
+    val dir = java.nio.file.Files.createTempDirectory("graft_minhash_sem")
+    import s.implicits._
+    val docs = (Seq(base, nearDup) ++ unrelated).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = graft.SparkEntry.queries("q27_minhash_lsh")(s, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      s"expected exactly the near-dup pair (0,1), got: $pairs")
+  }
+}
