@@ -71,7 +71,41 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Frame/chunk sampling: split each payload into fixed-size chunks
+    * (the audio-frame / video-keyframe batch shape), one decoder pass
+    * per partition. Chunk features are the same deterministic stub.
+    */
+  def chunkMedia(spark: SparkSession, media: DataFrame, chunkBytes: Int): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          bytes.grouped(chunkBytes).zipWithIndex.map { case (chunk, idx) =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(chunk)
+            (id, idx.toLong, chunk.length.toLong, md.map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_bytes", "chunk_md5")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q33b_multimodal_chunks",
+      (s, dir) => {
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        chunkMedia(s, media, 128)
+      },
+      // ASCII text (verified) ⇒ byte slicing == substr; md5 per chunk
+      Some(
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+          "CAST(length(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS BIGINT) AS n_bytes, " +
+          "md5(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS chunk_md5 " +
+          "FROM documents, unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS u(i)"),
+    ),
     QuerySpec(
       "q33_multimodal_decode",
       (s, dir) => {
