@@ -226,6 +226,16 @@ object Relational {
           "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
     ),
     QuerySpec(
+      "q13d_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(dsum(qty).as("sum_qty"), count(lit(1)).as("n")),
+      Some(
+        s"SELECT l_returnflag, l_linestatus, CAST(SUM($qty) AS DOUBLE) AS sum_qty, COUNT(*) AS n " +
+          "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    ),
+    QuerySpec(
       "q13b_grouping_sets",
       (s, dir) => {
         val li = t(s, dir, "lineitem")

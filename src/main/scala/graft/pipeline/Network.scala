@@ -60,8 +60,10 @@ object Network {
       // would throw, so gate it instead of filtering afterwards
       .withColumn(
         "r",
+        // least/greatest: fp guard against |r| overshooting 1 by ~1e-15
         when(col("den") > 0.0,
-          (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")))
+          least(lit(1.0), greatest(lit(-1.0),
+            (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")))))
       .filter(col("r").isNotNull && !isnan(col("r")))
       .filter(abs(col("r")) >= threshold)
       .select("pi", "pj", "r")
@@ -121,6 +123,8 @@ object Network {
               else {
                 var d = 0.0; var k = 0
                 while (k < zi.length) { d += zi(k) * zj(k); k += 1 }
+                // fp guard: z·z can overshoot ±1 by ~1e-15
+                d = math.min(1.0, math.max(-1.0, d))
                 if (math.abs(d) >= threshold) Some((pi, pj, d)) else None
               }
             }
