@@ -28,15 +28,26 @@ object Bench {
       try q.fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = specs.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+        .mkString(""","errors":{""", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
   }
 }

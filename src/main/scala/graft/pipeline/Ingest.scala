@@ -66,6 +66,19 @@ object Ingest {
       .select("sample_name", "probe_name", "value")
   }
 
+  /** Typed view of a COO matrix DataFrame — `Dataset[MatrixEntry]` with
+    * the case-class Encoder, for callers who want compile-time row
+    * types (`.map`/`.filter` over MatrixEntry instead of Row).
+    */
+  def typed(matrix: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[MatrixEntry] = {
+    val spark = matrix.sparkSession
+    import spark.implicits._
+    matrix.select(
+      col("sample").cast("int").as("sample"),
+      col("probe").cast("int").as("probe"),
+      col("value").cast("double").as("value")).as[MatrixEntry]
+  }
+
   /** Deterministic dense-id dictionary over a name column: sorted, then
     * ids assigned by partition-local index + offset (zipWithIndex) — no
     * single-partition window, so the build distributes at any scale.

@@ -74,6 +74,16 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: first occurrence of each (user_id, ts)
+    * wins; duplicate arrivals within the watermark are dropped and
+    * dedup state older than the watermark is evicted — bounded-state
+    * streaming twin of the batch q20/q25 dedup family.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "ts")
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * aggregate (event count + running sum of `value`) that survives
     * across micro-batches — the escape hatch when built-in windows

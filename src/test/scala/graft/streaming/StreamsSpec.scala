@@ -116,6 +116,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate (user, ts) arrivals across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:00:00"), "a", 1),
+        Ev(ts("2024-01-01 10:00:00"), "b", 1), // same (user, ts) → dup
+        Ev(ts("2024-01-01 10:05:00"), "a", 2))
+      q.processAllAvailable()
+      input.addData(Ev(ts("2024-01-01 10:00:00"), "c", 1)) // dup in later batch
+      input.addData(Ev(ts("2024-01-01 10:10:00"), "a", 1))
+      q.processAllAvailable()
+      assert(s.table("dedup").count() == 3) // 2 uniques batch 1 + 1 new
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: per-user running totals persist across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
