@@ -66,8 +66,11 @@ object LuadPipeline {
       .select(
         coalesce(col("sample_name"), lit("Unknown")).as("sample_name"),
         col("prediction"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    decoded.count() // materialize so every upstream block can be freed
 
     matrix.unpersist(); completed.unpersist()
+    filtered.unpersist(); features.unpersist()
     Result(decoded, nBefore, nAfter)
   }
 
