@@ -15,7 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      // pivot = groupBy + conditional aggregation; pinning the pivot
+      // column values keeps the plan a single pass (no distinct-values
+      // pre-query) — at 100 TB an unpinned pivot scans twice
+      "q36b_pivot",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", eventTypes)
+          .agg(count(lit(1)))
+          .na.fill(0L, eventTypes),
+      Some(
+        "SELECT user_id, " + eventTypes.map(t =>
+          s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
+          " FROM events GROUP BY user_id"),
+    ),
     QuerySpec(
       "q34_window_tumbling",
       (s, dir) =>
