@@ -360,6 +360,21 @@ object Relational {
           "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"),
     ),
     QuerySpec(
+      "q18c_map_ops",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          expr("array_join(array_sort(map_keys(from_json(props, 'map<string,string>'))), ',')")
+            .as("keys"),
+          expr("CAST(size(from_json(props, 'map<string,string>')) AS BIGINT)").as("n_keys"),
+          expr("element_at(from_json(props, 'map<string,string>'), 'k')").as("k_val")),
+      Some(
+        "SELECT event_id, " +
+          "array_to_string(list_sort(json_keys(props)), ',') AS keys, " +
+          "CAST(len(json_keys(props)) AS BIGINT) AS n_keys, " +
+          "json_extract_string(props, '$.k') AS k_val FROM events"),
+    ),
+    QuerySpec(
       "q18b_explode",
       (s, dir) =>
         t(s, dir, "documents")
