@@ -19,16 +19,19 @@ object WindowOps {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
-      // pivot = groupBy + conditional aggregation; pinning the pivot
-      // column values keeps the plan a single pass (no distinct-values
-      // pre-query) — at 100 TB an unpinned pivot scans twice
+      // pivot as pinned conditional aggregation: Dataset.pivot (even
+      // with pinned values) plans TWO shuffles (pre-agg on (key,
+      // pivot-col) then pivot_first on key — measured); the manual
+      // count(when(...)) form is ONE map-side-combinable shuffle, which
+      // is the plan you want at 100 TB
       "q36b_pivot",
-      (s, dir) =>
+      (s, dir) => {
+        val aggs = eventTypes.map(t =>
+          count(when(col("event_type") === t, 1)).as(t))
         Tables.events(s, dir)
           .groupBy("user_id")
-          .pivot("event_type", eventTypes)
-          .agg(count(lit(1)))
-          .na.fill(0L, eventTypes),
+          .agg(aggs.head, aggs.tail: _*)
+      },
       Some(
         "SELECT user_id, " + eventTypes.map(t =>
           s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
