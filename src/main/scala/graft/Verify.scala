@@ -21,11 +21,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run — otherwise the
-        // oracle compare would silently grade old results as current
-        val d = new java.io.File(s"$outDir/$name")
-        if (d.exists()) {
-          d.listFiles().foreach(_.delete()); d.delete()
+        // oracle compare would silently grade old results as current.
+        // Recursive: a failed write can leave a nested _temporary tree
+        // that a flat delete would silently skip.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
         }
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) rm(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

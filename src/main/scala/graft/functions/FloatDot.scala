@@ -89,9 +89,11 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "float_dot" -> (exprs => FloatDot(exprs(0), exprs(1))),
-    "rolling_hash_min" -> (exprs => RollingHashMin(exprs(0), exprs(1))),
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_dot", classOf[FloatDot].getName,
+      exprs => FloatDot(exprs(0), exprs(1))),
+    ("rolling_hash_min", classOf[RollingHashMin].getName,
+      exprs => RollingHashMin(exprs(0), exprs(1))),
   )
 
   /** Imperative registration into an existing session (the driver
@@ -99,10 +101,10 @@ object GraftFunctions {
     * idempotently).
     */
   def ensureRegistered(spark: SparkSession): Unit = fns.foreach {
-    case (name, builder) =>
+    case (name, className, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[FloatDot].getName, name),
+        new ExpressionInfo(className, name),
         builder)
   }
 }

@@ -54,9 +54,12 @@ object Relational {
         // Reference S1/S2 semantics: TSV scan with explicit schema,
         // comment skip, malformed-row drop. Round-trip `nation` through
         // TSV and return it — must equal the parquet original.
-        // fixed path + overwrite: repeated bench/verify runs reuse one
-        // directory instead of leaking a fresh temp dir per invocation
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nation_tsv"
+        // per-process fixed path + overwrite: repeated runs in one JVM
+        // reuse a single directory (no per-invocation leak), while the
+        // pid suffix keeps concurrent processes (test suite vs bench)
+        // from racing each other's overwrite
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nation_tsv_" +
+          ProcessHandle.current().pid()
         t(s, dir, "nation").coalesce(1).write.mode("overwrite")
           .option("sep", "\t").option("header", "true").csv(tmp)
         s.read

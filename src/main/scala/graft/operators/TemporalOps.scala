@@ -44,7 +44,10 @@ object TemporalOps {
               .withColumn("r_value", lit(null).cast("double"))
               .withColumnRenamed("event_id", "l_event_id")
               .select("user_id", "ts", "r_event_id", "r_value", "side", "l_event_id"))
-        val w = Window.partitionBy("user_id").orderBy("ts", "side")
+        // r_event_id tie-break: multiple right rows at the same
+        // (user, ts) would otherwise make last() partition-order-
+        // dependent (deterministic max-id wins here)
+        val w = Window.partitionBy("user_id").orderBy("ts", "side", "r_event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         tagged
           .withColumn("asof_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))

@@ -101,14 +101,19 @@ object TextOps {
           expr("rolling_hash_min(text, 16)").as("fp_rolling"))
       },
       Some(
+        // k = least(16, len) so docs shorter than the window still hash
+        // their full length (one window) — matching the expression's
+        // documented clamp semantics
         "WITH RECURSIVE powers(e, v) AS (" +
           "SELECT 0, CAST(1 AS BIGINT) UNION ALL " +
           "SELECT e + 1, v * 257 % 1000003 FROM powers WHERE e < 15), " +
-          "w AS (SELECT doc_id, text, i FROM documents, " +
-          "unnest(range(1, length(text) - 16 + 2)) AS u(i)), " +
+          "d AS (SELECT doc_id, text, LEAST(16, length(text)) AS k FROM documents " +
+          "WHERE length(text) > 0), " +
+          "w AS (SELECT doc_id, text, k, i FROM d, " +
+          "unnest(range(1, length(text) - k + 2)) AS u(i)), " +
           "h AS (SELECT doc_id, i, " +
           "SUM(ord(substr(text, CAST(i + j AS INT), 1)) * v) % 1000003 AS wh " +
-          "FROM w, unnest(range(0, 16)) AS t(j) JOIN powers p ON p.e = 15 - j " +
+          "FROM w, unnest(range(0, k)) AS t(j) JOIN powers p ON p.e = k - 1 - j " +
           "GROUP BY doc_id, i) " +
           "SELECT doc_id, MIN(wh) AS fp_rolling FROM h GROUP BY doc_id"),
     ),

@@ -70,9 +70,12 @@ object Completion {
       .setColdStartStrategy("nan")
     val model = als.fit(observed)
 
+    // persist: the NaN-guard count below and every later consumer of
+    // the union would otherwise each re-run transform + the anti-join
     val predicted = model
       .transform(missing)
       .select(col("sample"), col("probe"), col("prediction").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every sample and probe has >=1 observed cell by construction
     // (a sample only registers with >=1 file) — so no NaN may survive
     val nan = predicted.filter(isnan(col("value"))).count()

@@ -45,12 +45,19 @@ object Ingest {
     require(fileToSample.nonEmpty, "no files for sample-type")
     val base = baseDir.stripSuffix("/") + "/"
     val paths = fileToSample.keys.map(base + _).toSeq.sorted
-    // input_file_name() yields a URI (file:///...); strip everything up
-    // to the base dir and look the relative path up exactly — O(1) per
-    // row, not O(#files), so tagging stays scan-speed at any file count
+    // input_file_name() yields a percent-encoded URI (file:///...);
+    // decode it, then strip everything up to the base dir and look the
+    // relative path up exactly — O(1) per row, not O(#files), so
+    // tagging stays scan-speed at any file count. Decoding matters:
+    // a space or non-ASCII char in the corpus path would otherwise
+    // break the match and SILENTLY drop that sample's rows.
     val lookup = udf { (fileName: String) =>
-      val i = fileName.indexOf(base)
-      if (i < 0) null else fileToSample.getOrElse(fileName.substring(i + base.length), null)
+      val decoded =
+        try new java.net.URI(fileName).getPath
+        catch { case _: Exception => fileName }
+      val i = decoded.indexOf(base)
+      if (i < 0) null
+      else fileToSample.getOrElse(decoded.substring(i + base.length), null)
     }
     spark.read
       .option("sep", "\t")

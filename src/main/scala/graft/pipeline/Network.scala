@@ -218,10 +218,17 @@ object Network {
     case None => matrix
     case Some(t) =>
       // skinny matrix (few samples, many probes — the reference shape)
-      // → dense broadcast block-multiply; otherwise relational self-join
+      // → dense broadcast block-multiply; otherwise relational
+      // self-join. The gate bounds the DRIVER-COLLECTED size
+      // (samples × probes cells, ≈ 8 bytes each): the dense path
+      // collects and broadcasts the whole standardized matrix, so
+      // sample count alone is not a safe criterion.
       val nSamples = matrix.select("sample").distinct().count()
+      val nProbes = matrix.select("probe").distinct().count()
+      val denseCells = nSamples * nProbes
       val edges =
-        if (nSamples <= 10000) pearsonEdgesDense(spark, matrix, t)
+        if (nSamples <= 10000 && denseCells <= 50000000L)
+          pearsonEdgesDense(spark, matrix, t)
         else pearsonEdges(matrix, t)
       val comps = connectedComponents(spark, edges)
       filterMatrix(matrix, comps)

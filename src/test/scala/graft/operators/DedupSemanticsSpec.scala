@@ -21,31 +21,17 @@ class DedupSemanticsSpec extends SparkSpec {
     val base = randWords(rnd, 120)
     val nearDup = base.updated(10, "changed").updated(80, "word") // 2 of 120 words
     val unrelated = (0 until 8).map(i => randWords(rnd, 120))
-    val docs = (Seq(base, nearDup) ++ unrelated).zipWithIndex
-      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
-      .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("documents")
-
-    // reuse q28's signature pipeline shape on our temp view via the
-    // same shingle+hash SQL the operator uses
-    val sig = s.sql(
-      """SELECT doc_id, simhash FROM (
-        |  SELECT doc_id,
-        |    SUM(CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
-        |  FROM (
-        |    SELECT doc_id, j, SUM(2 * (shiftright(h32, j) % 2) - 1) AS bal
-        |    FROM (
-        |      SELECT DISTINCT doc_id,
-        |        CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT) AS h32
-        |      FROM (
-        |        SELECT doc_id,
-        |          explode(transform(sequence(1, size(split(text, ' ')) - 2),
-        |            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) AS sh
-        |        FROM documents)
-        |    ) LATERAL VIEW explode(sequence(0, 31)) AS j
-        |    GROUP BY doc_id, j
-        |  ) GROUP BY doc_id
-        |)""".stripMargin)
+    // drive the REAL q28 operator over a staged fixture dir — a private
+    // SQL re-implementation here would keep passing if the operator
+    // regressed
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_sem")
+    (Seq(base, nearDup) ++ unrelated).zipWithIndex
+      .map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sig = graft.SparkEntry.queries("q28_simhash")(s, dir.toString)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
