@@ -89,7 +89,7 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("float_dot", classOf[FloatDot].getName,
       exprs => FloatDot(exprs(0), exprs(1))),
     ("rolling_hash_min", classOf[RollingHashMin].getName,
@@ -113,14 +113,10 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("rolling_hash_min"),
-      new ExpressionInfo(classOf[RollingHashMin].getName, "rolling_hash_min"),
-      (exprs: Seq[Expression]) => RollingHashMin(exprs(0), exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // same registry as ensureRegistered — one place to add functions
+    GraftFunctions.fns.foreach { case (name, className, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
+    }
 }

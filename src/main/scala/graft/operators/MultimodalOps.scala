@@ -130,7 +130,9 @@ object MultimodalOps {
           "(SELECT COUNT(*) FROM unnest(range(1, n_bytes + 1)) AS u(i) " +
           " WHERE ord(text[i:i]) // 64 = 1) AS bin1 FROM h) " +
           "SELECT doc_id, n_bytes, width, height, CAST(3 AS BIGINT) AS channels, " +
-          "CAST(bin1 AS DOUBLE) / n_bytes AS feat_bin1 FROM f"),
+          // GREATEST(. ,1): the stub divides by max(len, 1), so an
+          // empty payload must yield 0.0 here too, not NaN
+          "CAST(bin1 AS DOUBLE) / GREATEST(n_bytes, 1) AS feat_bin1 FROM f"),
     ),
   )
 }

@@ -23,6 +23,20 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** q03's scratch dir: per-process (pid suffix), removed on JVM exit. */
+  private[operators] lazy val csvRoundtripDir: String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_nation_tsv_" +
+      ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }))
+    path
+  }
+
   // SUM over an exact DECIMAL(18,2) view of a 2-decimal money column,
   // surfaced as DOUBLE. Deterministic under any aggregation order.
   private def dsum(e: String): org.apache.spark.sql.Column =
@@ -55,11 +69,11 @@ object Relational {
         // comment skip, malformed-row drop. Round-trip `nation` through
         // TSV and return it — must equal the parquet original.
         // per-process fixed path + overwrite: repeated runs in one JVM
-        // reuse a single directory (no per-invocation leak), while the
-        // pid suffix keeps concurrent processes (test suite vs bench)
-        // from racing each other's overwrite
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nation_tsv_" +
-          ProcessHandle.current().pid()
+        // reuse a single directory (no per-invocation leak), the pid
+        // suffix keeps concurrent processes (test suite vs bench) from
+        // racing each other's overwrite, and the shutdown hook removes
+        // the per-process dir so launches don't accumulate orphans
+        val tmp = Relational.csvRoundtripDir
         t(s, dir, "nation").coalesce(1).write.mode("overwrite")
           .option("sep", "\t").option("header", "true").csv(tmp)
         s.read
@@ -359,8 +373,10 @@ object Relational {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k")),
       Some(
+        // TRY_CAST for parity with Spark's null-on-failure cast — a
+        // non-numeric props.k would abort a plain CAST oracle entirely
         "SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
-          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"),
+          "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"),
     ),
     QuerySpec(
       "q18c_map_ops",

@@ -66,10 +66,15 @@ object SimilarityOps {
       k: Int,
   ): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    // round(avg, 9): avg's partial-merge order is nondeterministic at
+    // ULP level (run-to-run AND vs the oracle's sequential AVG); a
+    // near-tied pair of cells at the nprobe boundary could otherwise
+    // flip the probe set. 9 decimals is far above fp noise (~1e-16)
+    // and far below any real centroid separation.
     val centroids = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy("label", "i")
-      .agg(avg(col("v").cast("double")).as("c"))
+      .agg(round(avg(col("v").cast("double")), 9).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
     val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
@@ -131,7 +136,7 @@ object SimilarityOps {
         ivfTopK(e, q, nprobe = 2, k = 5)
       },
       Some(
-        "WITH cent AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c " +
+        "WITH cent AS (SELECT label, i, round(AVG(CAST(embedding[i] AS DOUBLE)), 9) AS c " +
           "FROM embeddings, unnest(range(1, 65)) AS u(i) GROUP BY label, i), " +
           "centroids AS (SELECT label, list(c ORDER BY i) AS cemb FROM cent GROUP BY label), " +
           "q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5), " +
@@ -264,11 +269,9 @@ object SimilarityOps {
           .filter(col("va") < col("vb"))
           .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
           .filter(col("cosine") >= 0.3)
-          .select(col("va").cast("int").as("pi"), col("vb").cast("int").as("pj"))
+          .select(col("va").as("pi"), col("vb").as("pj")) // BIGINT throughout
         graft.pipeline.Network.connectedComponents(s, pairs)
-          .select(
-            col("probe").cast("bigint").as("vec_id"),
-            col("component").cast("bigint").as("keeper"))
+          .select(col("probe").as("vec_id"), col("component").as("keeper"))
       },
       Some(
         "WITH RECURSIVE e AS (SELECT label, vec_id, embedding, " +

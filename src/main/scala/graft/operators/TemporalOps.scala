@@ -30,10 +30,16 @@ object TemporalOps {
         val ev = Tables.events(s, dir)
         val left = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id"))
+        // dedup right rows per (user, ts) to the max-event_id row: ASOF
+        // semantics are undefined among ts-tied rows in BOTH engines,
+        // so pin one deterministic winner before joining (max(struct)
+        // is lexicographic → max event_id carries ITS value along)
         val right = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(struct(col("event_id"), col("value"))).as("r"))
           .select(
             col("user_id"), col("ts"),
-            col("event_id").as("r_event_id"), col("value").as("r_value"))
+            col("r.event_id").as("r_event_id"), col("r.value").as("r_value"))
         // side 0 sorts before side 1 at equal ts → "at or before" ties
         // resolve to the right row, matching ASOF JOIN's <= semantics
         val tagged = right
@@ -44,25 +50,32 @@ object TemporalOps {
               .withColumn("r_value", lit(null).cast("double"))
               .withColumnRenamed("event_id", "l_event_id")
               .select("user_id", "ts", "r_event_id", "r_value", "side", "l_event_id"))
-        // r_event_id tie-break: multiple right rows at the same
-        // (user, ts) would otherwise make last() partition-order-
-        // dependent (deterministic max-id wins here)
-        val w = Window.partitionBy("user_id").orderBy("ts", "side", "r_event_id")
+        val w = Window.partitionBy("user_id").orderBy("ts", "side")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // ONE carried struct, not two independent last() calls — a
+        // right row with NULL value must not let event_id and value
+        // come from different rows
+        val carry = when(
+          col("side") === 0, struct(col("r_event_id"), col("r_value")))
         tagged
-          .withColumn("asof_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
-          .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+          .withColumn("asof", last(carry, ignoreNulls = true).over(w))
           .filter(col("side") === 1)
           .select(
             col("user_id"), col("l_event_id").as("event_id"), col("ts"),
-            col("asof_event_id"), col("asof_value"))
+            col("asof.r_event_id").as("asof_event_id"),
+            col("asof.r_value").as("asof_value"))
       },
       Some(
-        "SELECT l.user_id, l.event_id, l.ts, " +
+        // row_number dedup (not arg_max: aggregate NULL-skipping could
+        // pair max event_id with another row's value when value is NULL)
+        "WITH r AS (SELECT user_id, ts, event_id, value FROM (" +
+          "SELECT *, row_number() OVER (PARTITION BY user_id, ts " +
+          "ORDER BY event_id DESC) AS rn FROM events " +
+          "WHERE event_type = 'error') WHERE rn = 1) " +
+          "SELECT l.user_id, l.event_id, l.ts, " +
           "r.event_id AS asof_event_id, r.value AS asof_value " +
           "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
-          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r " +
-          "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+          "ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
     ),
     QuerySpec(
       "q42_range_join_banded",

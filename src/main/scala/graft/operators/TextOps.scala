@@ -96,9 +96,13 @@ object TextOps {
       "q24b_rolling_fingerprint",
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
-        docs(s, dir).select(
-          col("doc_id"),
-          expr("rolling_hash_min(text, 16)").as("fp_rolling"))
+        docs(s, dir)
+          // empty/NULL text has no windows to fingerprint — excluded on
+          // both sides (the oracle's length(text) > 0 drops them too)
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(
+            col("doc_id"),
+            expr("rolling_hash_min(text, 16)").as("fp_rolling"))
       },
       Some(
         // k = least(16, len) so docs shorter than the window still hash

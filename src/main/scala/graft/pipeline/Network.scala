@@ -134,7 +134,8 @@ object Network {
 
   /** Connected components over an (pi, pj) edge list via GraphX
     * (G1/G2). Returns (probe, component) with component = min probe id
-    * in the component.
+    * in the component. Ids stay LongType end to end — 64-bit vertex
+    * ids must not round-trip through Int at the 100 TB design point.
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
@@ -146,7 +147,7 @@ object Network {
     val graph = Graph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     val cc = graph.connectedComponents(maxIterations = 100)
     cc.vertices
-      .map { case (v, c) => (v.toInt, c.toInt) }
+      .map { case (v, c) => (v, c) }
       .toDF("probe", "component")
   }
 

@@ -93,7 +93,7 @@ class NetworkSpec extends SparkSpec with TableDrivenPropertyChecks {
         labels.map { case (v, c) => v -> minOf(c) }
       }
       val gx = Network.connectedComponents(spark, df)
-        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
       val dfl = Network.connectedComponentsDF(df)
         .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
       assert(canon(gx) == canon(oracle), s"GraphX trial $trial")
@@ -127,7 +127,7 @@ class NetworkSpec extends SparkSpec with TableDrivenPropertyChecks {
     } yield (s, p, vals(s))
     val edges = Network.pearsonEdges(cooDF(coo), 0.95)
     val comps = Network.connectedComponents(spark, edges)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
     assert(comps.keySet == Set(0, 1, 2, 3, 4, 5))
     assert(Set(comps(0), comps(1), comps(2)).size == 1)
     assert(Set(comps(3), comps(4), comps(5)).size == 1)
