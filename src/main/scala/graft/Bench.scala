@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
@@ -9,29 +8,30 @@ import org.apache.spark.sql.SparkSession
   * An untimed warmup pass at sf0.001 first-touches every query's code
   * path — classloading, Catalyst, codegen — so the timed pass measures
   * steady-state execution, which is what a long-running cluster sees.
+  *
+  * Queries are driven through the `noop` sink, not count(): under a
+  * count() Catalyst prunes every deterministic projection expression,
+  * so projection-only queries (md5 fingerprints, tokenizers, scalar
+  * batteries) would be timed as empty-schema row-count scans. The noop
+  * write materializes every output column and discards it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.fromEnv()
     val specs = SparkEntry.specs
+    def run(q: QuerySpec, dir: String): Unit =
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
     specs.foreach { q =>
-      try q.fn(spark, warmDir).count()
+      try run(q, warmDir)
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = specs.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch {
+      try run(q, sfDir)
+      catch {
         case e: Throwable =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
       }
@@ -40,12 +40,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\x00-\\x1f]", " ")
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
-        .mkString(""","errors":{""", ",", "}")
+      else errors.map { case (k, v) =>
+        s""""${GraftSession.jsonEscape(k)}":"${GraftSession.jsonEscape(v)}""""
+      }.mkString(""","errors":{""", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()

@@ -1,21 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Per-query bench/explain tool: `runMain graft.BenchOne q29_simhash_pairs ...`
-  * Same session config as Bench; set SPARK_GRAFT_EXPLAIN=1 to dump plans.
+  * Same session config as Bench (via GraftSession); set
+  * SPARK_GRAFT_EXPLAIN=1 to dump plans, SPARK_GRAFT_STAGES=1 for
+  * per-stage wall times. Timing drives the noop sink like Bench (a
+  * count() would let Catalyst prune projection-only work); the row
+  * count shown is a separate untimed action.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.fromEnv()
     if (sys.env.contains("SPARK_GRAFT_STAGES"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -32,8 +27,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, sfDir)
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime - t0) / 1e9
       val n = df.count()
-      println(s"== $q: rows=$n time=${(System.nanoTime - t0) / 1e9}s")
+      println(s"== $q: rows=$n time=${secs}s")
     }
     spark.stop()
   }

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** SparkSession factory for the engine.
+/** SparkSession factory for the engine — the single place session conf
+  * lives (Bench/BenchOne/Verify/LuadPipeline all build through here, so
+  * the configs can't drift).
   *
   * Scale posture: AQE on (runtime join-strategy switch, skew splitting,
   * partition coalescing), shuffle partitions sized for the local[32]
@@ -28,5 +30,25 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** Cores from the driver's SPARK_GRAFT_CPUS env, default 32. */
+  def fromEnv(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    local(cpus, cpus)
+  }
+
+  /** JSON string escape shared by the harness mains: backslash, quote,
+    * and ALL control chars (<0x20) — a tab or CR in builder-authored
+    * SQL would otherwise break the driver's json.load.
+    */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }

@@ -54,8 +54,12 @@ object Completion {
       params: AlsParams = AlsParams(),
   ): DataFrame = {
     val observed = matrix.select("sample", "probe", "value")
+    // persist: the emptiness probe and model.transform both consume the
+    // cross-join anti-join — without the cache the full-grid enumeration
+    // runs twice
     val missing = missingCells(observed)
-    if (missing.isEmpty) return observed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (missing.count() == 0) { missing.unpersist(); return observed }
 
     val als = new ALS()
       .setUserCol("sample")
@@ -70,12 +74,15 @@ object Completion {
       .setColdStartStrategy("nan")
     val model = als.fit(observed)
 
-    // persist: the NaN-guard count below and every later consumer of
-    // the union would otherwise each re-run transform + the anti-join
+    // localCheckpoint (eager): materializes predictions ONCE for the
+    // NaN guard and every later consumer, truncates the ALS lineage,
+    // and its blocks are freed with the RDD — no unpersist bookkeeping
+    // leaking into callers
     val predicted = model
       .transform(missing)
       .select(col("sample"), col("probe"), col("prediction").cast("double").as("value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    missing.unpersist()
     // every sample and probe has >=1 observed cell by construction
     // (a sample only registers with >=1 file) — so no NaN may survive
     val nan = predicted.filter(isnan(col("value"))).count()

@@ -44,8 +44,11 @@ object DefParser {
     def predicting: Seq[SampleSpec] = samples.filter(_.predictive)
   }
 
-  def parseFile(path: String): PipelineConfig =
-    parse(scala.io.Source.fromFile(path).getLines().toSeq)
+  def parseFile(path: String): PipelineConfig = {
+    val src = scala.io.Source.fromFile(path)
+    try parse(src.getLines().toSeq)
+    finally src.close()
+  }
 
   def parse(lines: Seq[String]): PipelineConfig = {
     val rows = lines.iterator

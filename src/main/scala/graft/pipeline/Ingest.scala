@@ -51,13 +51,21 @@ object Ingest {
     // tagging stays scan-speed at any file count. Decoding matters:
     // a space or non-ASCII char in the corpus path would otherwise
     // break the match and SILENTLY drop that sample's rows.
+    // throws (not null) on a miss: a path-form mismatch here would
+    // otherwise null the sample tag and the dictionary join would then
+    // SILENTLY drop every row of the file
     val lookup = udf { (fileName: String) =>
       val decoded =
         try new java.net.URI(fileName).getPath
         catch { case _: Exception => fileName }
       val i = decoded.indexOf(base)
-      if (i < 0) null
-      else fileToSample.getOrElse(decoded.substring(i + base.length), null)
+      val sample =
+        if (i < 0) null
+        else fileToSample.getOrElse(decoded.substring(i + base.length), null)
+      if (sample == null)
+        throw new IllegalStateException(
+          s"cannot map scanned file back to a sample: $fileName (base $base)")
+      sample
     }
     spark.read
       .option("sep", "\t")
@@ -94,7 +102,13 @@ object Ingest {
     val spark = df.sparkSession
     import spark.implicits._
     val sorted = df.select(nameCol).distinct().orderBy(nameCol).as[String]
-    val ids = sorted.rdd.zipWithIndex().map { case (n, i) => (n, i.toInt) }
+    val ids = sorted.rdd.zipWithIndex().map { case (n, i) =>
+      if (i > Int.MaxValue)
+        throw new IllegalStateException(
+          s"dictionary overflow: > ${Int.MaxValue} distinct $nameCol values " +
+            "(the pipeline's MatrixEntry ids are 32-bit, matching the reference's IndexType)")
+      (n, i.toInt)
+    }
     spark.createDataFrame(ids).toDF(nameCol, idCol)
   }
 
@@ -109,7 +123,16 @@ object Ingest {
       config: DefParser.PipelineConfig,
   ): IngestResult = {
     val perType = config.sampleTypes.flatMap { t =>
-      val files = config.samples.flatMap(s => s.files.get(t).map(_ -> s.name)).toMap
+      val pairs = config.samples.flatMap(s => s.files.get(t).map(_ -> s.name))
+      // two samples registering the SAME file would silently lose one
+      // in the path→sample Map (the reference reads per (sample, file)
+      // pair and gives the rows to both) — reject loudly instead
+      val dups = pairs.groupBy(_._1).filter(_._2.size > 1)
+      require(
+        dups.isEmpty,
+        s"file(s) registered by multiple samples for type '$t': " +
+          dups.map { case (p, ss) => s"$p -> ${ss.map(_._2).mkString(",")}" }.mkString("; "))
+      val files = pairs.toMap
       if (files.isEmpty) None else Some(readType(spark, baseDir, files))
     }
     require(perType.nonEmpty, "no expression files registered")

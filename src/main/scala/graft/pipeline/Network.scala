@@ -89,17 +89,25 @@ object Network {
     import spark.implicits._
     val rows = matrix
       .groupBy("probe")
-      .agg(expr("transform(array_sort(collect_list(struct(sample, value))), x -> x.value)").as("vs"))
-      .as[(Int, Seq[Double])]
+      .agg(
+        expr("transform(array_sort(collect_list(struct(sample, value))), x -> x.sample)").as("ss"),
+        expr("transform(array_sort(collect_list(struct(sample, value))), x -> x.value)").as("vs"))
+      .as[(Int, Seq[Int], Seq[Double])]
       .collect()
+      .map { case (p, ss, vs) => (p, ss, vs) }
     require(rows.nonEmpty, "empty matrix")
-    val n = rows.head._2.size
+    // alignment guard: every probe must cover the IDENTICAL sample
+    // sequence — equal counts alone would let positionally-misaligned
+    // vectors through (the reference's quirk Q2, the exact bug this
+    // module exists to fix)
+    val samples0 = rows.head._2
     require(
-      rows.forall(_._2.size == n),
-      "pearsonEdgesDense requires a complete matrix (equal sample counts per probe)")
+      rows.forall(_._2 == samples0),
+      "pearsonEdgesDense requires a complete matrix (identical sample set per probe)")
+    val n = samples0.size
     // standardize: z = (x - mean) / (sd·sqrt(n)) so dot(z_i, z_j) = r
     val probes = rows.map(_._1).sorted
-    val z: Map[Int, Array[Double]] = rows.map { case (p, vs) =>
+    val z: Map[Int, Array[Double]] = rows.map { case (p, _, vs) =>
       val a = vs.toArray
       val mean = a.sum / n
       val ss = a.map(v => (v - mean) * (v - mean)).sum
@@ -202,10 +210,13 @@ object Network {
   ): DataFrame = {
     val reps = components.groupBy("component").agg(min(col("probe")).as("probe"))
     val inGraph = components.select("probe")
+    // no broadcast hint: survivors ≈ all probes minus merged duplicates
+    // — near nProbes rows, which must NOT be forced onto the driver at
+    // scale; AQE picks broadcast on its own when it actually fits
     val survivors = reps
       .select("probe")
       .union(matrix.select("probe").distinct().join(inGraph, Seq("probe"), "left_anti"))
-    matrix.join(broadcast(survivors), Seq("probe"), "left_semi")
+    matrix.join(survivors, Seq("probe"), "left_semi")
   }
 
   /** Full network step: edges → components → filtered matrix.

@@ -33,11 +33,17 @@ object Svm {
       .groupBy("sample")
       .agg(
         expr("transform(array_sort(collect_list(struct(probe, value))), x -> x.value)")
-          .as("values"))
-    val sizes = assembled.select(size(col("values")).as("n")).distinct().collect()
+          .as("values"),
+        // fingerprint of the probe SEQUENCE: equal vector lengths alone
+        // would let two samples with different probe sets through, and
+        // position k would then hold DIFFERENT probes per sample —
+        // silently garbled features (quirk Q2's positional bug again)
+        expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(probe, value))), x -> x.probe)))")
+          .as("probe_sig"))
+    val sigs = assembled.select("probe_sig").distinct().count()
     require(
-      sizes.length == 1,
-      s"feature vectors have unequal lengths ${sizes.map(_.getInt(0)).toSeq} — matrix incomplete")
+      sigs == 1,
+      s"samples cover $sigs distinct probe sets — matrix incomplete, feature positions would misalign")
     assembled.select(col("sample"), toVec(col("values")).as("features"))
   }
 
