@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM default zone too: tests render java.sql.Timestamp via toString,
+  // which uses user.timezone — a non-whole-hour host zone would shift
+  // window starts even though the Spark session zone is pinned
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

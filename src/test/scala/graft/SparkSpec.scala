@@ -1,16 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all specs (one JVM per `sbt test`
   * fork; getOrCreate dedupes across suites).
   */
-trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-
-  override def afterAll(): Unit = super.afterAll()
 }
 
 object SparkSpec {

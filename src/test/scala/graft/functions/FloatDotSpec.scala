@@ -33,9 +33,10 @@ class FloatDotSpec extends SparkSpec {
     val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
     assert(df.select(expr("float_dot(a, b)")).head().isNullAt(0))
-    // SparkSessionExtensions route constructs the same expression
-    val ext = new GraftExtensions
-    assert(ext != null) // instantiable for spark.sql.extensions
+    // SparkSessionExtensions route actually injects (apply must not
+    // throw and must register both functions into the container)
+    val container = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(container)
   }
 
   test("float_dot participates in whole-stage codegen (plan check)") {

@@ -24,7 +24,6 @@ class PearsonAggSpec extends SparkSpec {
     }
     // constant column → null (matches corr's NaN-free contract here)
     val const = (0 until 10).map(i => (1, 5.0, i.toDouble)).toDF("g", "x", "y")
-    PearsonAgg.register(s)
     assert(const.agg(expr("pearson_udaf(x, y)")).head().isNullAt(0))
   }
 }

@@ -17,24 +17,25 @@ class PartitionPruningSpec extends SparkSpec {
     val events = graft.Tables.events(s, "/root/testdata/sf0.001")
       .withColumn("day", to_date(col("ts")))
     events.write.mode("overwrite")
-      .partitionBy("event_type").parquet(s"$dir/events_by_type")
+      .partitionBy("day", "event_type").parquet(s"$dir/events_by_type")
 
     val one = s.read.parquet(s"$dir/events_by_type")
-      .filter(col("event_type") === "click")
+      .filter(col("event_type") === "click" && col("day") === "2024-01-02")
     val plan = one.queryExecution.executedPlan.toString
-    // pruning happens in the scan's PartitionFilters, not a Filter node
-    assert(plan.contains("PartitionFilters"), plan)
-    assert(
-      plan.replaceAll("\\s+", " ")
-        .matches(".*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), plan)
+    // pruning happens in the scan's PartitionFilters (planning-time
+    // directory pruning), not a post-scan Filter node — BOTH partition
+    // columns must appear there
+    val flat = plan.replaceAll("\\s+", " ")
+    assert(flat.matches(".*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), plan)
+    assert(flat.matches(".*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"), plan)
 
-    // count matches the unpartitioned filter, and the scan touched only
-    // the one partition directory
-    val expected = events.filter(col("event_type") === "click").count()
-    assert(one.count() == expected)
-    val scannedDirs = new java.io.File(s"$dir/events_by_type")
+    // result matches the unpartitioned filter
+    val expected = events
+      .filter(col("event_type") === "click" && col("day") === "2024-01-02").count()
+    assert(expected > 0 && one.count() == expected)
+    // layout sanity: many day partitions exist for the scan to skip
+    val dayDirs = new java.io.File(s"$dir/events_by_type")
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(scannedDirs.contains("event_type=click"))
-    assert(scannedDirs.size > 1) // other partitions exist and were skipped
+    assert(dayDirs.contains("day=2024-01-02") && dayDirs.size > 1)
   }
 }

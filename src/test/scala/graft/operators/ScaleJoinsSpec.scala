@@ -28,6 +28,7 @@ class ScaleJoinsSpec extends SparkSpec {
   test("bucketed tables co-locate: join runs with no shuffle exchange") {
     val s = spark; import s.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    val savedThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     try {
       val facts = (0 until 5000).map(i => (i % 500, i * 1.0)).toDF("k", "v")
@@ -49,7 +50,7 @@ class ScaleJoinsSpec extends SparkSpec {
       val unbucketed = facts.join(dims, "k")
       assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       s.sql("DROP TABLE IF EXISTS graft_facts")
       s.sql("DROP TABLE IF EXISTS graft_dims")
     }

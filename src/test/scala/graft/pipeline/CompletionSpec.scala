@@ -35,9 +35,12 @@ class CompletionSpec extends SparkSpec {
     assert(completed.count() == nS.toLong * nP)
     assert(completed.select("sample", "probe").distinct().count() == nS.toLong * nP)
 
-    // observed cells ride through untouched
-    val obsBack = completed.join(obsDF.select("sample", "probe"), Seq("sample", "probe"), "left_semi")
-    assert(obsBack.count() == observed.size)
+    // observed cells ride through untouched — compare VALUES, not just
+    // key membership (key counts are already implied by density above)
+    val obsBack = completed.as("c")
+      .join(obsDF.as("o"), Seq("sample", "probe"))
+      .filter(col("c.value") =!= col("o.value"))
+    assert(obsBack.count() == 0, "observed values were altered by completion")
 
     // held-out recovery RMSE well under the data's own scale
     val heldDF = held.toDF("sample", "probe", "truth")

@@ -64,7 +64,7 @@ class IngestSpec extends SparkSpec {
     val df = Seq((0, 1, 2.5), (1, 0, 3.5)).toDF("sample", "probe", "value")
     val ds = Ingest.typed(df)
     assert(ds.filter(_.value > 3.0).map(_.sample).collect().toSeq == Seq(1))
-    assert(ds.head().isInstanceOf[Ingest.MatrixEntry])
+    assert(ds.orderBy("sample", "probe").head() == Ingest.MatrixEntry(0, 1, 2.5))
   }
 
   test("end-to-end pipeline on separable mini-corpus: correct ±1 predictions (P4)") {

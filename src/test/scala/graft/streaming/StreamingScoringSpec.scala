@@ -64,7 +64,6 @@ class StreamingScoringSpec extends SparkSpec {
           // per-batch sample id is enough for vector assembly
           val names = batch.select("sample_name").distinct()
             .orderBy("sample_name").collect().map(_.getString(0))
-          val idMap = names.zipWithIndex.toMap
           val nameDf = names.zipWithIndex.toSeq.toDF("sample_name", "sample")
           val m = batch
             .join(broadcast(probeDict), "probe_name")

@@ -32,10 +32,13 @@ class StreamsSpec extends SparkSpec {
       input.addData(Ev(ts("2024-01-01 10:50:00"), "click", 9))
       input.addData(Ev(ts("2024-01-01 16:00:00"), "view", 3))
       q.processAllAvailable()
-      val rows = s.table("tumbling")
-        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
-      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L))) // late row NOT counted
-      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+      val all = s.table("tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+      assert(all.contains(("2024-01-01 10:00:00.0", "click", 2L))) // late row NOT counted
+      assert(all.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+      // and the dropped late row must not have re-opened the finalized
+      // window: exactly ONE emission for (10:00, click), with count 2
+      assert(all.count { case (w, t, _) => w == "2024-01-01 10:00:00.0" && t == "click" } == 1)
     } finally q.stop()
   }
 
