@@ -80,7 +80,9 @@ object DedupOps {
       "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
       "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
       "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2), " +
-      "sig AS (SELECT doc_id, SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash " +
+      // CAST: DuckDB promotes integer SUM to HUGEINT → the driver hashes
+      // the column as float64 while Spark emits int64; cast back to BIGINT
+      "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY doc_id)"
 
   val specs: Seq[QuerySpec] = Seq(

@@ -119,7 +119,9 @@ object TextOps {
           "SUM(ord(substr(text, CAST(i + j AS INT), 1)) * v) % 1000003 AS wh " +
           "FROM w, unnest(range(0, k)) AS t(j) JOIN powers p ON p.e = k - 1 - j " +
           "GROUP BY doc_id, i) " +
-          "SELECT doc_id, MIN(wh) AS fp_rolling FROM h GROUP BY doc_id"),
+          // CAST: DuckDB promotes integer SUM to HUGEINT, which the driver
+          // hashes as float64 while Spark emits int64 — cast back to BIGINT
+          "SELECT doc_id, CAST(MIN(wh) AS BIGINT) AS fp_rolling FROM h GROUP BY doc_id"),
     ),
     QuerySpec(
       "q24_langid",
