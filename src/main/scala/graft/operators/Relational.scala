@@ -223,14 +223,24 @@ object Relational {
           "FROM lineitem GROUP BY l_returnflag"),
     ),
     QuerySpec(
-      // HLL++ sketch — tolerance-checked only (rows-only oracle): the
-      // estimate is engine-specific by design.
+      // HLL++ sketch. The raw estimate is engine-specific, so the
+      // hash-checkable contract is the tolerance verdict itself: the
+      // estimate must sit within 3× the requested rsd (0.02) of the
+      // exact count. A broken sketch flips within_tol to false and the
+      // oracle (which asserts `true` per group) catches it.
       "q12b_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None,
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+            countDistinct(col("l_partkey")).as("exact"))
+          .select(
+            col("l_returnflag"),
+            expr("abs(CAST(approx AS DOUBLE) - exact) <= 3 * 0.02D * exact")
+              .as("within_tol")),
+      Some(
+        "SELECT l_returnflag, true AS within_tol FROM lineitem GROUP BY l_returnflag"),
     ),
     QuerySpec(
       "q13_rollup",

@@ -87,14 +87,17 @@ object Network {
     */
   def pearsonEdgesDense(spark: SparkSession, matrix: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
+    // typed Dataset of PRIMITIVE arrays: the encoder deserializes
+    // Array[Int]/Array[Double] as int[]/double[] — the collected heap is
+    // the 8-bytes-per-cell the gate in `apply` budgets for, not the
+    // 4-6× boxed Seq overhead a Row/Seq collect would carry
     val rows = matrix
       .groupBy("probe")
       .agg(
         expr("transform(array_sort(collect_list(struct(sample, value))), x -> x.sample)").as("ss"),
         expr("transform(array_sort(collect_list(struct(sample, value))), x -> x.value)").as("vs"))
-      .as[(Int, Seq[Int], Seq[Double])]
+      .as[(Int, Array[Int], Array[Double])]
       .collect()
-      .map { case (p, ss, vs) => (p, ss, vs) }
     require(rows.nonEmpty, "empty matrix")
     // alignment guard: every probe must cover the IDENTICAL sample
     // sequence — equal counts alone would let positionally-misaligned
@@ -102,13 +105,13 @@ object Network {
     // module exists to fix)
     val samples0 = rows.head._2
     require(
-      rows.forall(_._2 == samples0),
+      rows.forall(r => java.util.Arrays.equals(r._2, samples0)),
       "pearsonEdgesDense requires a complete matrix (identical sample set per probe)")
-    val n = samples0.size
+    val n = samples0.length
     // standardize: z = (x - mean) / (sd·sqrt(n)) so dot(z_i, z_j) = r
     val probes = rows.map(_._1).sorted
     val z: Map[Int, Array[Double]] = rows.map { case (p, _, vs) =>
-      val a = vs.toArray
+      val a = vs
       val mean = a.sum / n
       val ss = a.map(v => (v - mean) * (v - mean)).sum
       val norm = math.sqrt(ss)
@@ -153,7 +156,10 @@ object Network {
       .rdd
       .map { case (i, j) => Edge(i, j, ()) }
     val graph = Graph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-    val cc = graph.connectedComponents(maxIterations = 100)
+    // no maxIterations cap: Pregel halts when no label improves, so this
+    // converges exactly; a cap (the reference uses 100) would silently
+    // mislabel any component with diameter above it
+    val cc = graph.connectedComponents()
     cc.vertices
       .map { case (v, c) => (v, c) }
       .toDF("probe", "component")
@@ -196,6 +202,13 @@ object Network {
       iter += 1
     }
     sym.unpersist()
+    // loud non-convergence: a component with diameter > maxIter would
+    // otherwise return silently wrong labels (the GraphX path runs
+    // uncapped to convergence, so only this loop needs the guard)
+    require(
+      changed == 0,
+      s"connectedComponentsDF did not converge in $maxIter iterations " +
+        s"($changed labels still improving) — raise maxIter")
     labels
   }
 
@@ -219,6 +232,20 @@ object Network {
     matrix.join(survivors, Seq("probe"), "left_semi")
   }
 
+  /** Driver-heap bytes the dense path will hold: value matrix (one
+    * primitive double per cell, collected AND broadcast — 2 copies
+    * coexist while the broadcast is built) plus the per-probe sample-id
+    * arrays used by the alignment guard (one primitive int per cell).
+    */
+  def denseFootprintBytes(nSamples: Long, nProbes: Long): Long =
+    nSamples * nProbes * (8L * 2 + 4L)
+
+  /** Default dense-path driver budget: 256 MB — safe inside Spark's
+    * 1 GB default driver heap with room for the broadcast manager.
+    * Override per-session with `spark.graft.pearson.maxDenseBytes`.
+    */
+  val DefaultMaxDenseBytes: Long = 256L << 20
+
   /** Full network step: edges → components → filtered matrix.
     * threshold None → pass-through (reference `PreProcess.scala:156`).
     */
@@ -231,16 +258,23 @@ object Network {
     case Some(t) =>
       // skinny matrix (few samples, many probes — the reference shape)
       // → dense broadcast block-multiply; otherwise relational
-      // self-join. The gate bounds the DRIVER-COLLECTED size
-      // (samples × probes cells, ≈ 8 bytes each): the dense path
-      // collects and broadcasts the whole standardized matrix, so
-      // sample count alone is not a safe criterion.
+      // self-join. The gate bounds the MEASURED driver-collected bytes
+      // (the dense path collects and broadcasts the whole standardized
+      // matrix), not a cell count — boxed-vs-primitive layout is priced
+      // into denseFootprintBytes, not guessed.
       val nSamples = matrix.select("sample").distinct().count()
       val nProbes = matrix.select("probe").distinct().count()
-      val denseCells = nSamples * nProbes
+      val maxBytes = spark.conf
+        .getOption("spark.graft.pearson.maxDenseBytes")
+        .map(_.toLong)
+        .getOrElse(DefaultMaxDenseBytes)
+      val bytes = denseFootprintBytes(nSamples, nProbes)
+      val useDense = nSamples <= 10000 && bytes <= maxBytes
+      System.err.println(
+        s"[graft] pearson path: ${if (useDense) "dense-broadcast" else "relational-self-join"} " +
+          s"(samples=$nSamples probes=$nProbes footprint=${bytes >> 20}MB budget=${maxBytes >> 20}MB)")
       val edges =
-        if (nSamples <= 10000 && denseCells <= 50000000L)
-          pearsonEdgesDense(spark, matrix, t)
+        if (useDense) pearsonEdgesDense(spark, matrix, t)
         else pearsonEdges(matrix, t)
       val comps = connectedComponents(spark, edges)
       filterMatrix(matrix, comps)

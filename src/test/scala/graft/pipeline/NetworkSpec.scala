@@ -101,6 +101,52 @@ class NetworkSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("denseFootprintBytes prices the reference shape and the gate bounds it") {
+    // reference corpus: 62 samples × 21.5k probes → ~30 MB, well inside
+    // the 256 MB default budget → dense path
+    val refBytes = Network.denseFootprintBytes(62, 21500)
+    assert(refBytes == 62L * 21500 * 20)
+    assert(refBytes <= Network.DefaultMaxDenseBytes)
+    // 10k samples × 1M probes (a 100 TB-scale matrix) → ~200 GB —
+    // must NOT be collected to any driver
+    assert(Network.denseFootprintBytes(10000, 1000000) > Network.DefaultMaxDenseBytes)
+  }
+
+  test("apply falls back to the relational path when the footprint exceeds the budget") {
+    val rnd = new Random(23)
+    val nSamples = 15; val nProbes = 10
+    val coo = for {
+      p <- 0 until nProbes; s <- 0 until nSamples
+    } yield (s, p, rnd.nextDouble() * 4 - 2)
+    val df = cooDF(coo)
+    // same matrix, both paths, forced via the budget conf: a budget of
+    // 0 bytes forbids the dense collect; a huge budget allows it. Both
+    // must produce identical surviving probes.
+    def survivors(maxBytes: Long): Set[Int] = {
+      spark.conf.set("spark.graft.pearson.maxDenseBytes", maxBytes.toString)
+      try Network(spark, df, Some(0.5))
+        .select("probe").distinct().collect().map(_.getInt(0)).toSet
+      finally spark.conf.unset("spark.graft.pearson.maxDenseBytes")
+    }
+    assert(Network.denseFootprintBytes(nSamples, nProbes) > 0L)
+    assert(survivors(0L) == survivors(Long.MaxValue))
+  }
+
+  test("connectedComponentsDF fails loudly when maxIter is too small") {
+    val s = spark; import s.implicits._
+    // a path graph 0-1-2-...-9 has diameter 9 — 2 iterations cannot
+    // propagate the min label to the far end
+    val chain = (0 until 9).map(i => (i, i + 1)).toDF("pi", "pj")
+    val e = intercept[IllegalArgumentException] {
+      Network.connectedComponentsDF(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough iterations the same graph converges to one component
+    val labels = Network.connectedComponentsDF(chain, maxIter = 20)
+      .collect().map(r => r.getInt(1)).toSet
+    assert(labels == Set(0))
+  }
+
   test("filterMatrix keeps one representative per component + untouched probes") {
     val s = spark; import s.implicits._
     // probes 0-1-2 one component, 3-4 another, 5 untouched
