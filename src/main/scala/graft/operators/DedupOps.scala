@@ -47,6 +47,36 @@ object DedupOps {
       "s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh " +
       "FROM t, unnest(range(1, len(toks)-1)) AS u(i))"
 
+  /** Stop-shingle suppression for the signature paths: drop shingles
+    * present in more than half the corpus. Shared boilerplate (headers,
+    * license preambles, navigation chrome) otherwise dominates every
+    * document's signature and collapses LSH buckets toward one giant
+    * bucket — candidate generation degrades to all-pairs exactly when
+    * the corpus is large enough for that to be fatal. Doc-frequency is
+    * one map-side-combinable groupBy on the shingle; the frequent set
+    * is tiny by construction (df > 50%) so the anti-join broadcasts.
+    *
+    * The exact-Jaccard oracle (q26) stays on RAW shingles: it defines
+    * similarity; this is a signature-quality filter.
+    */
+  private def contentShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, None).localCheckpoint()
+    val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))
+    val frequent = sh
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * 0.5D)
+      .select("sh")
+    sh.join(broadcast(frequent), Seq("sh"), "left_anti")
+  }
+
+  /** shinglesSqlAll + the same df > 50% stop-shingle filter (CTE `s2`). */
+  private val contentShinglesSql: String =
+    s"$shinglesSqlAll, " +
+      "s2 AS (SELECT doc_id, sh FROM s WHERE sh IN " +
+      "(SELECT sh FROM s GROUP BY sh " +
+      "HAVING COUNT(*) <= 0.5 * (SELECT COUNT(*) FROM documents)))"
+
   private val shinglesSqlBounded: String =
     "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
       "WHERE doc_id < 60 AND len(string_split(text,' ')) >= 3), " +
@@ -63,9 +93,10 @@ object DedupOps {
   )
   private val P = 2147483647L
 
-  /** (doc_id, simhash) — 32-bit SimHash over word 3-gram shingles. */
+  /** (doc_id, simhash) — 32-bit SimHash over stop-filtered word 3-gram
+    * shingles. */
   private def simhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, None)
+    val sh = contentShingles(s, dir)
     val h = sh.withColumn(
       "h32", expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
     h.select(col("doc_id"), col("h32"), explode(expr("sequence(0, 31)")).as("j"))
@@ -76,14 +107,76 @@ object DedupOps {
   }
 
   private val simhashSqlCtes: String =
-    s"$shinglesSqlAll, " +
-      "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s), " +
+    s"$contentShinglesSql, " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM s2), " +
       "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
       "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2), " +
       // CAST: DuckDB promotes integer SUM to HUGEINT → the driver hashes
       // the column as float64 while Spark emits int64; cast back to BIGINT
       "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY doc_id)"
+
+  /** (doc_id, band, sig) — 8 MinHash LSH bands of 2 permutations each.
+    * Single-pass signatures: all 16 permutation minima as 16 aggregate
+    * columns of ONE map-side-combinable groupBy — no perm crossJoin
+    * (which would multiply the shingle stream ×16 and shuffle it
+    * twice). Bands then unpivot driver-free via stack. Public so the
+    * bucket-bound spec can histogram the REAL band stream.
+    */
+  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sh = contentShingles(s, dir)
+    val h = sh.withColumn(
+      "h0", expr("CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+    val minAggs = minhashPerms.map { case (i, a, b) =>
+      min(expr(s"($a * h0 + $b) % $P")).as(s"m$i")
+    }
+    val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val stackArgs = (0 until 8)
+      .map(bd => s"$bd, concat_ws(',', m${2 * bd}, m${2 * bd + 1})")
+      .mkString(", ")
+    mh.select(col("doc_id"), expr(s"stack(8, $stackArgs) AS (band, sig)"))
+  }
+
+  /** (doc_id, simhash64) — 64-bit SimHash over word 3-gram shingles:
+    * the scale-path widening of [[simhashSig]] (64-bit signature,
+    * 16-bit bands → 2^16 buckets per band instead of 2^8, keeping
+    * bucket sizes bounded as the corpus grows).
+    *
+    * Bit sourcing: md5 gives 128 bits but a signed BIGINT can only
+    * carry 60 of them through the `'0x...'::BIGINT` oracle route
+    * (16 hex chars would overflow the sign bit), so bits 0-59 come
+    * from hex chars 1-15 and bits 60-63 from hex char 16. Bit 63 of
+    * the signature is the long MIN_VALUE term — DuckDB rejects
+    * `1::BIGINT << 63` as overflow, so both engines spell it as the
+    * literal `-9223372036854775807 - 1`.
+    */
+  private def simhashSig64(s: SparkSession, dir: String): DataFrame = {
+    val sh = contentShingles(s, dir)
+    val h = sh
+      .withColumn("ha", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("hb", expr("CAST(conv(substr(md5(sh), 16, 1), 16, 10) AS BIGINT)"))
+    h.select(col("doc_id"), col("ha"), col("hb"), explode(expr("sequence(0, 63)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr(
+        "2 * ((CASE WHEN j < 60 THEN shiftright(ha, j) ELSE shiftright(hb, j - 60) END) & 1) - 1"))
+        .as("bal"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN bal > 0 THEN (CASE WHEN j = 63 THEN -9223372036854775807L - 1L " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), j) END) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash64"))
+  }
+
+  private val simhash64SqlCtes: String =
+    s"$contentShinglesSql, " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS ha, " +
+      "('0x' || substr(md5(sh), 16, 1))::BIGINT AS hb FROM s2), " +
+      "bits AS (SELECT doc_id, j, " +
+      "SUM(2 * ((CASE WHEN j < 60 THEN ha >> j ELSE hb >> (j - 60) END) & 1) - 1) AS bal " +
+      "FROM h, unnest(range(0, 64)) AS u(j) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN " +
+      "(CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << j END) " +
+      "ELSE 0 END) AS BIGINT) AS simhash64 FROM bits GROUP BY doc_id)"
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
@@ -128,25 +221,9 @@ object DedupOps {
     QuerySpec(
       "q27_minhash_lsh",
       (s, dir) => {
-        // Single-pass signatures: all 16 permutation minima as 16
-        // aggregate columns of ONE map-side-combinable groupBy — no
-        // perm crossJoin (which multiplied the shingle stream ×16 and
-        // shuffled it twice). Bands then unpivot driver-free via stack.
-        val sh = shingles(s, dir, None)
-        val h = sh.withColumn(
-          "h0", expr("CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
-        val minAggs = minhashPerms.map { case (i, a, b) =>
-          min(expr(s"($a * h0 + $b) % $P")).as(s"m$i")
-        }
-        val mh = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-        val stackArgs = (0 until 8)
-          .map(bd => s"$bd, concat_ws(',', m${2 * bd}, m${2 * bd + 1})")
-          .mkString(", ")
         // materialize signatures once — the self-join would otherwise
         // run the whole shingle→minhash pipeline on both sides
-        val bands = mh.select(
-          col("doc_id"), expr(s"stack(8, $stackArgs) AS (band, sig)"))
-          .localCheckpoint()
+        val bands = minhashBands(s, dir).localCheckpoint()
         bands.as("a")
           .join(
             bands.as("b"),
@@ -156,8 +233,8 @@ object DedupOps {
           .agg(count(lit(1)).as("n_shared_bands"))
       },
       Some(
-        s"WITH $shinglesSqlAll, " +
-          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s), " +
+        s"WITH $contentShinglesSql, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s2), " +
           "perms AS (SELECT * FROM (VALUES " +
           minhashPerms.map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",") +
           ") AS v(i, a, b)), " +
@@ -172,6 +249,47 @@ object DedupOps {
       "q28_simhash",
       (s, dir) => simhashSig(s, dir),
       Some(s"WITH $simhashSqlCtes SELECT doc_id, simhash FROM sig"),
+    ),
+    QuerySpec(
+      "q28b_simhash64",
+      (s, dir) => simhashSig64(s, dir),
+      Some(s"WITH $simhash64SqlCtes SELECT doc_id, simhash64 FROM sig"),
+    ),
+    QuerySpec(
+      // 64-bit near-dup pairs, 4 bands × 16 bits: the scale-path shape —
+      // same pigeonhole guarantee (hamming ≤ 3 ⇒ ≥1 clean band) but
+      // 2^16 buckets per band, so bucket sizes stay bounded on corpora
+      // 256× larger than the 8-bit banding handles.
+      "q29b_simhash64_pairs",
+      (s, dir) => {
+        val sig = simhashSig64(s, dir).localCheckpoint()
+        val bands = sig
+          .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 3)")).as("b"))
+          // arithmetic shift + mask extracts bits 16b..16b+15 even for
+          // negative signatures (sign-fill lands above the mask) —
+          // verified identical in Spark and DuckDB
+          .withColumn("bv", expr("shiftright(simhash64, 16 * b) & 65535"))
+        bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.simhash64").as("sa"), col("b.simhash64").as("sb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .filter(col("hamming") <= 3)
+          .select("da", "db", "hamming")
+      },
+      Some(
+        s"WITH $simhash64SqlCtes, " +
+          "bands AS (SELECT doc_id, simhash64, b, (simhash64 >> (16 * b)) & 65535 AS bv " +
+          "FROM sig, unnest(range(0, 4)) AS u(b)), " +
+          "cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash64 sa, b.simhash64 sb " +
+          "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+          "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+          "FROM cand WHERE bit_count(xor(sa, sb)) <= 3"),
     ),
     QuerySpec(
       // Near-dup pairs at hamming ≤ 3 via banded candidate generation:

@@ -41,6 +41,120 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(unrelatedH.forall(_ > 6), s"unrelated hammings $unrelatedH")
   }
 
+  test("simhash64: near-dup pair close in hamming, unrelated docs far") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(41)
+    val base = randWords(rnd, 120)
+    val nearDup = base.updated(10, "changed").updated(80, "word")
+    val unrelated = (0 until 8).map(_ => randWords(rnd, 120))
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash64_sem")
+    (Seq(base, nearDup) ++ unrelated).zipWithIndex
+      .map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sig = graft.SparkEntry.queries("q28b_simhash64")(s, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // 64-bit thresholds: 2× the 32-bit spec's (twice the bits, same
+    // relative distance)
+    val nearH = hamming(sig(0L), sig(1L))
+    assert(nearH <= 12, s"near-dup hamming $nearH")
+    val unrelatedH = (2L until 10L).map(i => hamming(sig(0L), sig(i)))
+    assert(unrelatedH.forall(_ > 12), s"unrelated hammings $unrelatedH")
+  }
+
+  /** The 100 TB claim under ugly data: candidate generation must stay
+    * bucketed (pairs ∝ true duplicate structure), not degrade to
+    * all-pairs, even when the corpus is adversarially skewed — heavy
+    * near-dup clusters plus a shared preamble that puts identical
+    * high-frequency shingles in EVERY document (web-boilerplate shape;
+    * without the stop-shingle filter one MinHash bucket swallowed 2/3
+    * of this corpus).
+    *
+    * Sub-quadratic is asserted as SCALING, not a constant: doubling the
+    * corpus (same cluster size) must grow candidate pairs ~linearly
+    * (×≲2.6) while all-pairs grows ×4.
+    */
+  test("LSH bucket sizes and candidate pairs stay sub-quadratic under adversarial skew") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(59)
+    val clusterSize = 100
+    val preamble = randWords(rnd, 20) // shared by ALL docs: shingle skew
+
+    def writeCorpus(nClusters: Int): (String, Long) = {
+      val clusters = (0 until nClusters).map { _ =>
+        val base = randWords(rnd, 60)
+        (0 until clusterSize).map { _ =>
+          // 2 random single-word mutations per doc → heavy near-dup cluster
+          val m1 = rnd.nextInt(60); val m2 = rnd.nextInt(60)
+          preamble ++ base.updated(m1, "mut" + rnd.nextInt(100000)).updated(m2, "mut" + rnd.nextInt(100000))
+        }
+      }
+      val randoms = (0 until nClusters * 20).map(_ => preamble ++ randWords(rnd, 60))
+      val docs = (clusters.flatten ++ randoms).zipWithIndex
+        .map { case (ws, i) =>
+          (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong)
+        }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_lsh_skew_$nClusters")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (dir.toString, docs.size.toLong)
+    }
+
+    // bucket histogram → (max bucket, Σ C(bucket, 2) candidate pairs)
+    def stats(buckets: Array[Long]): (Long, Long) =
+      (buckets.max, buckets.map(c => c * (c - 1) / 2).sum)
+
+    def minhashStats(dir: String): (Long, Long) = stats(
+      DedupOps.minhashBands(s, dir)
+        .groupBy("band", "sig").count()
+        .select(col("count")).as[Long].collect())
+
+    def simhash64Stats(dir: String): (Long, Long) = stats(
+      graft.SparkEntry.queries("q28b_simhash64")(s, dir)
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("simhash64"))
+        .withColumn("bv", expr("shiftright(simhash64, 16 * b) & 65535"))
+        .groupBy("b", "bv").count()
+        .select(col("count")).as[Long].collect())
+
+    val (dir1, n1) = writeCorpus(5)  //  600 docs
+    val (dir2, n2) = writeCorpus(10) // 1200 docs
+    val allPairs = (n: Long) => n * (n - 1) / 2
+    assert(allPairs(n2) >= 4 * allPairs(n1) - n2) // the quadratic baseline
+
+    for ((label, f) <- Seq(
+        ("minhash", minhashStats _), ("simhash64", simhash64Stats _))) {
+      val (max1, cand1) = f(dir1)
+      val (max2, cand2) = f(dir2)
+      // buckets hold at most a near-dup cluster plus bounded noise —
+      // never a constant fraction of the corpus — at BOTH sizes
+      assert(max1 <= 3L * clusterSize, s"$label max bucket $max1 at n=$n1")
+      assert(max2 <= 3L * clusterSize, s"$label max bucket $max2 at n=$n2")
+      // linear-in-n candidate growth (cluster size fixed): ×≲2.6 where
+      // all-pairs grows ×4
+      assert(cand2 <= (2.6 * cand1).toLong,
+        s"$label candidates scaled $cand1 -> $cand2 (super-linear)")
+      // and strictly below the all-pairs baseline at both sizes
+      assert(cand2 < allPairs(n2), s"$label candidates $cand2 vs all-pairs ${allPairs(n2)}")
+    }
+
+    // --- the widening claim: at this corpus size 8-bit bands (256
+    // buckets) saturate with cross-cluster noise; 16-bit bands must
+    // generate strictly fewer candidates ---
+    val (_, sh16Candidates) = simhash64Stats(dir2)
+    val sh8Candidates = graft.SparkEntry.queries("q28_simhash")(s, dir2)
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("simhash"))
+      .withColumn("bv", expr("shiftright(simhash, 8 * b) % 256"))
+      .groupBy("b", "bv").count()
+      .select(col("count")).as[Long].collect()
+      .map(c => c * (c - 1) / 2).sum
+    assert(sh16Candidates < sh8Candidates,
+      s"16-bit banding ($sh16Candidates candidates) must beat 8-bit ($sh8Candidates)")
+  }
+
   test("minhash bands: near-dup shares a band, unrelated docs do not collide") {
     val s = spark
     val rnd = new Random(77)
