@@ -94,6 +94,8 @@ object GraftFunctions {
       exprs => FloatDot(exprs(0), exprs(1))),
     ("rolling_hash_min", classOf[RollingHashMin].getName,
       exprs => RollingHashMin(exprs(0), exprs(1))),
+    ("bpe_token_count", classOf[BpeTokenCount].getName,
+      exprs => BpeTokenCount(exprs(0))),
   )
 
   /** Imperative registration into an existing session (the driver

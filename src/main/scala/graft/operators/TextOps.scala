@@ -47,17 +47,33 @@ object TextOps {
           col("doc_id"),
           expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
           expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("n_word_tokens"),
+          // honest name: this is a regex CLASS split (word/number/punct
+          // runs), not BPE — the real BPE tokenizer is q22b
           expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT)")
-            .as("n_bpe_tokens"),
+            .as("n_regex_tokens"),
           expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' '))")
             .as("mean_token_len")),
       Some(
         "SELECT doc_id, " +
           "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
           "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens, " +
-          "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens, " +
+          "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_regex_tokens, " +
           "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len " +
           "FROM documents"),
+    ),
+    QuerySpec(
+      // Real fixed-merge-table BPE (graft.functions.Bpe): greedy
+      // byte-pair merging with a hardcoded 110-merge table, as a native
+      // codegen'd expression. The oracle replays the identical
+      // rank-order replace chain in SQL.
+      "q22b_bpe_tokens",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        docs(s, dir).select(
+          col("doc_id"),
+          expr("bpe_token_count(text)").as("n_bpe_tokens"))
+      },
+      Some(graft.functions.Bpe.duckdbOracleSql),
     ),
     QuerySpec(
       "q23_quality_score",

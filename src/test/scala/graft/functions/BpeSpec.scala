@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The BPE kernel's correctness case rests on a theorem (rank-order
+  * replace-all ≡ greedy lowest-rank-first, given the monotone merge
+  * table); this spec checks the implementation against an INDEPENDENT
+  * greedy implementation, pins concrete values, and drives the
+  * registered Catalyst expression end to end.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Textbook greedy BPE: repeatedly merge the lowest-rank adjacent
+    * pair anywhere in the word (leftmost occurrence first), rescanning
+    * after every single merge — deliberately a different algorithm
+    * from Bpe.tokenizeWordCount's rank-order passes.
+    */
+  private def greedyTokens(word: String): Int = {
+    val rank = Bpe.merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      val best = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        .sortBy(identity)
+        .headOption
+      best match {
+        case Some((_, i)) =>
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        case None => done = true
+      }
+    }
+    syms.length
+  }
+
+  test("kernel matches the independent greedy implementation on random words") {
+    val rnd = new Random(17)
+    for (_ <- 1 to 2000) {
+      val len = 1 + rnd.nextInt(14)
+      // alphabet biased toward merge-table letters so merges actually fire
+      val word = (0 until len).map(_ => "thernaoistdgwlcmbyukvp".charAt(rnd.nextInt(22))).mkString
+      assert(Bpe.tokenizeWordCount(word) == greedyTokens(word), s"word '$word'")
+    }
+  }
+
+  test("concrete token counts are pinned") {
+    // "the" → [the]; "and" → [and]; "they" → [the,y] → [they]
+    assert(Bpe.tokenizeWordCount("the") == 1)
+    assert(Bpe.tokenizeWordCount("they") == 1)
+    assert(Bpe.tokenizeWordCount("and") == 1)
+    // "there": (e,r) at rank 3 consumes the middle before (th,e) at
+    // rank 62 can fire → [th, er, e] — real BPE order-dependence
+    assert(Bpe.tokenizeWordCount("there") == 3)
+    // "nation": n,a,t,i,o,n → at(7) → [n,at,i,o,n] → on? o,n adjacent
+    // → [n,at,i,on] → ati needs (at,i) → [n,ati,on] → ation →
+    // [n, ation] = 2
+    assert(Bpe.tokenizeWordCount("nation") == 2)
+    // "zzz": no merges → 3 single chars
+    assert(Bpe.tokenizeWordCount("zzz") == 3)
+    assert(Bpe.tokenizeWordCount("") == 0)
+    // multi-word text: split on single spaces; double space = empty word
+    assert(Bpe.countTokens("the and") == 2)
+    assert(Bpe.countTokens("the  and") == 2)
+    assert(Bpe.countTokens("") == 0)
+  }
+
+  test("bpe_token_count expression runs codegen'd and matches the kernel") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val texts = Seq("the cat sat on the mat", "what is this", "zzz qqq",
+      "nation station ration", "")
+    val df = texts.toDF("text")
+    val got = df.select(expr("bpe_token_count(text)")).as[Long].collect()
+    assert(got.toSeq == texts.map(Bpe.countTokens))
+    // null stays null
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(expr("bpe_token_count(text)")).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+}
