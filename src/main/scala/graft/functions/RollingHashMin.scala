@@ -24,10 +24,16 @@ case class RollingHashMin(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "rolling_hash_min requires (STRING, foldable INT)")
+    if (!(left.dataType == StringType && right.dataType == IntegerType && right.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "rolling_hash_min requires (STRING, foldable INT)")
+    else right.eval() match {
+      // enforce the documented contract at analysis time instead of
+      // silently clamping at eval time
+      case k: Int if k > 0 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "rolling_hash_min requires k to be a positive non-null INT literal")
+    }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash_min"

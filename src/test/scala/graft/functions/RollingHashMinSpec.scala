@@ -47,4 +47,16 @@ class RollingHashMinSpec extends SparkSpec {
     assert(interpreted == viaPlan)
     assert(interpreted == naive("the quick brown fox jumps", 16))
   }
+
+  test("non-positive or null k is rejected at analysis time") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val df = Seq("abc").toDF("t")
+    for (bad <- Seq("0", "-3", "CAST(NULL AS INT)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(s"rolling_hash_min(t, $bad)")).collect()
+      }
+      assert(e.getMessage.contains("positive"), s"k=$bad: ${e.getMessage.take(120)}")
+    }
+  }
 }
