@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payload columns with
   * typed metadata, decoded/feature-extracted in distributed batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE decoder (arithmetic on the raw
-  * bytes). Everything around it is the real production shape:
+  * Two decoders behind the same row type: [[decodeImage]] is a REAL
+  * image codec (`javax.imageio`, JDK-built-in — PNG/JPEG/BMP/GIF);
+  * `decodeStub` is a clearly-marked DETERMINISTIC FAKE (arithmetic on
+  * the raw bytes) used where payloads aren't images (the fixture's
+  * text-as-binary oracle query) and for audio/video, whose codecs this
+  * container lacks. Everything around them is the real production shape:
   *  - payloads are `BinaryType` columns (exactly how parquet stores
   *    image/audio blobs at 100 TB), carried next to typed metadata;
   *  - decode runs per-PARTITION via `mapPartitions`, the Scala
@@ -53,6 +56,68 @@ object MultimodalOps {
       feat = hist.map(_ / n), // raw ratio — same ints / same divide on
       // both engines ⇒ bit-identical doubles, no rounding games
     )
+  }
+
+  /** REAL codec path — `javax.imageio` ships in the JDK, so image
+    * payloads (PNG/JPEG/BMP/GIF) decode for real: true width/height,
+    * color-component count, and a 4-bin luminance histogram as the
+    * feature vector. Undecodable payloads return None (a corrupt blob
+    * must drop the row, not kill the 100 TB job).
+    *
+    * Same output row as [[decodeStub]] — the two decoders are
+    * interchangeable behind [[decodeMedia]]/[[decodeImageMedia]]; the
+    * stub remains for the text-payload oracle query (q33), this one for
+    * genuine image bytes.
+    */
+  def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedMedia] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Double](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma — deterministic across JVMs
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum / 64) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1)
+      Some(DecodedMedia(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        width = w.toLong,
+        height = h.toLong,
+        channels = img.getColorModel.getNumComponents.toLong,
+        feat = hist.map(_ / n),
+      ))
+    }
+  }
+
+  /** [[decodeMedia]]'s plumbing with the REAL image decoder: corrupt
+    * payloads are dropped (flatMap), decoder setup (disabling ImageIO's
+    * temp-file cache) happens once per partition.
+    */
+  def decodeImageMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-task decoder init: in-memory decode, no temp-file churn
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) => decodeImage(id, bytes) }
+      }
+      .toDF()
   }
 
   /** The real plumbing: binary column in, typed rows out, one decoder
