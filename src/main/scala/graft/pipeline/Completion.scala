@@ -61,6 +61,20 @@ object Completion {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (missing.count() == 0) { missing.unpersist(); return observed }
 
+    // Effective block count scales with the DATA, params.numBlocks is
+    // only the cap: the reference's fixed 100 blocks on a 62-sample
+    // dimension makes every ALS stage schedule ~100 near-empty tasks
+    // and a 100×100-piece block exchange per iteration — measured ~90 s
+    // of pure scheduling churn at the reference shape. One block per
+    // ~worker-core (and never more than the dimension's cardinality)
+    // keeps each solve batched and the exchange quadratic only in
+    // cores, not in the configured constant.
+    val cores = spark.sparkContext.defaultParallelism
+    def blocksFor(card: Long): Int =
+      math.max(1, math.min(params.numBlocks.toLong, math.min(card, cores.toLong)).toInt)
+    val userBlocks = blocksFor(observed.select("sample").distinct().count())
+    val itemBlocks = blocksFor(observed.select("probe").distinct().count())
+
     val als = new ALS()
       .setUserCol("sample")
       .setItemCol("probe")
@@ -68,8 +82,8 @@ object Completion {
       .setRank(params.rank)
       .setMaxIter(params.maxIter)
       .setRegParam(params.regParam)
-      .setNumUserBlocks(params.numBlocks)
-      .setNumItemBlocks(params.numBlocks)
+      .setNumUserBlocks(userBlocks)
+      .setNumItemBlocks(itemBlocks)
       .setSeed(params.seed)
       .setColdStartStrategy("nan")
     val model = als.fit(observed)

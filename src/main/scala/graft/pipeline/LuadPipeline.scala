@@ -21,6 +21,16 @@ object LuadPipeline {
       nProbesAfter: Long,
   )
 
+  /** Wall-time one pipeline phase to stderr (profiling aid — the e2e
+    * budget is tracked per-round).
+    */
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[graft] phase $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
   def run(
       spark: SparkSession,
       baseDir: String,
@@ -33,16 +43,26 @@ object LuadPipeline {
     val ing = Ingest.ingest(spark, baseDir, config)
     val matrix = ing.matrix.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val completed = Completion.complete(spark, matrix, alsParams)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val completed = timed("als-completion") {
+      val c = Completion.complete(spark, matrix, alsParams)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count() // materialize inside the timed span
+      c
+    }
     val nBefore = completed.select("probe").distinct().count()
 
-    val filtered = Network(spark, completed, config.pcThreshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val filtered = timed("pearson-network") {
+      val f = Network(spark, completed, config.pcThreshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
     val nAfter = filtered.select("probe").distinct().count()
 
-    val features = Svm.assembleFeatures(filtered)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val features = timed("feature-assembly") {
+      Svm.assembleFeatures(filtered)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
     // training labels / prediction ids via the sample dictionary (F1/F2)
     val sampleDict = ing.sampleDict
@@ -54,7 +74,7 @@ object LuadPipeline {
       .join(sampleDict, "sample_name")
       .select("sample")
 
-    val model = Svm.train(spark, features, labels, svmParams)
+    val model = timed("svm-train")(Svm.train(spark, features, labels, svmParams))
     val toScore = features.join(broadcast(predictIds), Seq("sample"), "left_semi")
     val preds = Svm.predict(model, toScore)
 

@@ -108,37 +108,51 @@ object Network {
       rows.forall(r => java.util.Arrays.equals(r._2, samples0)),
       "pearsonEdgesDense requires a complete matrix (identical sample set per probe)")
     val n = samples0.length
-    // standardize: z = (x - mean) / (sd·sqrt(n)) so dot(z_i, z_j) = r
-    val probes = rows.map(_._1).sorted
-    val z: Map[Int, Array[Double]] = rows.map { case (p, _, vs) =>
-      val a = vs
-      val mean = a.sum / n
-      val ss = a.map(v => (v - mean) * (v - mean)).sum
+    // standardize: z = (x - mean) / (sd·sqrt(n)) so dot(z_i, z_j) = r.
+    // Index-aligned PRIMITIVE arrays, sorted by probe id: the inner
+    // pair loop below must be pure double[] arithmetic — a Map[Int, _]
+    // lookup per pair would box the key and hash 230M+ times at the
+    // reference shape (measured 10×+ slower than the flops themselves)
+    val sorted = rows.sortBy(_._1)
+    val probes: Array[Int] = sorted.map(_._1)
+    val z: Array[Array[Double]] = sorted.map { case (_, _, vs) =>
+      val mean = vs.sum / n
+      var ss = 0.0
+      vs.foreach(v => ss += (v - mean) * (v - mean))
       val norm = math.sqrt(ss)
-      p -> (if (norm == 0.0) null else a.map(v => (v - mean) / norm))
-    }.toMap
+      if (norm == 0.0) null else vs.map(v => (v - mean) / norm)
+    }
     val bz = spark.sparkContext.broadcast(z)
     val bp = spark.sparkContext.broadcast(probes)
-    val parts = spark.sparkContext.defaultParallelism * 4
+    val nP = probes.length
+    // many small index ranges: row i costs (nP-1-i) dots, so contiguous
+    // ranges are skewed — 16× oversubscription lets the scheduler
+    // balance them dynamically
+    val parts = math.min(spark.sparkContext.defaultParallelism * 16, nP)
     spark.sparkContext
-      .parallelize(probes.toIndexedSeq, math.min(parts, probes.length))
-      .flatMap { pi =>
-        val zi = bz.value(pi)
+      .parallelize(0 until nP, parts)
+      .flatMap { i =>
+        val zs = bz.value
+        val zi = zs(i)
         if (zi == null) Iterator.empty
-        else
-          bp.value.iterator
-            .filter(_ > pi)
-            .flatMap { pj =>
-              val zj = bz.value(pj)
-              if (zj == null) None
-              else {
-                var d = 0.0; var k = 0
-                while (k < zi.length) { d += zi(k) * zj(k); k += 1 }
-                // fp guard: z·z can overshoot ±1 by ~1e-15
-                d = math.min(1.0, math.max(-1.0, d))
-                if (math.abs(d) >= threshold) Some((pi, pj, d)) else None
-              }
+        else {
+          val ids = bp.value
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+          var j = i + 1
+          while (j < zs.length) {
+            val zj = zs(j)
+            if (zj != null) {
+              var d = 0.0
+              var k = 0
+              while (k < zi.length) { d += zi(k) * zj(k); k += 1 }
+              // fp guard: z·z can overshoot ±1 by ~1e-15
+              d = math.min(1.0, math.max(-1.0, d))
+              if (math.abs(d) >= threshold) out += ((ids(i), ids(j), d))
             }
+            j += 1
+          }
+          out.iterator
+        }
       }
       .toDF("pi", "pj", "r")
   }
@@ -150,10 +164,16 @@ object Network {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
+    // Pregel schedules every iteration over the edge partitioning, so
+    // an oversubscribed upstream (the dense-Pearson stage deliberately
+    // runs 16× cores) must be coalesced first — CC at 500+ partitions
+    // per iteration is pure scheduler churn. coalesce: no shuffle.
+    val target = math.max(1, spark.sparkContext.defaultParallelism)
     val edgeRdd = edges
       .select(col("pi").cast("long"), col("pj").cast("long"))
       .as[(Long, Long)]
       .rdd
+      .coalesce(target)
       .map { case (i, j) => Edge(i, j, ()) }
     val graph = Graph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     // no maxIterations cap: Pregel halts when no label improves, so this
@@ -273,10 +293,22 @@ object Network {
       System.err.println(
         s"[graft] pearson path: ${if (useDense) "dense-broadcast" else "relational-self-join"} " +
           s"(samples=$nSamples probes=$nProbes footprint=${bytes >> 20}MB budget=${maxBytes >> 20}MB)")
+      val t0 = System.nanoTime()
+      // localCheckpoint (eager): edges feed both CC and nothing else,
+      // but materializing splits the timing and keeps GraphX off the
+      // full Pearson lineage
       val edges =
-        if (useDense) pearsonEdgesDense(spark, matrix, t)
-        else pearsonEdges(matrix, t)
-      val comps = connectedComponents(spark, edges)
-      filterMatrix(matrix, comps)
+        (if (useDense) pearsonEdgesDense(spark, matrix, t)
+         else pearsonEdges(matrix, t)).localCheckpoint()
+      val nEdges = edges.count()
+      val t1 = System.nanoTime()
+      val comps = connectedComponents(spark, edges).localCheckpoint()
+      val nInGraph = comps.count()
+      val t2 = System.nanoTime()
+      val result = filterMatrix(matrix, comps)
+      System.err.println(
+        f"[graft] pearson edges=$nEdges (${(t1 - t0) / 1e9}%.1f s), " +
+          f"cc vertices=$nInGraph (${(t2 - t1) / 1e9}%.1f s)")
+      result
   }
 }
