@@ -1,0 +1,63 @@
+package graft
+
+/** Source-parallelism bench: the fixture parquet files are single
+  * row-group, so every scan stage is structurally capped at ONE task
+  * regardless of cores (BASELINE.md) — plan parallelism can't show up
+  * in scan-bound numbers. This main rewrites the tables into N-file
+  * parquet (N row groups → N scan tasks), runs the headline queries
+  * against both layouts, and prints one JSON line with both timings:
+  * the single- vs multi-row-group delta is the evidence the plans
+  * parallelize at the source.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.BenchScan [nFiles]
+  */
+object BenchScan {
+
+  private val headline = Seq(
+    "q01_scan_project",
+    "q05_join_multiway",
+    "q11_agg_hash",
+    "q16_window",
+    "q21_fingerprint",
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nFiles = args.headOption.map(_.toInt).getOrElse(8)
+    val multiDir = java.nio.file.Files
+      .createTempDirectory("graft_multirg").toString
+    val spark = GraftSession.fromEnv()
+
+    // rewrite every table into nFiles parquet part-files (round-robin
+    // repartition — even sizes, no skew from the source layout)
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val src = s"$sfDir/$t.parquet"
+      if (new java.io.File(src).exists()) {
+        spark.read.parquet(src)
+          .repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
+      }
+    }
+
+    val specs = SparkEntry.specs.filter(q => headline.contains(q.name))
+    def run(q: QuerySpec, dir: String): Double = {
+      val t0 = System.nanoTime()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both layouts untimed (classloading, codegen, FS cache)
+    specs.foreach { q => run(q, sfDir); run(q, multiDir) }
+
+    val single = specs.map(q => q.name -> run(q, sfDir))
+    val multi = specs.map(q => q.name -> run(q, multiDir))
+    def js(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"scan_parallelism","unit":"sec","n_files":$nFiles,""" +
+        s""""single_row_group":${js(single)},"multi_row_group":${js(multi)},""" +
+        s""""single_total":${single.map(_._2).sum},"multi_total":${multi.map(_._2).sum}}""")
+    spark.stop()
+  }
+}
