@@ -16,9 +16,14 @@ class PlanAuditSpec extends SparkSpec {
   // crossJoin of a ≤10-row broadcast side (query vectors / centroids).
   // q39/q40: the missing-cell / grid enumeration is a deliberate
   // dims×dims cross join (cost scales with the GRID, not input rows).
+  // q28/q28b: the stop-shingle filter joins against a broadcast
+  // SINGLE-ROW corpus count (the scalar-subquery shape — O(n) pass,
+  // not a pair explosion); q27/q29/q29b share the code but checkpoint
+  // past it before their self-joins.
   private val allowNestedLoop = Set(
     "q09_join_cross", "q30_cosine_topk", "q31_ann_ivf",
-    "q39_als_complete", "q40_svm_predict")
+    "q39_als_complete", "q40_svm_predict",
+    "q28_simhash", "q28b_simhash64")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
