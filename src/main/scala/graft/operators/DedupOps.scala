@@ -94,16 +94,17 @@ object DedupOps {
   private val P = 2147483647L
 
   /** (doc_id, simhash) — 32-bit SimHash over stop-filtered word 3-gram
-    * shingles. */
+    * shingles. Signature fold = ONE map-side-combinable aggregation
+    * with a 32-counter buffer ([[graft.functions.SimhashAggs]]) — the
+    * explode-per-bit form (kept as the DuckDB oracle) would shuffle
+    * 32× the shingle stream through two aggregations.
+    */
   private def simhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = contentShingles(s, dir)
-    val h = sh.withColumn(
-      "h32", expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
-    h.select(col("doc_id"), col("h32"), explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("2 * (shiftright(h32, j) % 2) - 1")).as("bal"))
+    val simhash32 = udaf(graft.functions.SimhashAggs.Simhash32Agg)
+    contentShingles(s, dir)
+      .withColumn("h32", expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
       .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      .agg(simhash32(col("h32")).as("simhash"))
   }
 
   private val simhashSqlCtes: String =
@@ -147,24 +148,19 @@ object DedupOps {
     * (16 hex chars would overflow the sign bit), so bits 0-59 come
     * from hex chars 1-15 and bits 60-63 from hex char 16. Bit 63 of
     * the signature is the long MIN_VALUE term — DuckDB rejects
-    * `1::BIGINT << 63` as overflow, so both engines spell it as the
-    * literal `-9223372036854775807 - 1`.
+    * `1::BIGINT << 63` as overflow, so the oracle spells it as the
+    * literal `-9223372036854775807 - 1` (Scala's `1L << 63` IS that
+    * value). Spark-side fold: one 64-counter aggregation
+    * ([[graft.functions.SimhashAggs]]), not the oracle's 64-row
+    * explode.
     */
   private def simhashSig64(s: SparkSession, dir: String): DataFrame = {
-    val sh = contentShingles(s, dir)
-    val h = sh
+    val simhash64 = udaf(graft.functions.SimhashAggs.Simhash64Agg)
+    contentShingles(s, dir)
       .withColumn("ha", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("hb", expr("CAST(conv(substr(md5(sh), 16, 1), 16, 10) AS BIGINT)"))
-    h.select(col("doc_id"), col("ha"), col("hb"), explode(expr("sequence(0, 63)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr(
-        "2 * ((CASE WHEN j < 60 THEN shiftright(ha, j) ELSE shiftright(hb, j - 60) END) & 1) - 1"))
-        .as("bal"))
       .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN bal > 0 THEN (CASE WHEN j = 63 THEN -9223372036854775807L - 1L " +
-          "ELSE shiftleft(CAST(1 AS BIGINT), j) END) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash64"))
+      .agg(simhash64(col("ha"), col("hb")).as("simhash64"))
   }
 
   private val simhash64SqlCtes: String =
