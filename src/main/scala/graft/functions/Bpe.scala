@@ -75,23 +75,32 @@ object Bpe {
     require(r.length == 1 || earlier.contains(r), s"merge $k right '$r' not yet derivable")
   }
 
+  // (l, r, l+r) with the merged string precomputed: every symbol is a
+  // contiguous substring of the raw word, so a merge can fire only if
+  // the RAW word contains l+r — a String.contains precheck skips the
+  // symbol-array pass for the vast majority of the 110 merges
+  private val mergeStrs: Array[(String, String, String)] =
+    merges.map { case (l, r) => (l, r, l + r) }.toArray
+
   /** Tokenize one word; returns the number of BPE tokens. */
   def tokenizeWordCount(word: String): Int = {
     if (word.isEmpty) return 0
     var syms: Array[String] = word.map(_.toString).toArray
     var m = 0
-    while (m < merges.length && syms.length > 1) {
-      val (l, r) = merges(m)
-      // leftmost non-overlapping replace-all pass
-      var i = 0
-      var changed = false
-      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          out += l + r; i += 2; changed = true
-        } else { out += syms(i); i += 1 }
+    while (m < mergeStrs.length && syms.length > 1) {
+      val (l, r, lr) = mergeStrs(m)
+      if (word.contains(lr)) {
+        // leftmost non-overlapping replace-all pass
+        var i = 0
+        var changed = false
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += lr; i += 2; changed = true
+          } else { out += syms(i); i += 1 }
+        }
+        if (changed) syms = out.toArray
       }
-      if (changed) syms = out.toArray
       m += 1
     }
     syms.length
