@@ -14,6 +14,7 @@ object Views {
   def register(spark: SparkSession, dir: String): Unit = {
     functions.GraftFunctions.ensureRegistered(spark)
     functions.PearsonAgg.register(spark)
+    functions.SimhashAggs.register(spark)
     tables.foreach { t =>
       val path = s"$dir/$t.parquet"
       if (new java.io.File(path).exists()) {

@@ -16,6 +16,12 @@ class ViewsSpec extends SparkSpec {
         |FROM lineitem""".stripMargin).head()
     assert(!r.isNullAt(0) && math.abs(r.getDouble(0)) <= 1.0)
     assert(r.getDouble(1) == 2.0)
+    // simhash UDAFs reachable from SQL: one doc, one shingle-hash 0b101
+    // → balance +1 on bits 0,2 and -1 elsewhere → signature 0b101
+    val sh = spark.sql("SELECT simhash32_agg(h) AS s32, simhash64_agg(h, CAST(0 AS BIGINT)) AS s64 " +
+      "FROM VALUES (CAST(5 AS BIGINT)) AS t(h)").head()
+    assert(sh.getLong(0) == 5L, s"simhash32 ${sh.getLong(0)}")
+    assert(sh.getLong(1) == 5L, s"simhash64 ${sh.getLong(1)}")
     val w = spark.sql(
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
