@@ -14,7 +14,8 @@ object SparkEntry {
       operators.MultimodalOps.specs ++
       operators.WindowOps.specs ++
       operators.TemporalOps.specs ++
-      operators.PipelineOps.specs
+      operators.PipelineOps.specs ++
+      operators.ScaleJoins.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

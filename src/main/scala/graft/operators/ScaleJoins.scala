@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,4 +41,29 @@ object ScaleJoins {
       .join(saltedSmall, Seq(key, "__graft_salt"))
       .drop("__graft_salt")
   }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      // the salted fact⋈dim join, oracle-gated: the result must be
+      // EXACTLY the plain inner join (salting only re-keys the
+      // shuffle); ScaleJoinsSpec separately proves the skew-spreading
+      // plan shape on an adversarial 90%-hot-key input
+      "q43_salted_join",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val supp = Tables(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        saltedJoin(li, supp, "l_suppkey", 4)
+          .groupBy("s_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+          "SUM(l_quantity) AS sum_qty " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "GROUP BY s_name"),
+    ),
+  )
 }
