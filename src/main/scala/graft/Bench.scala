@@ -34,17 +34,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timedPass(): Seq[(String, Double)] = specs.map { q =>
+    // time = None on failure: a fast-failing pass must not win min()
+    def timedPass(): Seq[(String, Option[Double])] = specs.map { q =>
       val t0 = System.nanoTime()
-      try run(q, sfDir)
-      catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(q, sfDir); true }
+        catch {
+          case e: Throwable =>
+            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+            false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      q.name -> (if (ok) Some(t) else None)
     }
     val (pass1, pass2) = (timedPass(), timedPass().toMap)
-    val results = pass1.map { case (name, t) => name -> math.min(t, pass2(name)) }
+    val results = pass1.map { case (name, t1) =>
+      val ts = (t1.toSeq ++ pass2(name).toSeq)
+      // both passes failed → 0.0 with the error recorded in errors
+      name -> (if (ts.isEmpty) 0.0 else ts.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -58,6 +58,12 @@ object BenchScan {
       s"""{"metric":"scan_parallelism","unit":"sec","n_files":$nFiles,""" +
         s""""single_row_group":${js(single)},"multi_row_group":${js(multi)},""" +
         s""""single_total":${single.map(_._2).sum},"multi_total":${multi.map(_._2).sum}}""")
+    // the rewrite is a full dataset copy — don't leak it into /tmp
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(multiDir))
     spark.stop()
   }
 }

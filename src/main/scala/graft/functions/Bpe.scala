@@ -78,7 +78,7 @@ object Bpe {
   // (l, r, l+r) with the merged string precomputed: every symbol is a
   // contiguous substring of the raw word, so a merge can fire only if
   // the RAW word contains l+r — a String.contains precheck skips the
-  // symbol-array pass for the vast majority of the 110 merges
+  // symbol-array pass for the vast majority of the 122 merges
   private val mergeStrs: Array[(String, String, String)] =
     merges.map { case (l, r) => (l, r, l + r) }.toArray
 
@@ -131,7 +131,7 @@ object Bpe {
     val S = "\u0001"; val E = "\u0002"
     val base = "array_to_string(list_transform(range(1, length(word) + 1), " +
       s"i -> chr(1) || substr(word, CAST(i AS INT), 1) || chr(2)), '')"
-    // batches of 16 nested replaces per CTE: a single 110-deep nesting
+    // batches of 16 nested replaces per CTE: a single 122-deep nesting
     // exceeds DuckDB 1.0's 128-level binder recursion limit
     val batches = merges.grouped(16).toVector
     val ctes = batches.zipWithIndex.map { case (batch, b) =>

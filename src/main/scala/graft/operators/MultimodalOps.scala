@@ -71,8 +71,14 @@ object MultimodalOps {
     */
   def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedMedia] = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      if (payload == null) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        // NonFatal, not just IOException: JDK codecs throw
+        // runtime exceptions (AIOOBE, NegativeArraySize, IAE) on
+        // truncated/crafted payloads — any of them must drop the row,
+        // not fail the task
+        catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth

@@ -63,7 +63,7 @@ object TextOps {
     ),
     QuerySpec(
       // Real fixed-merge-table BPE (graft.functions.Bpe): greedy
-      // byte-pair merging with a hardcoded 110-merge table, as a native
+      // byte-pair merging with a hardcoded 122-merge table, as a native
       // codegen'd expression. The oracle replays the identical
       // rank-order replace chain in SQL.
       "q22b_bpe_tokens",

@@ -65,13 +65,13 @@ object Completion {
     // only the cap: the reference's fixed 100 blocks on a 62-sample
     // dimension makes every ALS stage schedule ~100 near-empty tasks
     // and a 100×100-piece block exchange per iteration — measured ~90 s
-    // of pure scheduling churn at the reference shape. One block per
-    // ~worker-core (and never more than the dimension's cardinality)
-    // keeps each solve batched and the exchange quadratic only in
-    // cores, not in the configured constant.
-    val cores = spark.sparkContext.defaultParallelism
+    // of pure scheduling churn at the reference shape. ~512 ids per
+    // block keeps each solve batched. Derived from CARDINALITY ONLY —
+    // never core count: ml-ALS's factor init and normal-equation
+    // accumulation depend on the blocking, so a core-derived count
+    // would make seed-42 results differ across cluster sizes.
     def blocksFor(card: Long): Int =
-      math.max(1, math.min(params.numBlocks.toLong, math.min(card, cores.toLong)).toInt)
+      math.max(1L, math.min(params.numBlocks.toLong, (card + 511) / 512)).toInt
     val userBlocks = blocksFor(observed.select("sample").distinct().count())
     val itemBlocks = blocksFor(observed.select("probe").distinct().count())
 

@@ -60,8 +60,10 @@ object LuadPipeline {
     val nAfter = filtered.select("probe").distinct().count()
 
     val features = timed("feature-assembly") {
-      Svm.assembleFeatures(filtered)
+      val f = Svm.assembleFeatures(filtered)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      f.count() // materialize inside the timed span (else it lands in svm-train)
+      f
     }
 
     // training labels / prediction ids via the sample dictionary (F1/F2)

@@ -202,14 +202,12 @@ object Network {
       .distinct()
       .withColumn("component", col("probe"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    def round(ls: DataFrame): (DataFrame, Long) = {
       val candidates = sym
-        .join(labels.withColumnRenamed("probe", "src"), "src")
+        .join(ls.withColumnRenamed("probe", "src"), "src")
         .groupBy(col("dst").as("probe"))
         .agg(min(col("component")).as("candidate"))
-      val next = labels
+      val next = ls
         .join(candidates, Seq("probe"), "left")
         .select(
           col("probe"),
@@ -217,18 +215,32 @@ object Network {
             .as("component"),
           (col("candidate") < col("component")).as("improved"))
       val materialized = next.localCheckpoint()
-      changed = materialized.filter(col("improved")).count()
-      labels = materialized.select("probe", "component")
+      (materialized.select("probe", "component"),
+        materialized.filter(col("improved")).count())
+    }
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val (next, c) = round(labels)
+      labels = next
+      changed = c
       iter += 1
     }
-    sym.unpersist()
     // loud non-convergence: a component with diameter > maxIter would
     // otherwise return silently wrong labels (the GraphX path runs
-    // uncapped to convergence, so only this loop needs the guard)
-    require(
-      changed == 0,
-      s"connectedComponentsDF did not converge in $maxIter iterations " +
-        s"($changed labels still improving) — raise maxIter")
+    // uncapped to convergence, so only this loop needs the guard).
+    // If the LAST permitted round still improved, the labels may
+    // nevertheless be final (the improvement could have been the
+    // convergence step) — one extra probe round distinguishes
+    // converged-at-the-wire from genuinely truncated.
+    if (changed > 0) {
+      val (_, residual) = round(labels)
+      require(
+        residual == 0,
+        s"connectedComponentsDF did not converge in $maxIter iterations " +
+          s"($residual labels still improving) — raise maxIter")
+    }
+    sym.unpersist()
     labels
   }
 

@@ -27,15 +27,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-    # Row alignment: sort on float columns COARSELY rounded (4dp) so
-    # cross-engine ULP noise can't flip the order, but compare the RAW
-    # values with an abs tolerance below — rounding-then-exact-compare
-    # was sensitive to values sitting on a rounding boundary.
+    # Row alignment: sort on NON-float columns first (these are exact
+    # cross-engine: ids, strings, ints), floats last and coarsely
+    # rounded (4dp); values then compare RAW with an abs tolerance
+    # below. Float keys only break ties after all exact keys agree, so
+    # a float straddling a rounding boundary can misalign rows only if
+    # two rows are identical in every exact column — and such rows
+    # differ by <1e-6 anyway.
     keys = df.copy()
     for c in keys.columns:
         if str(keys[c].dtype).startswith("float"):
             keys[c] = keys[c].round(4)
-    order = keys.sort_values(by=list(keys.columns)).index
+    cols = list(keys.columns)
+    order_cols = [c for c in cols if not str(keys[c].dtype).startswith("float")] + \
+        [c for c in cols if str(keys[c].dtype).startswith("float")]
+    order = keys.sort_values(by=order_cols).index
     return df.loc[order].reset_index(drop=True)
 
 
