@@ -21,19 +21,25 @@ object ScaleJoins {
     * key becomes (key, salt), spreading a hot key over `salts`
     * partitions. Result is exactly the plain inner join.
     *
-    * Salt derives from a hash of the whole big-side row (not rand()):
+    * Salt derives from a hash of big-side columns (not rand()):
     * deterministic across retries/replays — a task retry at 100 TB must
-    * not reshuffle rows to different salts.
+    * not reshuffle rows to different salts. `saltCols` should name a
+    * row-identity subset (a natural key); it must vary WITHIN a hot
+    * join key or the salt can't spread it. Defaults to every column,
+    * which is always correct but defeats column pruning — the scan
+    * then reads the full schema just to compute the salt.
     */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
       salts: Int,
+      saltCols: Seq[String] = Nil,
   ): DataFrame = {
     require(salts > 0, "salts must be positive")
+    val saltSrc = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
     val saltCol: Column =
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts))
+      pmod(xxhash64(saltSrc.map(col).toIndexedSeq: _*), lit(salts))
     val saltedBig = big.withColumn("__graft_salt", saltCol)
     val saltedSmall = small
       .withColumn("__graft_salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
@@ -53,7 +59,11 @@ object ScaleJoins {
         val li = Tables(s, dir, "lineitem")
         val supp = Tables(s, dir, "supplier")
           .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-        saltedJoin(li, supp, "l_suppkey", 4)
+        // salt from the row's natural key so the lineitem scan prunes
+        // to the 4 columns actually used (ReadSchema checked in
+        // ScaleJoinsSpec) instead of hashing all 16
+        saltedJoin(li, supp, "l_suppkey", 4,
+            saltCols = Seq("l_orderkey", "l_linenumber"))
           .groupBy("s_name")
           .agg(
             count(lit(1)).as("n_items"),

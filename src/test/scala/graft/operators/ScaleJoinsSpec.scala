@@ -23,6 +23,27 @@ class ScaleJoinsSpec extends SparkSpec {
     val plan = ScaleJoins.saltedJoin(big, small, "k", 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("__graft_salt"), plan)
+
+    // explicit saltCols: same result as the all-columns default
+    val saltedSubset = ScaleJoins
+      .saltedJoin(big, small, "k", 8, saltCols = Seq("payload"))
+      .select("k", "payload", "name")
+    assert(saltedSubset.except(plain).isEmpty && plain.except(saltedSubset).isEmpty)
+  }
+
+  test("q43 salts from the natural key so the lineitem scan prunes columns") {
+    val s = spark
+    val plan = graft.SparkEntry
+      .queries("q43_salted_join")(s, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the scan must read only the join/salt/agg columns, not all 16 —
+    // salting from the whole row would drag every column through the
+    // scan just to compute the hash
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    for (c <- Seq("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"))
+      assert(readSchema.contains(c), s"$c missing from $readSchema")
+    for (c <- Seq("l_extendedprice", "l_shipdate", "l_returnflag"))
+      assert(!readSchema.contains(c), s"$c should be pruned: $readSchema")
   }
 
   test("bucketed tables co-locate: join runs with no shuffle exchange") {
