@@ -28,42 +28,46 @@ object BenchScan {
       .createTempDirectory("graft_multirg").toString
     val spark = GraftSession.fromEnv()
 
-    // rewrite every table into nFiles parquet part-files (round-robin
-    // repartition — even sizes, no skew from the source layout)
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    tables.foreach { t =>
-      val src = s"$sfDir/$t.parquet"
-      if (new java.io.File(src).exists()) {
-        spark.read.parquet(src)
-          .repartition(nFiles)
-          .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
-      }
-    }
-
-    val specs = SparkEntry.specs.filter(q => headline.contains(q.name))
-    def run(q: QuerySpec, dir: String): Double = {
-      val t0 = System.nanoTime()
-      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // warmup both layouts untimed (classloading, codegen, FS cache)
-    specs.foreach { q => run(q, sfDir); run(q, multiDir) }
-
-    val single = specs.map(q => q.name -> run(q, sfDir))
-    val multi = specs.map(q => q.name -> run(q, multiDir))
-    def js(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"scan_parallelism","unit":"sec","n_files":$nFiles,""" +
-        s""""single_row_group":${js(single)},"multi_row_group":${js(multi)},""" +
-        s""""single_total":${single.map(_._2).sum},"multi_total":${multi.map(_._2).sum}}""")
-    // the rewrite is a full dataset copy — don't leak it into /tmp
+    // the rewrite is a full dataset copy — delete it even when a run
+    // throws, so a failed bench doesn't leak GBs into /tmp
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    rm(new java.io.File(multiDir))
-    spark.stop()
+    try {
+      // rewrite every table into nFiles parquet part-files (round-robin
+      // repartition — even sizes, no skew from the source layout)
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.foreach { t =>
+        val src = s"$sfDir/$t.parquet"
+        if (new java.io.File(src).exists()) {
+          spark.read.parquet(src)
+            .repartition(nFiles)
+            .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
+        }
+      }
+
+      val specs = SparkEntry.specs.filter(q => headline.contains(q.name))
+      def run(q: QuerySpec, dir: String): Double = {
+        val t0 = System.nanoTime()
+        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warmup both layouts untimed (classloading, codegen, FS cache)
+      specs.foreach { q => run(q, sfDir); run(q, multiDir) }
+
+      val single = specs.map(q => q.name -> run(q, sfDir))
+      val multi = specs.map(q => q.name -> run(q, multiDir))
+      def js(xs: Seq[(String, Double)]): String =
+        xs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(
+        s"""{"metric":"scan_parallelism","unit":"sec","n_files":$nFiles,""" +
+          s""""single_row_group":${js(single)},"multi_row_group":${js(multi)},""" +
+          s""""single_total":${single.map(_._2).sum},"multi_total":${multi.map(_._2).sum}}""")
+    } finally {
+      rm(new java.io.File(multiDir))
+      spark.stop()
+    }
   }
 }

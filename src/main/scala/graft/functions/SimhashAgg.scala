@@ -66,13 +66,23 @@ object SimhashAggs {
     override def zero: BitBuf = BitBuf(new Array[Int](64))
 
     override def reduce(b: BitBuf, in: (java.lang.Long, java.lang.Long)): BitBuf = {
-      if (in._1 != null && in._2 != null) {
+      // each hash column updates only its own bit range, matching the
+      // oracle's per-bit SUM which skips just the bits sourced from a
+      // null column (today both derive from one md5 so they're null
+      // together, but the algebra shouldn't depend on that invariant)
+      if (in._1 != null) {
         val ha = in._1.longValue()
-        val hb = in._2.longValue()
         var j = 0
+        while (j < 60) {
+          b.counts(j) += (2 * ((ha >> j) & 1L) - 1L).toInt
+          j += 1
+        }
+      }
+      if (in._2 != null) {
+        val hb = in._2.longValue()
+        var j = 60
         while (j < 64) {
-          val bit = if (j < 60) (ha >> j) & 1L else (hb >> (j - 60)) & 1L
-          b.counts(j) += (2 * bit - 1L).toInt
+          b.counts(j) += (2 * ((hb >> (j - 60)) & 1L) - 1L).toInt
           j += 1
         }
       }

@@ -88,14 +88,24 @@ class SimhashAggSpec extends AnyFunSuite {
     }
   }
 
-  test("bit 63 lands on Long.MinValue and null inputs are skipped") {
+  test("bit 63 lands on Long.MinValue and each null column skips only its own bits") {
     val a = SimhashAggs.Simhash64Agg
     // single hash with ONLY bit 63 set (hb bit 3) → balance +1 on j=63,
     // -1 elsewhere → signature = 1L << 63 = Long.MinValue
     val buf = a.reduce(a.zero, (java.lang.Long.valueOf(0L), java.lang.Long.valueOf(8L)))
     assert(a.finish(buf).longValue() == java.lang.Long.MIN_VALUE)
-    // nulls don't move the balance
-    val b2 = a.reduce(buf, (null, java.lang.Long.valueOf(1L)))
+    // a fully-null row moves nothing
+    val b2 = a.reduce(buf, (null, null))
     assert(a.finish(b2).longValue() == java.lang.Long.MIN_VALUE)
+    // null ha leaves bits 0-59 untouched but hb still votes on 60-63
+    // (mirrors the oracle's per-bit SUM, which skips only the bits
+    // sourced from the null column): hb=8 re-ups bit 63 to balance +2,
+    // and bits 60-62 sink further negative — signature unchanged
+    val b3 = a.reduce(b2, (null, java.lang.Long.valueOf(8L)))
+    assert(a.finish(b3).longValue() == java.lang.Long.MIN_VALUE)
+    // null hb leaves bits 60-63 untouched: ha=1 with null hb flips bit 0
+    // positive without eroding the bit-63 balance
+    val b4 = a.reduce(a.zero, (java.lang.Long.valueOf(1L), null))
+    assert(a.finish(b4).longValue() == 1L)
   }
 }

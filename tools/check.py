@@ -35,12 +35,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # two rows are identical in every exact column — and such rows
     # differ by <1e-6 anyway.
     keys = df.copy()
-    for c in keys.columns:
-        if str(keys[c].dtype).startswith("float"):
-            keys[c] = keys[c].round(4)
-    cols = list(keys.columns)
-    order_cols = [c for c in cols if not str(keys[c].dtype).startswith("float")] + \
-        [c for c in cols if str(keys[c].dtype).startswith("float")]
+    float_cols = [c for c in keys.columns if str(keys[c].dtype).startswith("float")]
+    for c in float_cols:
+        keys[c] = keys[c].round(4)
+        # high-precision copy as the FINAL tie-break: two rows equal in
+        # every exact column and in the 4dp rounding still order
+        # deterministically even when a float straddles a 4dp boundary
+        # differently across engines (round(9) is far below the 1e-6
+        # compare tolerance, so equal-within-tolerance values sort the
+        # same way on both sides)
+        keys[f"__hp_{c}"] = df[c].round(9)
+    cols = list(df.columns)
+    order_cols = [c for c in cols if c not in float_cols] + float_cols + \
+        [f"__hp_{c}" for c in float_cols]
     order = keys.sort_values(by=order_cols).index
     return df.loc[order].reset_index(drop=True)
 
