@@ -15,7 +15,8 @@ object SparkEntry {
       operators.WindowOps.specs ++
       operators.TemporalOps.specs ++
       operators.PipelineOps.specs ++
-      operators.ScaleJoins.specs
+      operators.ScaleJoins.specs ++
+      operators.CurationOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data curation operators over `documents`: deterministic
+  * hash splits, weighted source mixing, PII detection/redaction,
+  * repetition (Gopher-style) metrics, bloom-filter blocklist pruning,
+  * sequence packing, and text normalization.
+  *
+  * Everything here is DETERMINISTIC — sampling and splits come from
+  * md5 of stable keys, never from RNG state — so a 100 TB run is
+  * reproducible row-for-row and every query gets a DuckDB hash oracle.
+  *
+  * Scale posture: q44/q45/q46/q50 are per-row scalar work at scan
+  * speed (no shuffle). q47 is one explode + one map-side-combinable
+  * groupBy. q49 windows are partitioned by `source` (never a global
+  * single-partition window). q48's bloom prune broadcasts a sketch of
+  * the SMALL blocklist so the 100 TB side sheds rows before the exact
+  * anti-join shuffle.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** 0..99 bucket from md5 of (salt ++ key) — the reproducible
+    * cluster-stable substitute for rand(): any executor, any retry,
+    * any engine computes the same bucket for the same row.
+    */
+  private def hashBucket(salt: String, keyExpr: String): String =
+    s"pmod(CAST(conv(substr(md5(concat('$salt', $keyExpr)), 1, 15), 16, 10) AS BIGINT), 100)"
+
+  private def duckBucket(salt: String, keyExpr: String): String =
+    s"(('0x' || substr(md5('$salt' || $keyExpr), 1, 15))::BIGINT % 100)"
+
+  // RE2-compatible PII patterns (no backrefs/lookaround) so the Java
+  // regex engine and DuckDB's RE2 agree match-for-match.
+  private val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      // Deterministic train/val/test assignment: bucket = md5(doc_id)
+      // mod 100, 80/10/10. This is how a 100 TB corpus gets a stable
+      // split — no sampling state, no shuffle, recomputable per row.
+      "q44_split_hash",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            col("source"),
+            expr(hashBucket("split:", "CAST(doc_id AS STRING)")).as("bucket"))
+          .withColumn(
+            "split",
+            expr("CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END")),
+      Some(
+        s"SELECT doc_id, source, ${duckBucket("split:", "CAST(doc_id AS VARCHAR)")} AS bucket, " +
+          "CASE WHEN " + duckBucket("split:", "CAST(doc_id AS VARCHAR)") + " < 80 THEN 'train' " +
+          "WHEN " + duckBucket("split:", "CAST(doc_id AS VARCHAR)") + " < 90 THEN 'val' " +
+          "ELSE 'test' END AS split FROM documents"),
+    ),
+    QuerySpec(
+      // Weighted mixture sampling: each source keeps a deterministic
+      // fraction (src0→5% … src19→100%) — the "sample sources at
+      // different rates into one training mix" op. Same hash-bucket
+      // trick; the filter pushes to the scan, kept rows carry their
+      // sampling metadata for downstream loss weighting.
+      "q45_source_mixture",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            col("source"),
+            (expr("CAST(substr(source, 4) AS INT)") * 5 + 5).cast("bigint").as("keep_pct"),
+            expr(hashBucket("mix:", "CAST(doc_id AS STRING)")).as("bucket"))
+          .filter(col("bucket") < col("keep_pct")),
+      Some(
+        "WITH m AS (SELECT doc_id, source, " +
+          "CAST(CAST(substr(source, 4) AS INT) * 5 + 5 AS BIGINT) AS keep_pct, " +
+          s"${duckBucket("mix:", "CAST(doc_id AS VARCHAR)")} AS bucket FROM documents) " +
+          "SELECT doc_id, source, keep_pct, bucket FROM m WHERE bucket < keep_pct"),
+    ),
+    QuerySpec(
+      // PII detect + redact. The fixture text is synthetic and carries
+      // no PII, so the query FIRST derives an augmented column with
+      // deterministic fixture-keyed contact strings (same derivation in
+      // the oracle), then counts and redacts — the regex path is
+      // exercised with real hits instead of vacuous zeros.
+      "q46_pii_redact",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn(
+            "aug",
+            expr("concat(text, ' contact user', CAST(doc_id AS STRING), '@', source, " +
+              "'.org or 555-', lpad(CAST(pmod(doc_id, 10000) AS STRING), 4, '0'), " +
+              "' from 10.0.', CAST(pmod(doc_id, 256) AS STRING), '.7')"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("bigint").as("n_phones"),
+            size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("bigint").as("n_ips"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("aug"), lit(emailRe), lit("<EMAIL>")),
+                lit(ipRe), lit("<IP>")),
+              lit(phoneRe), lit("<PHONE>")).as("redacted")),
+      Some {
+        val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || " +
+          "'.org or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+          "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        s"WITH a AS (SELECT doc_id, $aug AS aug FROM documents) " +
+          s"SELECT doc_id, CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails, " +
+          s"CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phones, " +
+          s"CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ips, " +
+          s"regexp_replace(regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'), " +
+          s"'$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS redacted FROM a"
+      },
+    ),
+    QuerySpec(
+      // Gopher-style repetition metrics: duplicate word-bigram /
+      // trigram fractions + top-bigram share. One explode feeding one
+      // map-side-combinable groupBy; integers + single divisions keep
+      // the oracle hash exact. Docs need ≥2 tokens to have a bigram —
+      // shorter docs are excluded on both sides.
+      "q47_repetition",
+      (s, dir) => {
+        val withGrams = docs(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2)
+          .withColumn(
+            "bigrams",
+            expr("zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+              "(a, b) -> concat(a, ' ', b))"))
+          .withColumn(
+            "trigrams",
+            expr("CASE WHEN size(w) >= 3 THEN zip_with(slice(w, 1, size(w) - 2), " +
+              "zip_with(slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2), " +
+              "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc)) " +
+              "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        val bg = withGrams
+          .select(col("doc_id"), explode(col("bigrams")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n_bigrams"),
+            count(lit(1)).as("n_distinct_bigrams"),
+            max("c").as("top_bigram_count"))
+        val tg = withGrams
+          .select(col("doc_id"), explode(col("trigrams")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_trigrams"), count(lit(1)).as("n_distinct_trigrams"))
+        bg.join(tg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_bigrams").cast("bigint").as("n_bigrams"),
+            expr("CAST(1.0D - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS DOUBLE)")
+              .as("dup_bigram_frac"),
+            expr("CAST(top_bigram_count AS DOUBLE) / n_bigrams").as("top_bigram_frac"),
+            expr("CAST(CASE WHEN n_trigrams IS NULL THEN 0.0D " +
+              "ELSE 1.0D - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams END AS DOUBLE)")
+              .as("dup_trigram_frac"))
+      },
+      Some(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents " +
+          "WHERE len(string_split(text, ' ')) >= 2), " +
+          "bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g " +
+          "FROM w, unnest(range(1, len(ws))) AS u(i)), " +
+          "bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g), " +
+          "bga AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS nd, MAX(c) AS topc " +
+          "FROM bgc GROUP BY doc_id), " +
+          "tg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g " +
+          "FROM w, unnest(range(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 3), " +
+          "tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g), " +
+          "tga AS (SELECT doc_id, SUM(c) AS n_trigrams, COUNT(*) AS nd FROM tgc GROUP BY doc_id) " +
+          "SELECT bga.doc_id, CAST(bga.n_bigrams AS BIGINT) AS n_bigrams, " +
+          "CAST(1.0 - CAST(bga.nd AS DOUBLE) / bga.n_bigrams AS DOUBLE) AS dup_bigram_frac, " +
+          "CAST(bga.topc AS DOUBLE) / bga.n_bigrams AS top_bigram_frac, " +
+          "CAST(CASE WHEN tga.n_trigrams IS NULL THEN 0.0 " +
+          "ELSE 1.0 - CAST(tga.nd AS DOUBLE) / tga.n_trigrams END AS DOUBLE) AS dup_trigram_frac " +
+          "FROM bga LEFT JOIN tga ON bga.doc_id = tga.doc_id"),
+    ),
+    QuerySpec(
+      // Bloom-filter blocklist prune: sketch the SMALL blocklist (docs
+      // whose fingerprint is "known bad" — here doc_id % 7 = 0), prune
+      // the big side with mightContain (false-positive-tolerant, so
+      // off the exactness path), then exact anti-join the survivors.
+      // At 100 TB the bloom broadcast (~1.2 GB at 1e9 keys / 1% fpp)
+      // sheds ~nothing-in-common partitions before any shuffle — the
+      // same pattern Spark's runtime row-level filtering applies to
+      // joins automatically. Oracle: the bloom never drops a true
+      // match, so the result is exactly "documents NOT IN blocklist".
+      "q48_bloom_blocklist",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("fp", md5(col("text")))
+        val blocklist = d.filter(pmod(col("doc_id"), lit(7)) === 0).select("fp")
+        val bloom = blocklist.stat.bloomFilter("fp", 1000L, 0.03)
+        val bbloom = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((fp: String) => fp != null && bbloom.value.mightContainString(fp))
+        d.filter(!mightContain(col("fp")))
+          .unionByName(
+            // bloom-positive candidates get the exact check; survivors
+            // (false positives) are re-admitted
+            d.filter(mightContain(col("fp")))
+              .join(blocklist.withColumnRenamed("fp", "bfp"),
+                col("fp") === col("bfp"), "left_anti"))
+          .select("doc_id", "source", "fp")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents) " +
+          "SELECT doc_id, source, fp FROM d WHERE fp NOT IN " +
+          "(SELECT fp FROM d WHERE doc_id % 7 = 0)"),
+    ),
+    QuerySpec(
+      // Sequence packing: assign documents to fixed token-budget
+      // training sequences by running token count — the deterministic,
+      // shuffle-light form of concat-then-chunk sample packing. The
+      // window partitions by `source` (a pack shard), so no global
+      // single-partition sort exists at any scale.
+      "q49_sequence_pack",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        docs(s, dir)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("n_tok"),
+            floor((col("cum") - col("n_tok")) / lit(512)).cast("bigint").as("seq_id"),
+            (col("cum") - col("n_tok") - floor((col("cum") - col("n_tok")) / lit(512)) * 512)
+              .cast("bigint").as("seq_offset"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, source, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +
+          "(PARTITION BY source ORDER BY doc_id) AS cum FROM documents) " +
+          "SELECT doc_id, source, n_tok, " +
+          "CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id, " +
+          "CAST(cum - n_tok - ((cum - n_tok) // 512) * 512 AS BIGINT) AS seq_offset FROM t"),
+    ),
+    QuerySpec(
+      // Canonical text normalization: lowercase, strip non-alnum to
+      // spaces, collapse runs, trim. Pure per-row scalar work — the
+      // standard pre-dedup canonicalization pass.
+      "q50_normalize_text",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn(
+            "text_norm",
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), lit("[^a-z0-9 ]"), lit(" ")),
+              lit("  +"), lit(" "))))
+          .select(
+            col("doc_id"),
+            col("text_norm"),
+            length(col("text")).cast("bigint").as("len_raw"),
+            length(col("text_norm")).cast("bigint").as("len_norm")),
+      Some(
+        "WITH n AS (SELECT doc_id, text, " +
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), " +
+          "'  +', ' ', 'g')) AS text_norm FROM documents) " +
+          "SELECT doc_id, text_norm, CAST(length(text) AS BIGINT) AS len_raw, " +
+          "CAST(length(text_norm) AS BIGINT) AS len_norm FROM n"),
+    ),
+  )
+}

@@ -23,9 +23,11 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** q03's scratch dir: per-process (pid suffix), removed on JVM exit. */
-  private[operators] lazy val csvRoundtripDir: String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_nation_tsv_" +
+  /** Scratch dir for a round-trip query: per-process (pid suffix),
+    * removed on JVM exit.
+    */
+  private def roundtripDir(tag: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       ProcessHandle.current().pid()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -36,6 +38,12 @@ object Relational {
     }))
     path
   }
+
+  /** q03's scratch dir. */
+  private[operators] lazy val csvRoundtripDir: String = roundtripDir("nation_tsv")
+
+  /** q03b's scratch dir. */
+  private[operators] lazy val orcRoundtripDir: String = roundtripDir("supplier_orc")
 
   // SUM over an exact DECIMAL(18,2) view of a 2-decimal money column,
   // surfaced as DOUBLE. Deterministic under any aggregation order.
@@ -83,6 +91,20 @@ object Relational {
           .csv(tmp)
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+    ),
+    QuerySpec(
+      "q03b_orc_roundtrip",
+      (s, dir) => {
+        // Columnar-sink coverage beyond parquet: round-trip `supplier`
+        // through ORC (predicate-pushdown-capable, splittable — a
+        // first-class 100 TB format in Spark) and return it; must equal
+        // the parquet original. Same per-process scratch-dir discipline
+        // as q03.
+        val tmp = Relational.orcRoundtripDir
+        t(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+      },
+      Some("SELECT * FROM supplier"),
     ),
     QuerySpec(
       "q04_join_inner",
