@@ -267,5 +267,53 @@ object CurationOps {
           "SELECT doc_id, text_norm, CAST(length(text) AS BIGINT) AS len_raw, " +
           "CAST(length(text_norm) AS BIGINT) AS len_norm FROM n"),
     ),
+    QuerySpec(
+      // Benchmark decontamination: flag test-split documents sharing a
+      // 5-word shingle with any train-split document (the q44 split).
+      // Shingles are fingerprinted to 60-bit ints BEFORE the join, so
+      // the shuffle carries fixed-width longs, not strings; both sides
+      // are per-doc-distinct (map-side combinable) and the train side
+      // is globally distinct, so the equi-join is a plain hash join on
+      // the fingerprint — no all-pairs doc comparison at any scale.
+      "q51_decontaminate",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .withColumn("bucket", expr(hashBucket("split:", "CAST(doc_id AS STRING)")))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 5)
+          .select(
+            col("doc_id"),
+            col("bucket"),
+            explode(expr(
+              "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
+          .select(
+            col("doc_id"),
+            col("bucket"),
+            expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
+          .distinct()
+        val train = g.filter(col("bucket") < 80).select(col("fp").as("tfp")).distinct()
+        g.filter(col("bucket") >= 90)
+          .join(train, col("fp") === col("tfp"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("bigint").as("n_shingles"),
+            count(col("tfp")).cast("bigint").as("n_contaminated"))
+          .withColumn("contaminated", col("n_contaminated") > 0)
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, " +
+          s"${duckBucket("split:", "CAST(doc_id AS VARCHAR)")} AS b, " +
+          "string_split(text, ' ') AS ws FROM documents " +
+          "WHERE len(string_split(text, ' ')) >= 5), " +
+          "g AS (SELECT DISTINCT doc_id, b, ('0x' || substr(md5(" +
+          "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]" +
+          "), 1, 15))::BIGINT AS fp FROM d, unnest(range(1, len(ws) - 3)) AS u(i)), " +
+          "tr AS (SELECT DISTINCT fp FROM g WHERE b < 80), " +
+          "te AS (SELECT doc_id, fp FROM g WHERE b >= 90) " +
+          "SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, " +
+          "CAST(COUNT(tr.fp) AS BIGINT) AS n_contaminated, " +
+          "COUNT(tr.fp) > 0 AS contaminated " +
+          "FROM te LEFT JOIN tr ON te.fp = tr.fp GROUP BY te.doc_id"),
+    ),
   )
 }

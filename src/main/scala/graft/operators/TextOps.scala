@@ -168,5 +168,58 @@ object TextOps {
           "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS predicted_lang FROM h"
       },
     ),
+    QuerySpec(
+      // BM25 relevance scoring against a fixed query-term set — the
+      // standard retrieval/quality-ranking primitive over a corpus.
+      // Plan shape: one tf groupBy on (doc, term) AFTER filtering to
+      // the query terms (the filter pushes to the scan, so the shuffle
+      // carries only query-term hits, not the whole vocabulary); df and
+      // the corpus stats (N, avgdl) are tiny aggregates broadcast back.
+      // At 100 TB the only big shuffle is tf over matching terms.
+      "q52_bm25",
+      (s, dir) => {
+        val qTerms = Seq("spark", "vector", "window")
+        val k1 = lit(1.2d)
+        val b = lit(0.75d)
+        val d = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("dl", size(col("w")).cast("bigint"))
+        val stats = d.agg(
+          count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val tf = d
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+          .filter(col("term").isin(qTerms: _*))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val idf = log(
+          (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d))
+        val contrib = idf *
+          (col("tf") * (k1 + lit(1.0d))) /
+          (col("tf") + k1 * (lit(1.0d) - b + b * col("dl") / col("avgdl")))
+        val scored = tf
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", contrib)
+          .groupBy("doc_id")
+          .agg(sum("contrib").as("bm25"))
+        d.select(col("doc_id"), col("dl"))
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("bm25", coalesce(col("bm25"), lit(0.0d)))
+      },
+      Some(
+        "WITH dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, " +
+          "string_split(text, ' ') AS ws FROM documents), " +
+          "st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd), " +
+          "tf AS (SELECT doc_id, dl, w AS term, COUNT(*) AS tf FROM dd, unnest(ws) AS t(w) " +
+          "WHERE w IN ('spark', 'vector', 'window') GROUP BY doc_id, dl, w), " +
+          "dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term), " +
+          "sc AS (SELECT tf.doc_id, SUM(ln((st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1) * " +
+          "(tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl))) AS bm25 " +
+          "FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN st GROUP BY tf.doc_id) " +
+          "SELECT dd.doc_id, dd.dl, COALESCE(sc.bm25, 0.0) AS bm25 " +
+          "FROM dd LEFT JOIN sc ON dd.doc_id = sc.doc_id"),
+    ),
   )
 }

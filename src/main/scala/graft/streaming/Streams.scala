@@ -115,6 +115,38 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join (Flink's intervalJoin semantics):
+    * pair each left event with same-user right events whose timestamp
+    * lies in [l.ts, l.ts + window]. Both sides carry watermarks and the
+    * join condition bounds event time on BOTH sides, so Spark evicts
+    * join state as the watermarks advance — left rows once the right
+    * watermark passes l.ts + window, right rows once the left
+    * watermark passes r.ts. Without that range condition the state
+    * would grow without bound; with it, state ≈ (window + lateness)
+    * of data per side regardless of stream length. The identical plan
+    * runs in batch (StreamsSpec proves equivalence).
+    */
+  def intervalJoin(
+      left: DataFrame, // needs ts TIMESTAMP, user_id LONG, event_type STRING
+      right: DataFrame, // needs ts TIMESTAMP, user_id LONG, value DOUBLE
+      window: String = "5 minutes",
+      lateness: String = "10 minutes",
+  ): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", lateness)
+    val r = right
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"), col("value"))
+      .withWatermark("r_ts", lateness)
+    l.join(
+      r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $window"),
+      "inner")
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("value"))
+  }
+
   /** foreachBatch scoring: apply a fitted model (or any batch
     * DataFrame→DataFrame function) to each micro-batch — the streaming
     * deployment mode of the trained LUAD SVM.

@@ -161,6 +161,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin and joins across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val lIn = MemoryStream[IjEv]
+    val rIn = MemoryStream[IjRv]
+    val q = Streams.intervalJoin(lIn.toDF(), rIn.toDF())
+      .writeStream.format("memory").queryName("ijoin")
+      .outputMode("append").start()
+    val lRows = Seq(
+      IjEv(ts("2024-01-01 10:00:00"), "click", 1),
+      IjEv(ts("2024-01-01 10:20:00"), "view", 1),
+      // batch-3 arrivals must be AHEAD of the global watermark
+      // (min of both streams' max-ts minus lateness); the late path is
+      // asserted at the end of the test
+      IjEv(ts("2024-01-01 10:30:00"), "click", 2))
+    val rRows = Seq(
+      IjRv(ts("2024-01-01 10:03:00"), 1, 1.0), // joins click@10:00 (within 5 min)
+      IjRv(ts("2024-01-01 10:06:00"), 1, 2.0), // outside click window, outside view
+      IjRv(ts("2024-01-01 10:24:00"), 1, 3.0), // joins view@10:20
+      IjRv(ts("2024-01-01 10:32:00"), 2, 4.0), // joins user 2's click
+      IjRv(ts("2024-01-01 09:59:00"), 1, 5.0)) // BEFORE l.ts → no join
+    try {
+      // split across micro-batches: join state must hold the left rows
+      // until matching right rows arrive later
+      lIn.addData(lRows.take(2): _*)
+      q.processAllAvailable()
+      rIn.addData(rRows.take(3): _*)
+      q.processAllAvailable()
+      lIn.addData(lRows.drop(2): _*)
+      rIn.addData(rRows.drop(3): _*)
+      q.processAllAvailable()
+      val got = s.table("ijoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getTimestamp(3), r.getDouble(4)))
+        .toSet
+      val want = Streams.intervalJoin(lRows.toDF(), rRows.toDF()).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getTimestamp(3), r.getDouble(4)))
+        .toSet
+      assert(got == want, "streaming result must equal the batch twin")
+      assert(want == Set(
+        (1L, ts("2024-01-01 10:00:00"), "click", ts("2024-01-01 10:03:00"), 1.0),
+        (1L, ts("2024-01-01 10:20:00"), "view", ts("2024-01-01 10:24:00"), 3.0),
+        (2L, ts("2024-01-01 10:30:00"), "click", ts("2024-01-01 10:32:00"), 4.0)))
+      // late-arrival eviction: a left row far behind the global
+      // watermark (10:20 by now) would join 10:03/10:06 in batch, but
+      // streaming state for those right rows is expired — no output
+      val before = s.table("ijoin").count()
+      lIn.addData(IjEv(ts("2024-01-01 10:02:00"), "late", 1))
+      q.processAllAvailable()
+      assert(s.table("ijoin").count() == before, "late left row must not emit joins")
+    } finally q.stop()
+  }
+
   test("foreachBatch scoring applies a batch function per micro-batch") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
@@ -179,3 +231,8 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+// Top-level (not spec-inner) row types: Seq.toDF for the batch twin
+// needs an encoder constructible without the suite's outer scope.
+private[streaming] case class IjEv(ts: Timestamp, event_type: String, user_id: Long)
+private[streaming] case class IjRv(ts: Timestamp, user_id: Long, value: Double)
