@@ -121,13 +121,24 @@ object CurationOps {
     ),
     QuerySpec(
       // Gopher-style repetition metrics: duplicate word-bigram /
-      // trigram fractions + top-bigram share. One explode feeding one
-      // map-side-combinable groupBy; integers + single divisions keep
-      // the oracle hash exact. Docs need ≥2 tokens to have a bigram —
-      // shorter docs are excluded on both sides.
+      // trigram fractions + top-bigram share. Metrics are strictly
+      // PER-DOCUMENT, so everything is higher-order array work inside
+      // the row — counts from size/array_distinct, the top-bigram
+      // count as the longest run in the sorted gram array via
+      // aggregate(). ZERO shuffles: at 100 TB this runs at scan speed,
+      // where the explode→groupBy formulation would shuffle every
+      // n-gram occurrence in the corpus.
       "q47_repetition",
       (s, dir) => {
-        val withGrams = docs(s, dir)
+        // longest run in sort_array(grams) == max occurrence count
+        def topRun(grams: String): String =
+          s"aggregate(sort_array($grams), " +
+            "named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), " +
+            "(acc, x) -> IF(x = acc.prev, " +
+            "named_struct('prev', x, 'run', acc.run + CAST(1 AS BIGINT), 'best', GREATEST(acc.best, acc.run + CAST(1 AS BIGINT))), " +
+            "named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best', GREATEST(acc.best, CAST(1 AS BIGINT)))), " +
+            "acc -> acc.best)"
+        docs(s, dir)
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 2)
           .withColumn(
@@ -140,28 +151,15 @@ object CurationOps {
               "zip_with(slice(w, 2, size(w) - 2), slice(w, 3, size(w) - 2), " +
               "(b, c) -> concat(b, ' ', c)), (a, bc) -> concat(a, ' ', bc)) " +
               "ELSE CAST(array() AS ARRAY<STRING>) END"))
-        val bg = withGrams
-          .select(col("doc_id"), explode(col("bigrams")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(
-            sum("c").as("n_bigrams"),
-            count(lit(1)).as("n_distinct_bigrams"),
-            max("c").as("top_bigram_count"))
-        val tg = withGrams
-          .select(col("doc_id"), explode(col("trigrams")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_trigrams"), count(lit(1)).as("n_distinct_trigrams"))
-        bg.join(tg, Seq("doc_id"), "left")
           .select(
             col("doc_id"),
-            col("n_bigrams").cast("bigint").as("n_bigrams"),
-            expr("CAST(1.0D - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS DOUBLE)")
+            size(col("bigrams")).cast("bigint").as("n_bigrams"),
+            expr("CAST(1.0D - CAST(size(array_distinct(bigrams)) AS DOUBLE) / size(bigrams) AS DOUBLE)")
               .as("dup_bigram_frac"),
-            expr("CAST(top_bigram_count AS DOUBLE) / n_bigrams").as("top_bigram_frac"),
-            expr("CAST(CASE WHEN n_trigrams IS NULL THEN 0.0D " +
-              "ELSE 1.0D - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams END AS DOUBLE)")
+            (expr(topRun("bigrams")).cast("double") / size(col("bigrams")).cast("double"))
+              .as("top_bigram_frac"),
+            expr("CAST(CASE WHEN size(trigrams) = 0 THEN 0.0D " +
+              "ELSE 1.0D - CAST(size(array_distinct(trigrams)) AS DOUBLE) / size(trigrams) END AS DOUBLE)")
               .as("dup_trigram_frac"))
       },
       Some(

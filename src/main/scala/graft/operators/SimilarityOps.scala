@@ -285,5 +285,70 @@ object SimilarityOps {
           "SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS keeper " +
           "FROM reach GROUP BY id"),
     ),
+    QuerySpec(
+      // k-means over embeddings: deterministic seeds (vec_id < k), one
+      // full Lloyd step, output initial + refined assignment per
+      // vector. This is the IVF coarse-quantizer TRAINING step done
+      // honestly (q31 reuses fixture labels as cells).
+      //
+      // Scale shape: assignment is a pure per-row projection against k
+      // BROADCAST centroid literals — zero shuffle, scan speed; the
+      // centroid update shuffles only (k × dim) partial means
+      // (map-side-combinable avg), and only k×dim doubles ever return
+      // to the driver (the broadcast-back pattern — the dataset itself
+      // never moves). Argmin ties break on centroid id, and all
+      // distance math is float64 left-fold, so assignments are
+      // deterministic and engine-portable (inter-centroid distance
+      // gaps are O(1) vs ~1e-13 summation-order noise).
+      "q53_kmeans",
+      (s, dir) => {
+        val k = 8
+        val e = emb(s, dir).select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        def ddot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, t) => acc + t)
+        def assignTo(cents: Seq[(Long, Seq[Double])]): Column = {
+          val entries = cents.map { case (cid, cv) =>
+            val arr = array(cv.map(lit(_)): _*)
+            struct(
+              (ddot(col("v"), col("v")) + ddot(arr, arr) -
+                lit(2.0d) * ddot(col("v"), arr)).as("d"),
+              lit(cid).as("c"))
+          }
+          array_min(array(entries: _*)).getField("c")
+        }
+        val cents0 = e.filter(col("vec_id") < k)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        val a0 = e.withColumn("c0", assignTo(cents0))
+        val cents1 = a0
+          .select(col("c0"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("c0", "i").agg(avg("x").as("m"))
+          .groupBy("c0")
+          .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("cv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        a0.withColumn("c1", assignTo(cents1))
+          .select(col("vec_id"), col("c0"), col("c1"))
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+          "d0 AS (SELECT e.vec_id, c0.cid, list_dot_product(e.v, e.v) + " +
+          "list_dot_product(c0.cv, c0.cv) - 2 * list_dot_product(e.v, c0.cv) AS dist " +
+          "FROM e CROSS JOIN c0), " +
+          "a0 AS (SELECT vec_id, cid AS c0 FROM (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1), " +
+          "m AS (SELECT a0.c0 AS cid, u.i AS i, AVG(e.v[i]) AS mv " +
+          "FROM e JOIN a0 USING (vec_id) CROSS JOIN unnest(range(1, 65)) AS u(i) " +
+          "GROUP BY a0.c0, u.i), " +
+          "c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m GROUP BY cid), " +
+          "d1 AS (SELECT e.vec_id, c1.cid, list_dot_product(e.v, e.v) + " +
+          "list_dot_product(c1.cv, c1.cv) - 2 * list_dot_product(e.v, c1.cv) AS dist " +
+          "FROM e CROSS JOIN c1), " +
+          "a1 AS (SELECT vec_id, cid AS c1 FROM (SELECT vec_id, cid, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1) " +
+          "SELECT a0.vec_id, CAST(a0.c0 AS BIGINT) AS c0, CAST(a1.c1 AS BIGINT) AS c1 " +
+          "FROM a0 JOIN a1 USING (vec_id)"),
+    ),
   )
 }

@@ -72,4 +72,33 @@ class SimilarityRecallSpec extends SparkSpec {
     val r = recall(exact, ivf)
     assert(r > 0.2, s"fixture recall $r not better than random cells")
   }
+
+  test("q53 kmeans: assignments match a driver-side reimplementation; Lloyd step never raises SSE") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q53_kmeans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    def argmin(v: Array[Double], cents: Seq[(Long, Array[Double])]): Long =
+      cents.map { case (c, cv) => (d2(v, cv), c) }.min._2
+    val cents0 = (0L until 8L).map(i => i -> vecs(i))
+    // independent reimplementation of the initial assignment
+    val c0 = vecs.map { case (id, v) => id -> argmin(v, cents0) }
+    assert(out.forall { case (id, (a0, _)) => c0(id) == a0 },
+      "spark c0 must equal the naive driver argmin")
+    // Lloyd invariant: SSE under (c1, cents1) <= SSE under (c0, cents0)
+    val cents1 = c0.groupBy(_._2).map { case (c, m) =>
+      val vs = m.keys.map(vecs).toSeq
+      c -> vs.transpose.map(col => col.sum / vs.size).toArray
+    }.toSeq
+    val sse0 = vecs.map { case (id, v) => d2(v, cents0.toMap.apply(c0(id))) }.sum
+    val sse1 = vecs.map { case (id, v) =>
+      d2(v, cents1.toMap.apply(out(id)._2))
+    }.sum
+    assert(sse1 <= sse0 + 1e-9, s"Lloyd step raised SSE: $sse0 -> $sse1")
+    assert(out.values.map(_._2).toSet.size > 1, "refined clustering must be non-trivial")
+  }
 }
