@@ -45,6 +45,9 @@ object Relational {
   /** q03b's scratch dir. */
   private[operators] lazy val orcRoundtripDir: String = roundtripDir("supplier_orc")
 
+  /** q03c's scratch dir. */
+  private[operators] lazy val jsonRoundtripDir: String = roundtripDir("part_json")
+
   // SUM over an exact DECIMAL(18,2) view of a 2-decimal money column,
   // surfaced as DOUBLE. Deterministic under any aggregation order.
   private def dsum(e: String): org.apache.spark.sql.Column =
@@ -105,6 +108,20 @@ object Relational {
         s.read.orc(tmp)
       },
       Some("SELECT * FROM supplier"),
+    ),
+    QuerySpec(
+      "q03c_json_roundtrip",
+      (s, dir) => {
+        // Row-oriented-sink coverage: round-trip `part` through
+        // JSON-lines (the interchange format for heterogenous
+        // pipelines) and read back with the ORIGINAL schema — no
+        // inference, so types survive exactly.
+        val src = t(s, dir, "part")
+        val tmp = Relational.jsonRoundtripDir
+        src.write.mode("overwrite").json(tmp)
+        s.read.schema(src.schema).json(tmp)
+      },
+      Some("SELECT * FROM part"),
     ),
     QuerySpec(
       "q04_join_inner",
@@ -329,6 +346,29 @@ object Relational {
           "FROM lineitem GROUP BY l_returnflag"),
     ),
     QuerySpec(
+      // Sketch percentiles with a self-checking gate (q12b's pattern):
+      // approx_percentile at accuracy 1000 must land within the value
+      // range spanned by the exact p45–p55 / p85–p95 percentiles — a
+      // rank-error bound the sketch guarantees (±1/accuracy ≪ 0.05).
+      // At 100 TB the sketch is ONE mergeable pass, no full sort.
+      "q13e_approx_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)").as("ap"),
+            expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.85D, 0.95D))").as("ep"))
+          .select(
+            col("l_returnflag"),
+            expr("element_at(ap, 1) BETWEEN element_at(ep, 1) AND element_at(ep, 2)")
+              .as("p50_within_rank_tol"),
+            expr("element_at(ap, 2) BETWEEN element_at(ep, 3) AND element_at(ep, 4)")
+              .as("p90_within_rank_tol")),
+      Some(
+        "SELECT l_returnflag, true AS p50_within_rank_tol, true AS p90_within_rank_tol " +
+          "FROM lineitem GROUP BY l_returnflag"),
+    ),
+    QuerySpec(
       "q14_topk",
       (s, dir) =>
         t(s, dir, "orders")
@@ -382,6 +422,49 @@ object Relational {
           "w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"),
     ),
     QuerySpec(
+      // The rest of the ANSI window-function family beyond q16:
+      // lead, dense_rank, percent_rank, cume_dist, ntile, first/last
+      // value over an explicit full frame, and a RANGE (peer-inclusive)
+      // running sum to contrast with q16's ROWS frame. One shuffle on
+      // the partition key, same as any windowed query.
+      "q16b_window_funcs",
+      (s, dir) => {
+        val w1 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+        val wFull = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders").select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          lead(col("o_totalprice"), 1).over(w1).as("next_price"),
+          dense_rank().over(w2).cast("bigint").as("drnk"),
+          percent_rank().over(w2).as("prnk"),
+          cume_dist().over(w2).as("cdist"),
+          ntile(4).over(w1).cast("bigint").as("quartile"),
+          first(col("o_orderkey")).over(w1).cast("bigint").as("first_key"),
+          last(col("o_orderkey")).over(wFull).cast("bigint").as("last_key"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+            "PARTITION BY o_custkey ORDER BY o_orderdate " +
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)").as("range_sum"))
+      },
+      Some(
+        "SELECT o_custkey, o_orderkey, " +
+          "lead(o_totalprice, 1) OVER w1 AS next_price, " +
+          "CAST(dense_rank() OVER w2 AS BIGINT) AS drnk, " +
+          "percent_rank() OVER w2 AS prnk, " +
+          "cume_dist() OVER w2 AS cdist, " +
+          "CAST(ntile(4) OVER w1 AS BIGINT) AS quartile, " +
+          "CAST(first_value(o_orderkey) OVER w1 AS BIGINT) AS first_key, " +
+          "CAST(last_value(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_key, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_orderdate " +
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum " +
+          "FROM orders WINDOW " +
+          "w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+          "w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"),
+    ),
+    QuerySpec(
       "q17_scalars",
       (s, dir) =>
         t(s, dir, "orders").select(
@@ -402,6 +485,35 @@ object Relational {
           "abs(o_totalprice - 250000.0) AS ab, " +
           "CAST(floor(o_totalprice) AS BIGINT) AS fl, " +
           "CAST(ceil(o_totalprice) AS BIGINT) AS ce " +
+          "FROM orders"),
+    ),
+    QuerySpec(
+      // Date/time arithmetic family beyond q17: interval add with
+      // end-of-month clamping, day diffs against an epoch, calendar
+      // field extraction, last-day-of-month. Derived dates surface as
+      // formatted strings so the cross-engine compare is exact.
+      "q17b_datetime",
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_format(date_add(d, 30), "yyyy-MM-dd").as("plus_30d"),
+          date_format(add_months(d, 3), "yyyy-MM-dd").as("plus_3mo"),
+          datediff(d, lit("1995-01-01")).cast("bigint").as("days_since_epoch95"),
+          quarter(d).cast("bigint").as("qtr"),
+          dayofyear(d).cast("bigint").as("doy"),
+          weekday(d).cast("bigint").as("dow_mon0"),
+          date_format(last_day(d), "yyyy-MM-dd").as("month_end"))
+      },
+      Some(
+        "SELECT o_orderkey, " +
+          "strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d, " +
+          "strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo, " +
+          "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95, " +
+          "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, " +
+          "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, " +
+          "CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow_mon0, " +
+          "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end " +
           "FROM orders"),
     ),
     QuerySpec(
