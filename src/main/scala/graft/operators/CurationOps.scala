@@ -186,16 +186,22 @@ object CurationOps {
       // whose fingerprint is "known bad" — here doc_id % 7 = 0), prune
       // the big side with mightContain (false-positive-tolerant, so
       // off the exactness path), then exact anti-join the survivors.
-      // At 100 TB the bloom broadcast (~1.2 GB at 1e9 keys / 1% fpp)
-      // sheds ~nothing-in-common partitions before any shuffle — the
-      // same pattern Spark's runtime row-level filtering applies to
-      // joins automatically. Oracle: the bloom never drops a true
-      // match, so the result is exactly "documents NOT IN blocklist".
+      // The bloom is the pattern for a blocklist too big to broadcast
+      // EXACTLY (1e9 keys ≈ 1.2 GB at 1% fpp vs ~50 GB of raw keys):
+      // bloom-negative rows skip the anti-join shuffle entirely, so
+      // the shuffle carries only the tiny bloom-positive slice. The
+      // two union branches each scan the corpus, but scans are the
+      // cheap part — the shuffle they avoid is not. Oracle: the bloom
+      // never drops a true match, so the result is exactly
+      // "documents NOT IN blocklist".
       "q48_bloom_blocklist",
       (s, dir) => {
         val d = docs(s, dir).withColumn("fp", md5(col("text")))
         val blocklist = d.filter(pmod(col("doc_id"), lit(7)) === 0).select("fp")
-        val bloom = blocklist.stat.bloomFilter("fp", 1000L, 0.03)
+        // size the sketch from the data — a fixed capacity saturates
+        // at scale and silently degrades the prune to pure overhead
+        val expected = math.max(blocklist.count(), 1000L)
+        val bloom = blocklist.stat.bloomFilter("fp", expected, 0.03)
         val bbloom = s.sparkContext.broadcast(bloom)
         val mightContain = udf((fp: String) => fp != null && bbloom.value.mightContainString(fp))
         d.filter(!mightContain(col("fp")))
@@ -228,8 +234,10 @@ object CurationOps {
             col("doc_id"),
             col("source"),
             col("n_tok"),
-            floor((col("cum") - col("n_tok")) / lit(512)).cast("bigint").as("seq_id"),
-            (col("cum") - col("n_tok") - floor((col("cum") - col("n_tok")) / lit(512)) * 512)
+            // integer `div`, not floor(double /): `/` on longs loses
+            // exactness above 2^53 (same trap Tables.scala documents)
+            expr("(cum - n_tok) div 512").cast("bigint").as("seq_id"),
+            expr("cum - n_tok - ((cum - n_tok) div 512) * 512")
               .cast("bigint").as("seq_offset"))
       },
       Some(

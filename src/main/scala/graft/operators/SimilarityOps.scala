@@ -303,22 +303,30 @@ object SimilarityOps {
       "q53_kmeans",
       (s, dir) => {
         val k = 8
-        val e = emb(s, dir).select(
-          col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        def ddot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, t) => acc + t)
+        // all distance math through the native codegen'd float_dot
+        // (accepts ARRAY<DOUBLE>, same sequential-fold semantics as
+        // aggregate(zip_with(...)) with no per-row lambda interpretation
+        // or intermediate arrays); |v|² is hoisted to ONE column per
+        // row, |c|² folds to a literal at plan-build time, so each
+        // assignment pass costs k dots per row, not 3k.
+        def fdot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+        val e = emb(s, dir)
+          .select(
+            col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("vv", fdot(col("v"), col("v")))
         def assignTo(cents: Seq[(Long, Seq[Double])]): Column = {
           val entries = cents.map { case (cid, cv) =>
             val arr = array(cv.map(lit(_)): _*)
+            val cc = cv.foldLeft(0.0d)((acc, x) => acc + x * x)
             struct(
-              (ddot(col("v"), col("v")) + ddot(arr, arr) -
-                lit(2.0d) * ddot(col("v"), arr)).as("d"),
+              (col("vv") + lit(cc) - lit(2.0d) * fdot(col("v"), arr)).as("d"),
               lit(cid).as("c"))
           }
           array_min(array(entries: _*)).getField("c")
         }
         val cents0 = e.filter(col("vec_id") < k)
+          .select("vec_id", "v")
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
         val a0 = e.withColumn("c0", assignTo(cents0))
         val cents1 = a0

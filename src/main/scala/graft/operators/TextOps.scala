@@ -192,7 +192,10 @@ object TextOps {
           .filter(col("term").isin(qTerms: _*))
           .groupBy("doc_id", "dl", "term")
           .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        // (doc_id, term) is already unique in tf (it's the groupBy
+        // output), so a plain count IS the document frequency — no
+        // distinct-aggregate Expand needed
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val idf = log(
           (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d))
         val contrib = idf *
