@@ -236,3 +236,48 @@ class StreamsSpec extends SparkSpec {
 // needs an encoder constructible without the suite's outer scope.
 private[streaming] case class IjEv(ts: Timestamp, event_type: String, user_id: Long)
 private[streaming] case class IjRv(ts: Timestamp, user_id: Long, value: Double)
+
+/** Exactly-once file-source → file-sink with checkpoint recovery: a
+  * restarted query must resume from the checkpointed offsets — files
+  * processed before the stop are neither reprocessed (no duplicates)
+  * nor skipped (no loss). This is the operational core of a streaming
+  * ingest pipeline: crash/redeploy must be a no-op for the data.
+  */
+class StreamRecoverySpec extends graft.SparkSpec {
+
+  test("file sink + checkpoint: restart after stop is exactly-once") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def startQuery() =
+      s.readStream
+        .schema("id LONG, batch STRING")
+        .parquet(in)
+        .withColumn("tagged", concat(col("batch"), lit(":"), col("id")))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+
+    // batch 1 → process → stop (simulated crash/redeploy)
+    (0L until 10L).map(i => (i, "a")).toDF("id", "batch")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch 2 lands while the query is down; restart from checkpoint
+    (10L until 15L).map(i => (i, "b")).toDF("id", "batch")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = s.read.parquet(out).select("tagged")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val want = ((0L until 10L).map(i => s"a:$i") ++ (10L until 15L).map(i => s"b:$i")).sorted
+    assert(got == want, "restart must neither duplicate nor drop rows")
+  }
+}
