@@ -581,5 +581,86 @@ object Relational {
           "MIN(event_id) AS event_id, COUNT(*) AS n_dups " +
           "FROM events GROUP BY user_id, date_trunc('microseconds', ts)"),
     ),
+    QuerySpec(
+      // TPC-H Q1 pricing summary, submitted as PURE SQL through
+      // spark.sql over temp views — the engine's SQL front door, same
+      // Catalyst plan as the DataFrame API. Money math runs in exact
+      // DECIMAL (products need ≤6 decimal places, so every
+      // intermediate is exactly representable on both engines) and
+      // surfaces as DOUBLE. One map-side-combinable aggregation over
+      // a pushed-down date filter.
+      "q55_tpch_q1",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+            |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
+            |    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+            |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            |  COUNT(*) AS count_order
+            |FROM lineitem
+            |WHERE l_shipdate <= DATE '1998-09-02'
+            |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * " +
+          "(1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+          "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+          "COUNT(*) AS count_order " +
+          "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
+          "GROUP BY l_returnflag, l_linestatus"),
+    ),
+    QuerySpec(
+      // TPC-H Q3 shipping-priority top-10, pure SQL: the flagship
+      // join-agg-topk shape. customer is the small side (broadcast);
+      // revenue stays exact DECIMAL until the final cast so the
+      // ORDER BY ... LIMIT cut is deterministic cross-engine.
+      "q56_tpch_q3",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_orderkey,
+            |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+            |  o_orderdate
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < DATE '1997-03-15'
+            |  AND l_shipdate > DATE '1997-03-15'
+            |GROUP BY l_orderkey, o_orderdate
+            |ORDER BY revenue DESC, l_orderkey
+            |LIMIT 10""".stripMargin)
+      },
+      Some(
+        "SELECT l_orderkey, " +
+          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+          "o_orderdate " +
+          "FROM customer JOIN orders ON c_custkey = o_custkey " +
+          "JOIN lineitem ON l_orderkey = o_orderkey " +
+          "WHERE c_mktsegment = 'BUILDING' " +
+          "AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15' " +
+          "GROUP BY l_orderkey, o_orderdate " +
+          "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    ),
   )
 }
