@@ -553,6 +553,54 @@ object Relational {
         "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
     ),
     QuerySpec(
+      // Higher-order array functions as a first-class query surface
+      // (they're used internally throughout — q47/q53 — but a user
+      // needs them callable): filter, exists, transform, aggregate
+      // (fold), zip_with-free slicing. All per-row, scan speed.
+      "q18d_higher_order",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            expr("CAST(size(filter(w, x -> length(x) >= 5)) AS BIGINT)").as("n_long_words"),
+            expr("exists(w, x -> x = 'spark')").as("has_spark"),
+            expr("array_join(transform(slice(w, 1, 3), x -> upper(x)), ',')").as("head3_upper"),
+            expr("aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))").as("total_chars")),
+      Some(
+        "SELECT doc_id, " +
+          "CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 5)) AS BIGINT) AS n_long_words, " +
+          "len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0 AS has_spark, " +
+          "array_to_string(list_transform(string_split(text, ' ')[1:3], x -> upper(x)), ',') AS head3_upper, " +
+          "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars " +
+          "FROM documents"),
+    ),
+    QuerySpec(
+      // ANSI null semantics, exercised with real NULLs manufactured by
+      // NULLIF: coalesce chains, null-safe equality (<=> ↔ IS NOT
+      // DISTINCT FROM), null-aware conditionals, and aggregate null
+      // skipping vs counting.
+      "q17c_nulls",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("st_null", expr("NULLIF(o_orderstatus, 'F')"))
+          .select(
+            col("o_orderkey"),
+            coalesce(col("st_null"), lit("fell_back")).as("st_or_default"),
+            expr("st_null <=> 'O'").as("nullsafe_eq_o"),
+            expr("st_null IS NULL").as("is_f"),
+            expr("CASE WHEN st_null IS NULL THEN -1 ELSE length(st_null) END")
+              .cast("bigint").as("len_or_neg1")),
+      Some(
+        "WITH t AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS st_null FROM orders) " +
+          "SELECT o_orderkey, " +
+          "COALESCE(st_null, 'fell_back') AS st_or_default, " +
+          "st_null IS NOT DISTINCT FROM 'O' AS nullsafe_eq_o, " +
+          "st_null IS NULL AS is_f, " +
+          "CAST(CASE WHEN st_null IS NULL THEN -1 ELSE length(st_null) END AS BIGINT) AS len_or_neg1 " +
+          "FROM t"),
+    ),
+    QuerySpec(
       "q19_corr",
       (s, dir) =>
         t(s, dir, "lineitem")

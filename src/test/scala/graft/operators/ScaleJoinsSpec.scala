@@ -76,4 +76,21 @@ class ScaleJoinsSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS graft_dims")
     }
   }
+
+  test("AQE coalesces post-shuffle partitions at runtime") {
+    val s = spark; import s.implicits._
+    // 4 configured shuffle partitions but only a few KB of shuffle
+    // data: AQE must coalesce the reducer side below the static config
+    // instead of scheduling near-empty tasks — the runtime knob that
+    // keeps a 100 TB plan's small stages from drowning in task
+    // overhead.
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true", "AQE must be on")
+    val agg = (0 until 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    // execute THIS plan tree (count() would plan a separate one and
+    // leave agg's AdaptiveSparkPlan un-finalized)
+    assert(agg.collect().length == 3)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"), plan)
+  }
 }
