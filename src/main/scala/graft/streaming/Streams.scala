@@ -115,6 +115,15 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against a
+    * static dimension frame. The static side is broadcast into each
+    * micro-batch — no streaming state at all (the dimension is simply
+    * re-read), which is why this is the default way to decorate a
+    * 100 TB/day event stream with reference data.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream interval join (Flink's intervalJoin semantics):
     * pair each left event with same-user right events whose timestamp
     * lies in [l.ts, l.ts + window]. Both sides carry watermarks and the

@@ -213,6 +213,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1))
+      q.processAllAvailable()
+      input.addData(
+        Ev(ts("2024-01-01 10:01:00"), "view", 2),
+        Ev(ts("2024-01-01 10:02:00"), "view", 9)) // no dim row → null tier
+      q.processAllAvailable()
+      val got = s.table("enriched").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("foreachBatch scoring applies a batch function per micro-batch") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
