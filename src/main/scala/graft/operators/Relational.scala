@@ -48,6 +48,39 @@ object Relational {
   /** q03c's scratch dir. */
   private[operators] lazy val jsonRoundtripDir: String = roundtripDir("part_json")
 
+  /** TPC-H Q1/Q3 as ONE dialect-neutral SQL text each: the Spark query
+    * (over `graft_`-prefixed temp views, so fixture-named views in the
+    * session are never clobbered) and the DuckDB oracle (bare table
+    * names) are the SAME string modulo the prefix — no drift surface.
+    */
+  private def tpchQ1Sql(p: String): String =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * " +
+      "(1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+      "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+      "COUNT(*) AS count_order " +
+      s"FROM ${p}lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus"
+
+  private def tpchQ3Sql(p: String): String =
+    "SELECT l_orderkey, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+      "o_orderdate " +
+      s"FROM ${p}customer JOIN ${p}orders ON c_custkey = o_custkey " +
+      s"JOIN ${p}lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15' " +
+      "GROUP BY l_orderkey, o_orderdate " +
+      "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+
   // SUM over an exact DECIMAL(18,2) view of a 2-decimal money column,
   // surfaced as DOUBLE. Deterministic under any aggregation order.
   private def dsum(e: String): org.apache.spark.sql.Column =
@@ -639,39 +672,10 @@ object Relational {
       // a pushed-down date filter.
       "q55_tpch_q1",
       (s, dir) => {
-        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql(
-          """SELECT l_returnflag, l_linestatus,
-            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-            |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-            |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-            |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-            |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
-            |    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-            |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
-            |  COUNT(*) AS count_order
-            |FROM lineitem
-            |WHERE l_shipdate <= DATE '1998-09-02'
-            |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql(tpchQ1Sql("graft_"))
       },
-      Some(
-        "SELECT l_returnflag, l_linestatus, " +
-          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
-          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
-          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
-          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * " +
-          "(1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, " +
-          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
-          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
-          "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
-          "COUNT(*) AS count_order " +
-          "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
-          "GROUP BY l_returnflag, l_linestatus"),
+      Some(tpchQ1Sql("")),
     ),
     QuerySpec(
       // TPC-H Q3 shipping-priority top-10, pure SQL: the flagship
@@ -680,35 +684,12 @@ object Relational {
       // ORDER BY ... LIMIT cut is deterministic cross-engine.
       "q56_tpch_q3",
       (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("customer")
-        t(s, dir, "orders").createOrReplaceTempView("orders")
-        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql(
-          """SELECT l_orderkey,
-            |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-            |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-            |  o_orderdate
-            |FROM customer
-            |JOIN orders ON c_custkey = o_custkey
-            |JOIN lineitem ON l_orderkey = o_orderkey
-            |WHERE c_mktsegment = 'BUILDING'
-            |  AND o_orderdate < DATE '1997-03-15'
-            |  AND l_shipdate > DATE '1997-03-15'
-            |GROUP BY l_orderkey, o_orderdate
-            |ORDER BY revenue DESC, l_orderkey
-            |LIMIT 10""".stripMargin)
+        t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql(tpchQ3Sql("graft_"))
       },
-      Some(
-        "SELECT l_orderkey, " +
-          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
-          "o_orderdate " +
-          "FROM customer JOIN orders ON c_custkey = o_custkey " +
-          "JOIN lineitem ON l_orderkey = o_orderkey " +
-          "WHERE c_mktsegment = 'BUILDING' " +
-          "AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15' " +
-          "GROUP BY l_orderkey, o_orderdate " +
-          "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+      Some(tpchQ3Sql("")),
     ),
   )
 }

@@ -228,9 +228,10 @@ class StreamsSpec extends SparkSpec {
         Ev(ts("2024-01-01 10:01:00"), "view", 2),
         Ev(ts("2024-01-01 10:02:00"), "view", 9)) // no dim row → null tier
       q.processAllAvailable()
+      // sorted Seq, not Set: a duplicate emission must FAIL the compare
       val got = s.table("enriched").select("user_id", "tier")
-        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
-      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""))).toSeq.sorted
+      assert(got == Seq((1L, "gold"), (2L, "silver"), (9L, "")))
     } finally q.stop()
   }
 
@@ -296,9 +297,14 @@ class StreamRecoverySpec extends graft.SparkSpec {
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
 
-    val got = s.read.parquet(out).select("tagged")
-      .collect().map(_.getString(0)).sorted.toSeq
-    val want = ((0L until 10L).map(i => s"a:$i") ++ (10L until 15L).map(i => s"b:$i")).sorted
-    assert(got == want, "restart must neither duplicate nor drop rows")
+    try {
+      val got = s.read.parquet(out).select("tagged")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val want = ((0L until 10L).map(i => s"a:$i") ++ (10L until 15L).map(i => s"b:$i")).sorted
+      assert(got == want, "restart must neither duplicate nor drop rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
   }
 }
