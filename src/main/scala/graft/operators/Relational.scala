@@ -48,6 +48,9 @@ object Relational {
   /** q03c's scratch dir. */
   private[operators] lazy val jsonRoundtripDir: String = roundtripDir("part_json")
 
+  /** q60's scratch dir (hive-partitioned orders). */
+  private[operators] lazy val partitionedDir: String = roundtripDir("orders_by_yr")
+
   /** TPC-H Q1/Q3 as ONE dialect-neutral SQL text each: the Spark query
     * (over `graft_`-prefixed temp views, so fixture-named views in the
     * session are never clobbered) and the DuckDB oracle (bare table
@@ -68,6 +71,33 @@ object Relational {
       "COUNT(*) AS count_order " +
       s"FROM ${p}lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
       "GROUP BY l_returnflag, l_linestatus"
+
+  private def tpchQ5Sql(p: String): String =
+    "SELECT n_name, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      s"FROM ${p}customer JOIN ${p}orders ON c_custkey = o_custkey " +
+      s"JOIN ${p}lineitem ON l_orderkey = o_orderkey " +
+      s"JOIN ${p}supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
+      s"JOIN ${p}region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC"
+
+  private def tpchQ10Sql(p: String): String =
+    "SELECT c_custkey, c_name, " +
+      "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+      "c_acctbal, n_name " +
+      s"FROM ${p}customer JOIN ${p}orders ON c_custkey = o_custkey " +
+      s"JOIN ${p}lineitem ON l_orderkey = o_orderkey " +
+      s"JOIN ${p}nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01' " +
+      "AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+      // custkey tie-break makes the top-20 cut deterministic cross-engine
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"
 
   private def tpchQ3Sql(p: String): String =
     "SELECT l_orderkey, " +
