@@ -53,16 +53,28 @@ object Bench {
       // both passes failed → 0.0 with the error recorded in errors
       name -> (if (ts.isEmpty) 0.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3 decimals (ms resolution): full-precision doubles print ~17
+    // significant digits and tripled the stdout line's length, which is
+    // what got the driver artifact truncated in rounds 4-6
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r3(results.map(_._2).sum)
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
         s""""${GraftSession.jsonEscape(k)}":"${GraftSession.jsonEscape(v)}""""
       }.mkString(""","errors":{""", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+    // per-query lines go to STDERR (human/progress view) so stdout stays
+    // exactly the driver contract: one JSON line
+    results.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${r3(v)}%.3f s") }
+    // durable artifact: survives any stdout capture truncation
+    val out = java.nio.file.Paths.get("target/bench.json")
+    Option(out.getParent).foreach(p => java.nio.file.Files.createDirectories(p): Unit)
+    java.nio.file.Files.writeString(out, json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -74,20 +74,74 @@ object PipelineOps {
           "FROM reach GROUP BY id"),
     ),
     QuerySpec(
-      // ALS matrix completion on the COO view — not SQL-expressible;
-      // rows-only gate here, RMSE/determinism golden-checked in
-      // CompletionSpec. Bounded to 200 samples so the bench-tier run
-      // stays O(seconds): completion cost scales with the GRID, not
-      // the input.
+      // Same graph/oracle as q38, computed by the DataFrame-only CC
+      // path (iterative min-label propagation, no GraphX) — gates the
+      // SQL-engine-only route to components, not just the Pregel one.
+      "q38b_connected_components_df",
+      (s, dir) => {
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey").cast("int").as("k"), col("s_nationkey").as("n"))
+        val edges = sup.as("a")
+          .join(sup.as("b"), expr("a.n = b.n AND b.k = a.k + 1"))
+          .select(col("a.k").as("pi"), col("b.k").as("pj"))
+        graft.pipeline.Network.connectedComponentsDF(edges)
+          .select(
+            col("probe").cast("bigint").as("node"),
+            col("component").cast("bigint").as("component"))
+      },
+      Some(
+        "WITH RECURSIVE e AS (" +
+          "SELECT a.s_suppkey AS src, b.s_suppkey AS dst FROM supplier a " +
+          "JOIN supplier b ON a.s_nationkey = b.s_nationkey AND b.s_suppkey = a.s_suppkey + 1), " +
+          "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+          "reach(id, comp) AS (" +
+          "SELECT src, src FROM sym UNION " +
+          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
+          "SELECT CAST(id AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component " +
+          "FROM reach GROUP BY id"),
+    ),
+    QuerySpec(
+      // ALS matrix completion on the COO view. The cell VALUES are not
+      // SQL-expressible (RMSE/determinism golden-checked in
+      // CompletionSpec), but the completion CONTRACT is: the output
+      // must be exactly the full sample×probe grid — every observed
+      // row unchanged plus one predicted row per absent coordinate,
+      // no NaN. Those invariants are pure grid arithmetic over the
+      // input, so DuckDB can oracle-check them: n_cells = observed
+      // rows + (|samples|×|probes| − distinct observed pairs),
+      // sum_observed = the input's value sum (observed cells pass
+      // through untouched). Bounded to 200 samples so the bench-tier
+      // run stays O(seconds): completion cost scales with the GRID.
       "q39_als_complete",
       (s, dir) => {
         val m = coo(s, dir).filter(col("sample") < 200)
-        graft.pipeline.Completion.complete(
+        val completed = graft.pipeline.Completion.complete(
           s, m,
           graft.pipeline.Completion.AlsParams(
             rank = 4, maxIter = 4, regParam = 0.1, numBlocks = 8))
+        val observedCoords = m.select("sample", "probe").distinct()
+          .withColumn("obs", lit(1))
+        completed
+          .join(observedCoords, Seq("sample", "probe"), "left")
+          .agg(
+            count(lit(1)).as("n_cells"),
+            sum(when(isnan(col("value")), 1L).otherwise(0L)).as("n_nan"),
+            countDistinct(col("probe")).as("n_probes"),
+            countDistinct(col("sample")).as("n_samples"),
+            expr("CAST(SUM(CASE WHEN obs = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)")
+              .as("sum_observed"))
       },
-      None,
+      Some(
+        "WITH m AS (SELECT CAST(l_orderkey AS INT) AS sample, " +
+          "CAST(l_linenumber AS INT) AS probe, CAST(l_quantity AS DOUBLE) AS value " +
+          "FROM lineitem WHERE l_orderkey < 200), " +
+          "d AS (SELECT COUNT(*) AS n_rows, COUNT(DISTINCT sample) AS n_s, " +
+          "COUNT(DISTINCT probe) AS n_p, " +
+          "(SELECT COUNT(*) FROM (SELECT DISTINCT sample, probe FROM m)) AS n_pairs, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s FROM m) " +
+          "SELECT CAST(n_rows + n_s * n_p - n_pairs AS BIGINT) AS n_cells, " +
+          "CAST(0 AS BIGINT) AS n_nan, CAST(n_p AS BIGINT) AS n_probes, " +
+          "CAST(n_s AS BIGINT) AS n_samples, s AS sum_observed FROM d"),
     ),
     QuerySpec(
       // LinearSVC train/predict on features assembled from the COO view

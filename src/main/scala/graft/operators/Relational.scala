@@ -26,7 +26,7 @@ object Relational {
   /** Scratch dir for a round-trip query: per-process (pid suffix),
     * removed on JVM exit.
     */
-  private def roundtripDir(tag: String): String = {
+  private[operators] def roundtripDir(tag: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       ProcessHandle.current().pid()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -83,7 +83,9 @@ object Relational {
       s"JOIN ${p}region ON n_regionkey = r_regionkey " +
       "WHERE r_name = 'ASIA' " +
       "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01' " +
-      "GROUP BY n_name ORDER BY revenue DESC"
+      // n_name tie-break: deterministic order cross-engine, same as every
+      // other shared-SQL query here
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
 
   private def tpchQ10Sql(p: String): String =
     "SELECT c_custkey, c_name, " +
@@ -720,6 +722,60 @@ object Relational {
         s.sql(tpchQ3Sql("graft_"))
       },
       Some(tpchQ3Sql("")),
+    ),
+    QuerySpec(
+      // TPC-H Q5 local-supplier revenue: the join-heavy star shape —
+      // 6-way join where Catalyst broadcasts the three tiny dims
+      // (nation/region/supplier at this ratio) and AQE picks the
+      // build sides at runtime; one map-side-combinable aggregate on
+      // the 5-row n_name key.
+      "q57_tpch_q5",
+      (s, dir) => {
+        for (n <- Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
+          t(s, dir, n).createOrReplaceTempView(s"graft_$n")
+        s.sql(tpchQ5Sql("graft_"))
+      },
+      Some(tpchQ5Sql("")),
+    ),
+    QuerySpec(
+      // TPC-H Q10 returned-item top-20: join-agg over a high-cardinality
+      // group key (per-customer) with a deterministic LIMIT cut —
+      // the top-k-over-join-agg shape. (The reference Q10 projection
+      // also carries c_address/c_phone/c_comment; the fixture customer
+      // table doesn't have those columns — same grouping cardinality,
+      // nothing else changes.)
+      "q58_tpch_q10",
+      (s, dir) => {
+        for (n <- Seq("customer", "orders", "lineitem", "nation"))
+          t(s, dir, n).createOrReplaceTempView(s"graft_$n")
+        s.sql(tpchQ10Sql("graft_"))
+      },
+      Some(tpchQ10Sql("")),
+    ),
+    QuerySpec(
+      // Hive-partitioned layout round-trip: write `orders` partitioned
+      // by year, read it back through a partition predicate. The filter
+      // must prune DIRECTORIES at planning time (PartitionFilters on
+      // the scan — asserted in PartitionPruningSpec over this very
+      // query), which is the 100 TB layout pattern: one year queried =
+      // one year read, not the table.
+      "q60_partition_pruned",
+      (s, dir) => {
+        val tmp = Relational.partitionedDir
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_year") === 1996)
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+            col("o_year").cast("int").as("o_year"))
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+          "o_orderdate, o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS o_year " +
+          "FROM orders WHERE year(o_orderdate) = 1996"),
     ),
   )
 }

@@ -48,6 +48,24 @@ object ScaleJoins {
       .drop("__graft_salt")
   }
 
+  /** q54's bucketed-table location (per-process, removed on exit). */
+  private[operators] lazy val bucketedDir: String = Relational.roundtripDir("bkt_join")
+
+  /** Write `df` as a bucketed external table (8 buckets on `key`,
+    * bucket-sorted) and return it re-read through the catalog, which is
+    * what carries the bucket spec into the join planner. Overwrite mode:
+    * repeated calls in one JVM (bench warmup + 2 timed passes) reuse
+    * the table.
+    */
+  private def bucketed(s: org.apache.spark.sql.SparkSession,
+      df: DataFrame, key: String, table: String): DataFrame = {
+    df.write.mode("overwrite")
+      .bucketBy(8, key).sortBy(key)
+      .option("path", s"$bucketedDir/$table")
+      .saveAsTable(table)
+    s.table(table)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       // the salted fact⋈dim join, oracle-gated: the result must be
@@ -74,6 +92,37 @@ object ScaleJoins {
           "SUM(l_quantity) AS sum_qty " +
           "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
           "GROUP BY s_name"),
+    ),
+    QuerySpec(
+      // The co-located bucketed join, oracle-gated end to end: both
+      // sides written as 8-bucket tables on the join key, joined
+      // through the catalog (which is what hands the bucket spec to
+      // the planner), result must EQUAL the plain join — bucketing
+      // only pre-positions data. ScaleJoinsSpec separately proves the
+      // plan has no Exchange on either join input. This is the
+      // pay-one-write-amortize-every-join layout for repeated
+      // fact-fact joins at 100 TB.
+      "q54_bucketed_join",
+      (s, dir) => {
+        val orders = bucketed(s,
+          Tables(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          "o_custkey", "graft_bkt_orders")
+        val cust = bucketed(s,
+          Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          "c_custkey", "graft_bkt_customer")
+        orders
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+              .as("sum_total"))
+      },
+      Some(
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment"),
     ),
   )
 }

@@ -97,14 +97,25 @@ object LuadPipeline {
   }
 
   /** Output sink (K1/K2, `PipeLine.scala:33-38`): stdout when no output
-    * path, else tab-separated file with `%s%` replaced by epoch millis.
+    * path, else tab-separated part files with `%s%` replaced by epoch
+    * millis. `parts` caps the part-file count — the reference writes
+    * 8-way (`PipeLine.scala:36-37`, artifact `output/text.txt/1..8`)
+    * and so does this by default; a single-task coalesce(1) write
+    * would serialize the whole sink through one core the moment the
+    * output is large. coalesce (not repartition): no shuffle, and it
+    * can only lower the partition count — a small result that already
+    * sits in fewer partitions stays as-is.
     */
-  def writeOutput(result: DataFrame, outputPath: Option[String]): Unit =
+  def writeOutput(
+      result: DataFrame,
+      outputPath: Option[String],
+      parts: Int = 8,
+  ): Unit =
     outputPath match {
       case None => result.collect().foreach(r => println(s"${r.get(0)}\t${r.get(1)}"))
       case Some(p) =>
         val path = p.replace("%s%", System.currentTimeMillis().toString)
-        result.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+        result.coalesce(parts).write.mode("overwrite").option("sep", "\t").csv(path)
     }
 
   /** CLI mirroring the reference driver: args(0) = definition file. */

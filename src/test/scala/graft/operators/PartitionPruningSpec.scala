@@ -38,4 +38,18 @@ class PartitionPruningSpec extends SparkSpec {
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dayDirs.contains("day=2024-01-02") && dayDirs.size > 1)
   }
+
+  test("q60's year predicate prunes partitions at the scan") {
+    val s = spark
+    val q = graft.SparkEntry
+      .queries("q60_partition_pruned")(s, "/root/testdata/sf0.001")
+    val flat = q.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+    // the o_year filter must land in PartitionFilters (directory
+    // pruning at planning time), not a post-scan Filter
+    assert(flat.matches(".*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"), flat)
+    // and the layout must actually be partitioned: multiple year dirs
+    val yearDirs = new java.io.File(Relational.partitionedDir)
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(yearDirs.contains("o_year=1996") && yearDirs.size > 1, yearDirs.toString)
+  }
 }

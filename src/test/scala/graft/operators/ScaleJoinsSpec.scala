@@ -77,6 +77,28 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("q54's bucketed tables join with no Exchange on either input") {
+    val s = spark
+    val savedThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      // run q54 once to (re)write the bucketed tables into the catalog
+      val q = graft.SparkEntry
+        .queries("q54_bucketed_join")(s, "/root/testdata/sf0.001")
+      assert(q.count() > 0)
+      // the JOIN itself (before the c_mktsegment agg, which legitimately
+      // shuffles) must be Exchange-free: both scans are bucket-aligned
+      val joined = s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"),
+          org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     val s = spark; import s.implicits._
     // 4 configured shuffle partitions but only a few KB of shuffle

@@ -119,6 +119,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows over the sf0.01 events fixture equal the batch q36 sessionization") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    // batch truth: q36's lag-based sessionization (independently
+    // DuckDB-oracle-gated) — an entirely different formulation of the
+    // same 30-minute-gap semantics as streaming session_window
+    val batch = graft.SparkEntry.queries("q36_window_session")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(2).toInstant, r.getTimestamp(3).toInstant, r.getLong(4)))
+      .toSet
+    // replay the fixture chronologically in 3 micro-batches: sessions
+    // crossing a batch boundary must merge in the state store, and
+    // chronological order keeps every row ahead of the 2h watermark
+    val rows = graft.Tables.events(s, dir)
+      .select(col("ts"), col("user_id"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionCounts(input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("fixture_sessions")
+      .outputMode("complete").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = s.table("fixture_sessions").collect()
+        .map { r =>
+          // session_window end = last event + gap; q36's sess_end = last
+          // event — shift to compare
+          (r.getLong(2), r.getTimestamp(0).toInstant,
+            r.getTimestamp(1).toInstant.minusSeconds(1800), r.getLong(3))
+        }
+        .toSet
+      assert(got.size == batch.size, s"${got.size} streaming vs ${batch.size} batch sessions")
+      assert(got == batch, "streaming session windows must equal batch sessionization")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate (user, ts) arrivals across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
