@@ -145,8 +145,12 @@ object PipelineOps {
     ),
     QuerySpec(
       // LinearSVC train/predict on features assembled from the COO view
-      // (label: high-value order) — rows-only; recovery golden-checked
-      // in SvmSpec.
+      // (label: high-value order). The decision VALUES are
+      // model-dependent (recovery golden-checked in SvmSpec); the
+      // prediction CONTRACT is SQL arithmetic: exactly ONE prediction
+      // per eligible sample (the id rides through transform — no dup,
+      // no loss) and every prediction on the ±1 codebook. Both are
+      // DuckDB-checkable from the input alone.
       "q40_svm_predict",
       (s, dir) => {
         val m = cooDedup(s, dir).filter(col("sample") < 2000)
@@ -165,8 +169,17 @@ object PipelineOps {
         val model = graft.pipeline.Svm.train(
           s, features, labels, graft.pipeline.Svm.SvmParams(maxIter = 5))
         graft.pipeline.Svm.predict(model, features)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("sample")).as("n_samples"),
+            sum(when(abs(col("prediction")) =!= 1.0, 1L).otherwise(0L))
+              .as("n_offcodebook"))
       },
-      None,
+      Some(
+        "SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_rows, " +
+          "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_samples, " +
+          "CAST(0 AS BIGINT) AS n_offcodebook " +
+          "FROM lineitem WHERE l_orderkey < 2000"),
     ),
   )
 }
