@@ -122,6 +122,182 @@ object Relational {
   private val tax = "CAST(l_tax AS DECIMAL(18,2))"
   private val qty = "CAST(l_quantity AS DECIMAL(18,2))"
 
+  /** Exact discounted price — every product needs ≤4 decimal places, so
+    * the DECIMAL(18,4) view is exactly representable on both engines.
+    */
+  private val discPrice = s"CAST($price * (1 - $disc) AS DECIMAL(18,4))"
+
+  // ── TPC-H Q4/Q6/Q7/Q13/Q14/Q15/Q17/Q18/Q19/Q22, adapted where the
+  // fixture schema is trimmed (no partsupp / l_commitdate / l_receiptdate
+  // / l_shipmode / c_phone — substitutions noted per query). Same
+  // dialect-neutral shared-SQL discipline as Q1/Q3/Q5/Q10: the Spark
+  // query (prefixed views) and the DuckDB oracle are the SAME string.
+
+  /** Q4 order-priority checking. The reference's late-delivery predicate
+    * (l_commitdate < l_receiptdate) isn't representable in the fixture
+    * schema; shipped-after-order-date keeps the same plan shape — a
+    * correlated EXISTS (left-semi join with a mixed equi + non-equi
+    * condition) feeding a grouped count.
+    */
+  private def tpchQ4Sql(p: String): String =
+    "SELECT o_orderpriority, COUNT(*) AS order_count " +
+      s"FROM ${p}orders " +
+      "WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01' " +
+      s"AND EXISTS (SELECT 1 FROM ${p}lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+  /** Q6 forecast-revenue: the pure scan-aggregate — every predicate must
+    * reach the parquet scan (date + discount + quantity pushdown), zero
+    * joins, one map-side-combinable global sum. The discount band is
+    * compared in DECIMAL(18,2) so both engines test the exact 2-dp value.
+    */
+  private def tpchQ6Sql(p: String): String =
+    s"SELECT CAST(SUM($price * $disc) AS DOUBLE) AS revenue " +
+      s"FROM ${p}lineitem " +
+      "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
+      s"AND $disc BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+
+  /** Q7 volume-shipping: the dimension-self-join shape — nation joined
+    * TWICE under different aliases (supplier side vs customer side) with
+    * a symmetric disjunction, then a 3-key grouped sum. Nation names
+    * follow the fixture's NATION_n convention.
+    */
+  private def tpchQ7Sql(p: String): String =
+    "SELECT supp_nation, cust_nation, l_year, " +
+      "CAST(SUM(volume) AS DOUBLE) AS revenue FROM (" +
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      s"YEAR(l_shipdate) AS l_year, $discPrice AS volume " +
+      s"FROM ${p}supplier JOIN ${p}lineitem ON s_suppkey = l_suppkey " +
+      s"JOIN ${p}orders ON o_orderkey = l_orderkey " +
+      s"JOIN ${p}customer ON c_custkey = o_custkey " +
+      s"JOIN ${p}nation n1 ON s_nationkey = n1.n_nationkey " +
+      s"JOIN ${p}nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+      "AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'" +
+      ") AS shipping " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+
+  /** Q13 customer-order distribution: LEFT OUTER join with an extra
+    * join-side filter (reference filters o_comment, absent here — the
+    * priority filter keeps the "condition on the join, not the WHERE"
+    * semantics that make this a left join and not an inner one), then a
+    * second aggregation over the first — the histogram-of-group-sizes
+    * shape.
+    */
+  private def tpchQ13Sql(p: String): String =
+    "SELECT c_count, COUNT(*) AS custdist FROM (" +
+      "SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
+      s"FROM ${p}customer LEFT JOIN ${p}orders " +
+      "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+      "GROUP BY c_custkey) AS c_orders " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+
+  /** Q14 promo-revenue: conditional aggregation over a fact-dimension
+    * join. Numerator and denominator are exact decimal sums cast to
+    * DOUBLE before one IEEE division — identical operands → identical
+    * quotient on both engines. Fixture p_type is single-word.
+    */
+  private def tpchQ14Sql(p: String): String =
+    "SELECT CAST(100.00 * " +
+      s"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discPrice " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+      s"CAST(SUM($discPrice) AS DOUBLE) AS DOUBLE) AS promo_revenue " +
+      s"FROM ${p}lineitem JOIN ${p}part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'"
+
+  /** Q15 top supplier: a CTE consumed TWICE — once as the join input,
+    * once inside the scalar MAX subquery. Revenue stays exact DECIMAL
+    * through the equality test (deterministic cross-engine), DOUBLE only
+    * in the projection.
+    */
+  private def tpchQ15Sql(p: String): String =
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+      s"SUM($discPrice) AS total_revenue " +
+      s"FROM ${p}lineitem " +
+      "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01' " +
+      "GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue " +
+      s"FROM ${p}supplier JOIN revenue ON s_suppkey = supplier_no " +
+      "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) " +
+      "ORDER BY s_suppkey"
+
+  /** Q17 small-quantity-order revenue: the correlated scalar-subquery
+    * shape — per-part average quantity computed in a subquery correlated
+    * on the outer part key (Catalyst de-correlates to an aggregate +
+    * equi-join). Brand-only filter (fixture has no p_container).
+    * AVG(l_quantity) is exact: quantities are small integers stored as
+    * doubles, so the sum is order-independent.
+    */
+  private def tpchQ17Sql(p: String): String =
+    s"SELECT CAST(CAST(SUM($price) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly " +
+      s"FROM ${p}lineitem JOIN ${p}part ON p_partkey = l_partkey " +
+      "WHERE p_brand = 'Brand#23' " +
+      s"AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM ${p}lineitem l2 " +
+      s"WHERE l2.l_partkey = ${p}part.p_partkey)"
+
+  /** Q18 large-volume customers: grouped-HAVING subquery feeding an IN
+    * (left-semi) filter over a 3-way join, re-aggregated and top-k cut.
+    * Threshold 300 ≈ 3× the fixture's mean per-order quantity (103).
+    */
+  private def tpchQ18Sql(p: String): String =
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+      s"CAST(SUM($qty) AS DOUBLE) AS sum_qty " +
+      s"FROM ${p}customer JOIN ${p}orders ON c_custkey = o_custkey " +
+      s"JOIN ${p}lineitem ON o_orderkey = l_orderkey " +
+      s"WHERE o_orderkey IN (SELECT l_orderkey FROM ${p}lineitem " +
+      s"GROUP BY l_orderkey HAVING SUM($qty) > 300) " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      // orderkey tie-break makes the top-100 cut deterministic cross-engine
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+
+  /** Q19 discounted revenue: the disjunctive-predicate join — one
+    * equi-join with an OR-of-conjunctions residual mixing columns from
+    * both sides (Catalyst plans the equi-join and applies the
+    * disjunction as a post-join filter). Bands widened to the fixture's
+    * uniform p_size 1–50.
+    */
+  private def tpchQ19Sql(p: String): String =
+    s"SELECT CAST(SUM($discPrice) AS DOUBLE) AS revenue " +
+      s"FROM ${p}lineitem JOIN ${p}part ON p_partkey = l_partkey " +
+      "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity BETWEEN 1 AND 11) " +
+      "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 " +
+      "AND l_quantity BETWEEN 10 AND 20) " +
+      "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 " +
+      "AND l_quantity BETWEEN 20 AND 30)"
+
+  /** Q22 wealthy-inactive customers: scalar subquery + NOT EXISTS
+    * anti-join. Adaptations: the above-average-balance test is stated as
+    * the cross-multiplied exact form (bal × count > total — equivalent
+    * since count > 0, but every operand is exact DECIMAL/BIGINT, so no
+    * cross-engine float-mean drift can flip a boundary row); "no orders"
+    * becomes "no orders since 1998" (every fixture customer has some
+    * order); the phone-prefix grouping becomes c_nationkey (no c_phone).
+    */
+  private def tpchQ22Sql(p: String): String =
+    "SELECT c_nationkey, COUNT(*) AS numcust, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+      s"FROM ${p}customer " +
+      "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * " +
+      s"(SELECT COUNT(*) FROM ${p}customer WHERE c_acctbal > 0.00) " +
+      s"> (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM ${p}customer " +
+      "WHERE c_acctbal > 0.00) " +
+      s"AND NOT EXISTS (SELECT 1 FROM ${p}orders " +
+      "WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1998-01-01') " +
+      "GROUP BY c_nationkey ORDER BY c_nationkey"
+
+  /** Registers the prefixed temp views a shared-SQL query needs and runs
+    * it; the oracle is the same text with no prefix.
+    */
+  private def sharedSql(s: SparkSession, dir: String, tables: Seq[String],
+      sql: String => String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(s"graft_$n"))
+    s.sql(sql("graft_"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q01_scan_project",
@@ -776,6 +952,71 @@ object Relational {
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
           "o_orderdate, o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS o_year " +
           "FROM orders WHERE year(o_orderdate) = 1996"),
+    ),
+    QuerySpec(
+      // Pure scan-aggregate: all three predicates push to the parquet
+      // scan, no join, one global map-side-combinable sum.
+      "q61_tpch_q6",
+      (s, dir) => sharedSql(s, dir, Seq("lineitem"), tpchQ6Sql),
+      Some(tpchQ6Sql("")),
+    ),
+    QuerySpec(
+      // Conditional aggregation over a broadcast fact-dim join.
+      "q62_tpch_q14",
+      (s, dir) => sharedSql(s, dir, Seq("lineitem", "part"), tpchQ14Sql),
+      Some(tpchQ14Sql("")),
+    ),
+    QuerySpec(
+      // HAVING-subquery semi-join feeding a 3-way join + top-k.
+      "q63_tpch_q18",
+      (s, dir) => sharedSql(s, dir, Seq("customer", "orders", "lineitem"), tpchQ18Sql),
+      Some(tpchQ18Sql("")),
+    ),
+    QuerySpec(
+      // LEFT OUTER with join-side filter, double aggregation (histogram
+      // of per-customer order counts).
+      "q64_tpch_q13",
+      (s, dir) => sharedSql(s, dir, Seq("customer", "orders"), tpchQ13Sql),
+      Some(tpchQ13Sql("")),
+    ),
+    QuerySpec(
+      // Equi-join with a disjunctive mixed-side residual predicate.
+      "q65_tpch_q19",
+      (s, dir) => sharedSql(s, dir, Seq("lineitem", "part"), tpchQ19Sql),
+      Some(tpchQ19Sql("")),
+    ),
+    QuerySpec(
+      // Scalar subqueries + NOT EXISTS anti-join + grouped agg.
+      "q66_tpch_q22",
+      (s, dir) => sharedSql(s, dir, Seq("customer", "orders"), tpchQ22Sql),
+      Some(tpchQ22Sql("")),
+    ),
+    QuerySpec(
+      // Correlated scalar subquery (per-part AVG), de-correlated by
+      // Catalyst into an aggregate + equi-join.
+      "q67_tpch_q17",
+      (s, dir) => sharedSql(s, dir, Seq("lineitem", "part"), tpchQ17Sql),
+      Some(tpchQ17Sql("")),
+    ),
+    QuerySpec(
+      // Correlated EXISTS → left-semi join with mixed condition.
+      "q68_tpch_q4",
+      (s, dir) => sharedSql(s, dir, Seq("orders", "lineitem"), tpchQ4Sql),
+      Some(tpchQ4Sql("")),
+    ),
+    QuerySpec(
+      // CTE consumed twice (join input + scalar MAX subquery).
+      "q69_tpch_q15",
+      (s, dir) => sharedSql(s, dir, Seq("lineitem", "supplier"), tpchQ15Sql),
+      Some(tpchQ15Sql("")),
+    ),
+    QuerySpec(
+      // Dimension self-join: nation aliased twice with a symmetric
+      // disjunctive pair filter, 3-key grouped sum.
+      "q70_tpch_q7",
+      (s, dir) => sharedSql(s, dir,
+        Seq("supplier", "lineitem", "orders", "customer", "nation"), tpchQ7Sql),
+      Some(tpchQ7Sql("")),
     ),
   )
 }

@@ -5,11 +5,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+// top-level, not nested in the suite: Spark's encoder codegen can't
+// instantiate an inner case class (needs the outer pointer) and falls
+// back to the interpreted path for every batch
+case class Ev(ts: Timestamp, event_type: String, user_id: Long)
+
 class StreamsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
-
-  private case class Ev(ts: Timestamp, event_type: String, user_id: Long)
 
   test("tumbling windows with watermark: counts per hour, late row dropped") {
     val s = spark; import s.implicits._
