@@ -321,5 +321,33 @@ object CurationOps {
           "COUNT(tr.fp) > 0 AS contaminated " +
           "FROM te LEFT JOIN tr ON te.fp = tr.fp GROUP BY te.doc_id"),
     ),
+    QuerySpec(
+      // Per-group quota sampling: exactly N docs per source, chosen by
+      // md5 rank — the "balanced subset across sources" op (quota rather
+      // than q45's rate). Deterministic and retry-stable like every
+      // sampling op here. Scale shape: ONE shuffle on the group key
+      // carrying only (doc_id, source) + a 32-char hash — column pruning
+      // keeps text out of the exchange; the doc_id tie-break makes the
+      // cut exact even on colliding hashes.
+      "q71_group_quota",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            col("source"),
+            expr("md5(concat('quota:', CAST(doc_id AS STRING)))").as("h"))
+          .withColumn(
+            "rk",
+            row_number()
+              .over(Window.partitionBy("source").orderBy(col("h"), col("doc_id")))
+              .cast("bigint"))
+          .filter(col("rk") <= 10)
+          .select("doc_id", "source", "rk"),
+      Some(
+        "SELECT doc_id, source, rk FROM (" +
+          "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+          "ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+          "FROM documents) t WHERE rk <= 10"),
+    ),
   )
 }

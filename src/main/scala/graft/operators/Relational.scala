@@ -51,6 +51,9 @@ object Relational {
   /** q60's scratch dir (hive-partitioned orders). */
   private[operators] lazy val partitionedDir: String = roundtripDir("orders_by_yr")
 
+  /** q03d's scratch dir. */
+  private[operators] lazy val textRoundtripDir: String = roundtripDir("documents_txt")
+
   /** TPC-H Q1/Q3 as ONE dialect-neutral SQL text each: the Spark query
     * (over `graft_`-prefixed temp views, so fixture-named views in the
     * session are never clobbered) and the DuckDB oracle (bare table
@@ -149,14 +152,17 @@ object Relational {
 
   /** Q6 forecast-revenue: the pure scan-aggregate — every predicate must
     * reach the parquet scan (date + discount + quantity pushdown), zero
-    * joins, one map-side-combinable global sum. The discount band is
-    * compared in DECIMAL(18,2) so both engines test the exact 2-dp value.
+    * joins, one map-side-combinable global sum. The discount band
+    * compares the RAW double column (a DECIMAL cast would block the
+    * parquet pushdown); both engines promote the 2-dp literals to the
+    * same doubles, so the comparison is engine-identical — only the SUM
+    * needs the exact-decimal treatment.
     */
   private def tpchQ6Sql(p: String): String =
     s"SELECT CAST(SUM($price * $disc) AS DOUBLE) AS revenue " +
       s"FROM ${p}lineitem " +
       "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
-      s"AND $disc BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+      "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
 
   /** Q7 volume-shipping: the dimension-self-join shape — nation joined
     * TWICE under different aliases (supplier side vs customer side) with
@@ -363,6 +369,29 @@ object Relational {
         s.read.schema(src.schema).json(tmp)
       },
       Some("SELECT * FROM part"),
+    ),
+    QuerySpec(
+      "q03d_text_roundtrip",
+      (s, dir) => {
+        // Raw line-oriented sink/source (`spark.read.text` — the format
+        // log shippers and legacy feeds arrive in): write tab-joined
+        // lines, read back as untyped lines, re-parse with explicit
+        // casts. Only newline-free columns ride the line format (text
+        // payloads stay in columnar formats); parallel multi-part write,
+        // splittable read.
+        val tmp = Relational.textRoundtripDir
+        t(s, dir, "documents")
+          .select(concat_ws("\t",
+            col("doc_id"), col("source"), col("n_chars")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(split(col("value"), "\t").as("f"))
+          .select(
+            element_at(col("f"), 1).cast("bigint").as("doc_id"),
+            element_at(col("f"), 2).as("source"),
+            element_at(col("f"), 3).cast("bigint").as("n_chars"))
+      },
+      Some("SELECT doc_id, source, n_chars FROM documents"),
     ),
     QuerySpec(
       "q04_join_inner",

@@ -224,5 +224,26 @@ object TextOps {
           "SELECT dd.doc_id, dd.dl, COALESCE(sc.bm25, 0.0) AS bm25 " +
           "FROM dd LEFT JOIN sc ON dd.doc_id = sc.doc_id"),
     ),
+    QuerySpec(
+      // Corpus-wide top-k term frequency — the vocabulary/frequency-table
+      // pass every tokenizer build starts from. Scale shape: explode
+      // happens map-side, the partial count aggregates BEFORE the
+      // shuffle (map-side combine), so the exchange carries one row per
+      // (partition, distinct term), not one per token; the final top-25
+      // is a TakeOrderedAndProject, never a global sort of the
+      // vocabulary. Term tie-break makes the cut deterministic.
+      "q72_top_terms",
+      (s, dir) =>
+        docs(s, dir)
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term"))
+          .limit(25),
+      Some(
+        "SELECT term, COUNT(*) AS n FROM (" +
+          "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term " +
+          "FROM documents) t GROUP BY term ORDER BY n DESC, term LIMIT 25"),
+    ),
   )
 }
