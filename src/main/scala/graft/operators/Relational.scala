@@ -54,6 +54,9 @@ object Relational {
   /** q03d's scratch dir. */
   private[operators] lazy val textRoundtripDir: String = roundtripDir("documents_txt")
 
+  /** q73's scratch dir (range-sorted orders export). */
+  private[operators] lazy val sortedExportDir: String = roundtripDir("orders_sorted")
+
   /** TPC-H Q1/Q3 as ONE dialect-neutral SQL text each: the Spark query
     * (over `graft_`-prefixed temp views, so fixture-named views in the
     * session are never clobbered) and the DuckDB oracle (bare table
@@ -1046,6 +1049,25 @@ object Relational {
       (s, dir) => sharedSql(s, dir,
         Seq("supplier", "lineitem", "orders", "customer", "nation"), tpchQ7Sql),
       Some(tpchQ7Sql("")),
+    ),
+    QuerySpec(
+      // Globally-sorted export: repartitionByRange gives each output
+      // file a DISJOINT key range (sampled range boundaries — one
+      // shuffle, never a single-task global sort), sortWithinPartitions
+      // orders rows inside each file. The layout is what makes parquet
+      // min/max zone-maps effective: a date-predicate scan over the
+      // export skips whole files. File-range disjointness is asserted in
+      // SortedExportSpec; content equality is gated here.
+      "q73_sorted_export",
+      (s, dir) => {
+        val tmp = Relational.sortedExportDir
+        t(s, dir, "orders")
+          .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+          .sortWithinPartitions("o_orderdate", "o_orderkey")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+      },
+      Some("SELECT * FROM orders"),
     ),
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale artifact of q73's range-sorted export: the output files must
+  * cover DISJOINT key ranges (that disjointness is what lets parquet
+  * min/max zone-maps skip whole files on a range predicate), and rows
+  * inside each file must be sorted. A plain repartition+sort would pass
+  * content equality but produce overlapping files — this spec is what
+  * tells them apart.
+  */
+class SortedExportSpec extends SparkSpec {
+
+  test("range-partitioned export: files cover disjoint, sorted key ranges") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    graft.Tables(s, "/root/testdata/sf0.001", "orders")
+      .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate", "o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+
+    // per-file min/max of the leading sort key (as ISO strings — same
+    // total order as the timestamp), via input_file_name — exactly the
+    // zone-map information a scan would consult
+    val ranges = s.read.parquet(dir)
+      .select(input_file_name().as("f"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d"))
+      .groupBy("f").agg(min("d").as("lo"), max("d").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    assert(ranges.length > 1, "expected a multi-file export")
+    assert(ranges.map(_._3).sum ==
+      graft.Tables(s, "/root/testdata/sf0.001", "orders").count())
+    // "every file's lo >= previous file's hi" would be too strict at
+    // range boundaries (a boundary value may straddle two files when
+    // the tie-break key splits it) — assert overlaps are confined to a
+    // single boundary value
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, hi2, _)) =>
+        assert(hi1 <= hi2, s"file ranges out of order: $hi1 > $hi2")
+        assert(lo2 >= hi1, s"file ranges overlap beyond a boundary value: lo=$lo2 < prev hi=$hi1")
+      case _ => ()
+    }
+
+    // rows inside each file are sorted on the leading key: per-file,
+    // the sequence of dates in file order must be non-decreasing
+    // (monotonically_increasing_id is partition-prefixed and ascending
+    // within a partition, so it preserves within-file row order)
+    val unsortedFiles = s.read.parquet(dir)
+      .select(input_file_name().as("f"), col("o_orderdate").as("d"),
+        monotonically_increasing_id().as("seq"))
+      .withColumn("prev_d",
+        lag("d", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("f").orderBy("seq")))
+      .where(col("prev_d") > col("d"))
+      .count()
+    assert(unsortedFiles == 0L, "found out-of-order rows inside an exported file")
+  }
+}
