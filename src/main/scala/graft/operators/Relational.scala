@@ -57,6 +57,9 @@ object Relational {
   /** q73's scratch dir (range-sorted orders export). */
   private[operators] lazy val sortedExportDir: String = roundtripDir("orders_sorted")
 
+  /** q74's scratch dir (two-era schema-evolved orders). */
+  private[operators] lazy val schemaEvoDir: String = roundtripDir("orders_evo")
+
   /** TPC-H Q1/Q3 as ONE dialect-neutral SQL text each: the Spark query
     * (over `graft_`-prefixed temp views, so fixture-named views in the
     * session are never clobbered) and the DuckDB oracle (bare table
@@ -1068,6 +1071,60 @@ object Relational {
         s.read.parquet(tmp)
       },
       Some("SELECT * FROM orders"),
+    ),
+    QuerySpec(
+      // Schema evolution across partitions: a long-lived 100 TB table's
+      // old partitions carry the old schema (era 1, no priority column)
+      // and new partitions the widened one (era 2). mergeSchema
+      // reconciles them at read time — era-1 rows surface NULL for the
+      // added column; the era partition key itself is directory-derived.
+      "q74_schema_evolution",
+      (s, dir) => {
+        val tmp = Relational.schemaEvoDir
+        val o = t(s, dir, "orders")
+        val cut = to_date(lit("1998-01-01"))
+        o.filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/era=1")
+        o.filter(col("o_orderdate") >= cut)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$tmp/era=2")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("era").cast("int").as("era"))
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, o_totalprice, " +
+          "CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS era " +
+          "FROM orders WHERE o_orderdate < DATE '1998-01-01' " +
+          "UNION ALL " +
+          "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 2 AS era " +
+          "FROM orders WHERE o_orderdate >= DATE '1998-01-01'"),
+    ),
+    QuerySpec(
+      // Nest-building (the inverse of explode): collect each order's
+      // lines into a sorted array of structs — the document/denormalized
+      // export shape — then flatten back, proving the round trip. The
+      // nested build is ONE shuffle on the group key; sort_array makes
+      // the array order deterministic (collect_list order is not).
+      "q75_nest_build",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+            .as("items"))
+          .select(
+            col("l_orderkey"),
+            size(col("items")).as("n_items"),
+            explode(col("items")).as("it"))
+          .select(
+            col("l_orderkey"), col("n_items"),
+            col("it.l_linenumber"), col("it.l_quantity")),
+      Some(
+        "SELECT l_orderkey, CAST(cnt AS INT) AS n_items, l_linenumber, l_quantity " +
+          "FROM (SELECT l_orderkey, l_linenumber, l_quantity, " +
+          "COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt FROM lineitem) t"),
     ),
   )
 }
