@@ -102,5 +102,50 @@ object WindowOps {
           "MIN(ts) AS sess_start, MAX(ts) AS sess_end, COUNT(*) AS n_events " +
           "FROM sess GROUP BY 1, 2"),
     ),
+    QuerySpec(
+      // Time-interval RANGE frame: trailing-7-day revenue per customer —
+      // the rolling-metric shape. Spark's rangeBetween is numeric-only,
+      // so the order key is epoch DAYS (o_orderdate is midnight-aligned;
+      // TIMESTAMP_NTZ also refuses a direct epoch-seconds cast) with a
+      // ±7 bound; the oracle states the same frame as RANGE BETWEEN
+      // INTERVAL. Peers (equal timestamps) are included by BOTH
+      // formulations — that's what makes the two equivalent.
+      // Exact-decimal window sum.
+      "q76_rolling_interval",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+          .rangeBetween(-7, 0)
+        Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w)
+            .cast("double").as("rolling_7d"))
+      },
+      Some(
+        "SELECT o_orderkey, o_custkey, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+          "AS rolling_7d FROM orders"),
+    ),
+    QuerySpec(
+      // UNPIVOT (q36b's inverse): wide columns → (attr, val) rows via
+      // stack — a zero-shuffle map-side reshape (each input row emits
+      // its k attribute rows in place). The oracle states the same
+      // reshape as UNION ALL.
+      "q77_unpivot",
+      (s, dir) =>
+        Tables(s, dir, "part").select(
+          col("p_partkey"),
+          expr("stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), " +
+            "'size', CAST(p_size AS DOUBLE))").as(Seq("attr", "val"))),
+      Some(
+        "SELECT p_partkey, 'retailprice' AS attr, " +
+          "CAST(p_retailprice AS DOUBLE) AS val FROM part " +
+          "UNION ALL " +
+          "SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part"),
+    ),
   )
 }
