@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TemporalOps.specs ++
       operators.PipelineOps.specs ++
       operators.ScaleJoins.specs ++
-      operators.CurationOps.specs
+      operators.CurationOps.specs ++
+      operators.TypedOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
