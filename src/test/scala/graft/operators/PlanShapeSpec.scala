@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Regression guards for the plan shapes the 100 TB story depends on.
+  * PlanAuditSpec rejects catastrophic shapes (cartesians) everywhere;
+  * this spec pins the POSITIVE properties of representative queries —
+  * pushed filters, pruned read schemas, bounded exchange counts — so a
+  * refactor that silently un-pushes a predicate or adds a shuffle fails
+  * here, not in a 100× production slowdown.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+
+  test("q61 (TPC-H Q6): all three predicate families reach the parquet scan") {
+    val p = plan("q61_tpch_q6")
+    assert(p.contains("PushedFilters:"), p.take(400))
+    val pushed = p.substring(p.indexOf("PushedFilters:"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.take(400).contains(c), s"$c not pushed: ${pushed.take(400)}")
+  }
+
+  test("q01: read schema is pruned to the two projected columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"), p.take(400))
+    val rs = p.substring(p.indexOf("ReadSchema"))
+    assert(rs.take(200).contains("l_orderkey") && rs.take(200).contains("l_quantity"), rs.take(200))
+    assert(!rs.take(200).contains("l_extendedprice"), s"unpruned scan: ${rs.take(200)}")
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q11 (hash agg): exactly one shuffle (partial agg before the exchange)") {
+    val p = plan("q11_agg_hash")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+  }
+
+  test("q70 (5-way star): dims broadcast, shuffles only for the final agg/sort") {
+    val p = plan("q70_tpch_q7")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 5, p.take(800))
+    assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(800))
+    // one hash exchange for the 3-key agg + one range exchange for the
+    // ORDER BY — anything more means a join stopped broadcasting
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1, p.take(800))
+  }
+
+  test("q63 (TPC-H Q18): top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q63_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+}
