@@ -70,10 +70,17 @@ object Bench {
     // per-query lines go to STDERR (human/progress view) so stdout stays
     // exactly the driver contract: one JSON line
     results.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${r3(v)}%.3f s") }
-    // durable artifact: survives any stdout capture truncation
-    val out = java.nio.file.Paths.get("target/bench.json")
-    Option(out.getParent).foreach(p => java.nio.file.Files.createDirectories(p): Unit)
-    java.nio.file.Files.writeString(out, json + "\n")
+    // durable artifact: survives any stdout capture truncation. Guarded —
+    // an unwritable cwd (cluster-mode container, full disk) must not
+    // suppress the driver-contract stdout line below
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      Option(out.getParent).foreach(p => java.nio.file.Files.createDirectories(p): Unit)
+      java.nio.file.Files.writeString(out, json + "\n"): Unit
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     println(json)
     spark.stop()
   }

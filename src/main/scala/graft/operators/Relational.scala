@@ -386,16 +386,21 @@ object Relational {
         // payloads stay in columnar formats); parallel multi-part write,
         // splittable read.
         val tmp = Relational.textRoundtripDir
+        // concat (not concat_ws): concat_ws DROPS null fields, shifting
+        // every later column one slot left on read-back. NULL is encoded
+        // as the empty field and decoded with nullif, so the round trip
+        // is null-faithful, not just null-free-fixture-lucky.
+        def nf(c: String) = coalesce(col(c).cast("string"), lit(""))
         t(s, dir, "documents")
-          .select(concat_ws("\t",
-            col("doc_id"), col("source"), col("n_chars")).as("value"))
+          .select(concat(nf("doc_id"), lit("\t"), nf("source"), lit("\t"), nf("n_chars"))
+            .as("value"))
           .write.mode("overwrite").text(tmp)
         s.read.text(tmp)
-          .select(split(col("value"), "\t").as("f"))
+          .select(split(col("value"), "\t", -1).as("f"))
           .select(
-            element_at(col("f"), 1).cast("bigint").as("doc_id"),
-            element_at(col("f"), 2).as("source"),
-            element_at(col("f"), 3).cast("bigint").as("n_chars"))
+            nullif(element_at(col("f"), 1), lit("")).cast("bigint").as("doc_id"),
+            nullif(element_at(col("f"), 2), lit("")).as("source"),
+            nullif(element_at(col("f"), 3), lit("")).cast("bigint").as("n_chars"))
       },
       Some("SELECT doc_id, source, n_chars FROM documents"),
     ),
@@ -914,10 +919,7 @@ object Relational {
       // surfaces as DOUBLE. One map-side-combinable aggregation over
       // a pushed-down date filter.
       "q55_tpch_q1",
-      (s, dir) => {
-        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
-        s.sql(tpchQ1Sql("graft_"))
-      },
+      (s, dir) => sharedSql(s, dir, Seq("lineitem"), tpchQ1Sql),
       Some(tpchQ1Sql("")),
     ),
     QuerySpec(
@@ -926,12 +928,7 @@ object Relational {
       // revenue stays exact DECIMAL until the final cast so the
       // ORDER BY ... LIMIT cut is deterministic cross-engine.
       "q56_tpch_q3",
-      (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("graft_customer")
-        t(s, dir, "orders").createOrReplaceTempView("graft_orders")
-        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
-        s.sql(tpchQ3Sql("graft_"))
-      },
+      (s, dir) => sharedSql(s, dir, Seq("customer", "orders", "lineitem"), tpchQ3Sql),
       Some(tpchQ3Sql("")),
     ),
     QuerySpec(
@@ -941,11 +938,8 @@ object Relational {
       // build sides at runtime; one map-side-combinable aggregate on
       // the 5-row n_name key.
       "q57_tpch_q5",
-      (s, dir) => {
-        for (n <- Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
-          t(s, dir, n).createOrReplaceTempView(s"graft_$n")
-        s.sql(tpchQ5Sql("graft_"))
-      },
+      (s, dir) => sharedSql(s, dir,
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region"), tpchQ5Sql),
       Some(tpchQ5Sql("")),
     ),
     QuerySpec(
@@ -956,11 +950,8 @@ object Relational {
       // table doesn't have those columns — same grouping cardinality,
       // nothing else changes.)
       "q58_tpch_q10",
-      (s, dir) => {
-        for (n <- Seq("customer", "orders", "lineitem", "nation"))
-          t(s, dir, n).createOrReplaceTempView(s"graft_$n")
-        s.sql(tpchQ10Sql("graft_"))
-      },
+      (s, dir) => sharedSql(s, dir,
+        Seq("customer", "orders", "lineitem", "nation"), tpchQ10Sql),
       Some(tpchQ10Sql("")),
     ),
     QuerySpec(

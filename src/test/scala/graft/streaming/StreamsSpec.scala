@@ -141,6 +141,23 @@ class StreamsSpec extends SparkSpec {
       .select(col("ts"), col("user_id"))
       .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
       .sortBy(_._1.getTime)
+    // precondition, not luck: q36 splits on SECOND-TRUNCATED gap > 1800
+    // (trunc(b) - trunc(a) > 1800) while session_window splits on the
+    // exact gap >= 1800s. They disagree exactly when the exact gap is
+    // >= 1800s but the truncated diff is <= 1800 (stream splits, batch
+    // merges). Assert the fixture has no such gap so the equivalence
+    // below is well-founded; a regenerated fixture that lands there
+    // fails HERE with a diagnosis, not in the set comparison.
+    def micros(t: Timestamp) = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ambiguous = rows.groupBy(_._2).valuesIterator.flatMap { evs =>
+      evs.map(e => micros(e._1)).sorted.sliding(2).collect {
+        case Array(a, b)
+            if b - a >= 1800000000L && (b / 1000000L - a / 1000000L) <= 1800L =>
+          b - a
+      }
+    }.toList
+    assert(ambiguous.isEmpty,
+      s"fixture gaps where exact>=1800s but truncated<=1800s (batch/stream disagree): $ambiguous us")
     val input = MemoryStream[(Timestamp, Long)]
     val q = Streams.sessionCounts(input.toDF().toDF("ts", "user_id"))
       .writeStream.format("memory").queryName("fixture_sessions")
