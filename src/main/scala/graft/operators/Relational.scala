@@ -301,6 +301,164 @@ object Relational {
       "WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1998-01-01') " +
       "GROUP BY c_nationkey ORDER BY c_nationkey"
 
+  // ── TPC-H Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21, completing the 22-query suite.
+  // The fixture has no partsupp table, so the supplier-part relation is
+  // DERIVED from lineitem (distinct pairs; cost = min observed unit
+  // price; availqty = shipped quantity) — a real pattern at scale:
+  // dimension tables distilled from the fact table. No l_commitdate /
+  // l_receiptdate either, so "late" is shipped >60 days after the order
+  // date — the same correlated-predicate plan shapes on fixture columns.
+
+  /** Q8 national market share: the share-of-group division — an 8-way
+    * join (nation aliased twice: customer region filter vs supplier
+    * nationality) feeding a conditional-sum / total-sum ratio per year.
+    * Numerator and denominator stay exact DECIMAL until ONE double
+    * division — identical operands cross-engine, identical quotient.
+    */
+  private def tpchQ8Sql(p: String): String =
+    "SELECT o_year, CAST(CAST(SUM(CASE WHEN nation = 'NATION_12' THEN volume " +
+      "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+      "CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share " +
+      s"FROM (SELECT YEAR(o_orderdate) AS o_year, $discPrice AS volume, " +
+      "n2.n_name AS nation " +
+      s"FROM ${p}part JOIN ${p}lineitem ON p_partkey = l_partkey " +
+      s"JOIN ${p}supplier ON s_suppkey = l_suppkey " +
+      s"JOIN ${p}orders ON l_orderkey = o_orderkey " +
+      s"JOIN ${p}customer ON o_custkey = c_custkey " +
+      s"JOIN ${p}nation n1 ON c_nationkey = n1.n_nationkey " +
+      s"JOIN ${p}region ON n1.n_regionkey = r_regionkey " +
+      s"JOIN ${p}nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31' " +
+      "AND p_type = 'ECONOMY') AS all_nations " +
+      "GROUP BY o_year ORDER BY o_year"
+
+  /** Q9 product-type profit: the widest-fact-join aggregate. Cost proxy:
+    * p_retailprice × quantity (no ps_supplycost in the fixture); amount
+    * stays exact DECIMAL(28,4) so the grouped sum is order-independent.
+    */
+  private def tpchQ9Sql(p: String): String =
+    "SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit " +
+      "FROM (SELECT n_name AS nation, YEAR(o_orderdate) AS o_year, " +
+      s"CAST($discPrice - CAST(p_retailprice AS DECIMAL(18,2)) * $qty " +
+      "AS DECIMAL(28,4)) AS amount " +
+      s"FROM ${p}part JOIN ${p}lineitem ON p_partkey = l_partkey " +
+      s"JOIN ${p}supplier ON s_suppkey = l_suppkey " +
+      s"JOIN ${p}orders ON o_orderkey = l_orderkey " +
+      s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
+      "WHERE p_name LIKE '%red%') AS profit " +
+      "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+
+  /** Q12 shipmode priority counts: conditional (pivot-style) aggregation
+    * over a fact-fact join with a cross-table date predicate. Group key
+    * is l_returnflag (no l_shipmode); "late" = shipped >60 days after
+    * the order date (no l_commitdate/l_receiptdate).
+    */
+  private def tpchQ12Sql(p: String): String =
+    // CAST ... AS BIGINT: DuckDB's SUM(int) yields HUGEINT, which the
+    // hash compare canonicalizes as float — pin both engines to int64.
+    "SELECT l_returnflag, " +
+      "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+      s"FROM ${p}orders JOIN ${p}lineitem ON o_orderkey = l_orderkey " +
+      "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+      "AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  /** Q21 suppliers who kept orders waiting: the double-correlated
+    * EXISTS + NOT EXISTS self-join on the fact table — was the order
+    * multi-supplier, and was THIS supplier the only late one? Both
+    * subqueries correlate on the outer order (the NOT EXISTS carries a
+    * non-equality correlated predicate on o_orderdate — Catalyst
+    * decorrelates both into semi/anti joins).
+    */
+  private def tpchQ21Sql(p: String): String =
+    "SELECT s_name, COUNT(*) AS numwait " +
+      s"FROM ${p}supplier JOIN ${p}lineitem l1 ON s_suppkey = l1.l_suppkey " +
+      s"JOIN ${p}orders ON o_orderkey = l1.l_orderkey " +
+      s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
+      "WHERE o_orderstatus = 'F' AND n_name = 'NATION_3' " +
+      "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+      s"AND EXISTS (SELECT 1 FROM ${p}lineitem l2 " +
+      "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+      s"AND NOT EXISTS (SELECT 1 FROM ${p}lineitem l3 " +
+      "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+      "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+
+  /** Q2 minimum-cost supplier: a CTE consumed twice — once as the join
+    * input and once inside a CORRELATED scalar MIN subquery (correlation
+    * on the outer part key). Unit cost is one IEEE double division of
+    * identical operands on both engines, so MIN and the equality test
+    * are engine-identical.
+    */
+  private def tpchQ2Sql(p: String): String =
+    "WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, " +
+      "MIN(l_extendedprice / l_quantity) AS ps_supplycost " +
+      s"FROM ${p}lineitem GROUP BY 1, 2) " +
+      "SELECT s_acctbal, s_name, n_name, p_partkey, p_name " +
+      s"FROM ${p}part JOIN ps ON p_partkey = ps_partkey " +
+      s"JOIN ${p}supplier ON s_suppkey = ps_suppkey " +
+      s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
+      s"JOIN ${p}region ON n_regionkey = r_regionkey " +
+      "WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE' " +
+      "AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM ps ps2 " +
+      s"JOIN ${p}supplier s2 ON s2.s_suppkey = ps2.ps_suppkey " +
+      s"JOIN ${p}nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+      s"JOIN ${p}region r2 ON n2.n_regionkey = r2.r_regionkey " +
+      "WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
+      "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+
+  /** Q11 important stock: grouped exact-decimal value per part with a
+    * global scalar-subquery threshold, stated cross-multiplied
+    * (value × 1000 > total) so no float fraction touches the boundary.
+    */
+  private def tpchQ11Sql(p: String): String =
+    "SELECT ps_partkey, CAST(value AS DOUBLE) AS value FROM (" +
+      s"SELECT l_partkey AS ps_partkey, SUM($price * $qty) AS value " +
+      s"FROM ${p}lineitem JOIN ${p}supplier ON l_suppkey = s_suppkey " +
+      s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
+      "WHERE n_name = 'NATION_7' GROUP BY l_partkey) AS t " +
+      s"WHERE value * 1000 > (SELECT SUM($price * $qty) " +
+      s"FROM ${p}lineitem JOIN ${p}supplier ON l_suppkey = s_suppkey " +
+      s"JOIN ${p}nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7') " +
+      "ORDER BY value DESC, ps_partkey"
+
+  /** Q16 parts-supplier relationship: COUNT(DISTINCT) over a derived
+    * distinct-pair relation with a NOT IN exclusion subquery (negative
+    * balance stands in for the reference's complaints filter; s_suppkey
+    * is non-null so NOT IN is a plain anti-join).
+    */
+  private def tpchQ16Sql(p: String): String =
+    "SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt " +
+      "FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey " +
+      s"FROM ${p}lineitem) AS ps " +
+      s"JOIN ${p}part ON p_partkey = ps_partkey " +
+      "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' " +
+      "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) " +
+      s"AND ps_suppkey NOT IN (SELECT s_suppkey FROM ${p}supplier WHERE s_acctbal < 0) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+
+  /** Q20 potential part promotion: nested IN subqueries — suppliers who
+    * shipped red parts mostly (>half, exact decimal, cross-multiplied)
+    * inside the target year — plus a scalar-subquery equality on the
+    * nation key.
+    */
+  private def tpchQ20Sql(p: String): String =
+    s"SELECT s_suppkey, s_name FROM ${p}supplier " +
+      "WHERE s_suppkey IN (" +
+      s"SELECT l_suppkey FROM ${p}lineitem " +
+      s"WHERE l_partkey IN (SELECT p_partkey FROM ${p}part WHERE p_name LIKE 'red%') " +
+      "GROUP BY l_suppkey, l_partkey " +
+      "HAVING SUM(CASE WHEN l_shipdate >= DATE '1996-01-01' " +
+      s"AND l_shipdate < DATE '1997-01-01' THEN $qty " +
+      s"ELSE CAST(0 AS DECIMAL(18,2)) END) * 2 > SUM($qty)) " +
+      s"AND s_nationkey = (SELECT n_nationkey FROM ${p}nation WHERE n_name = 'NATION_5') " +
+      "ORDER BY s_suppkey"
+
   /** Registers the prefixed temp views a shared-SQL query needs and runs
     * it; the oracle is the same text with no prefix.
     */
@@ -1116,6 +1274,62 @@ object Relational {
         "SELECT l_orderkey, CAST(cnt AS INT) AS n_items, l_linenumber, l_quantity " +
           "FROM (SELECT l_orderkey, l_linenumber, l_quantity, " +
           "COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt FROM lineitem) t"),
+    ),
+    QuerySpec(
+      // Share-of-group division over an 8-way join (nation twice).
+      "q79_tpch_q8",
+      (s, dir) => sharedSql(s, dir,
+        Seq("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+        tpchQ8Sql),
+      Some(tpchQ8Sql("")),
+    ),
+    QuerySpec(
+      // Widest fact join; exact-decimal profit amount per line.
+      "q80_tpch_q9",
+      (s, dir) => sharedSql(s, dir,
+        Seq("part", "lineitem", "supplier", "orders", "nation"), tpchQ9Sql),
+      Some(tpchQ9Sql("")),
+    ),
+    QuerySpec(
+      // Conditional pivot-counts with a cross-table date predicate.
+      "q81_tpch_q12",
+      (s, dir) => sharedSql(s, dir, Seq("orders", "lineitem"), tpchQ12Sql),
+      Some(tpchQ12Sql("")),
+    ),
+    QuerySpec(
+      // EXISTS + NOT EXISTS double self-join correlation on the fact.
+      "q82_tpch_q21",
+      (s, dir) => sharedSql(s, dir,
+        Seq("supplier", "lineitem", "orders", "nation"), tpchQ21Sql),
+      Some(tpchQ21Sql("")),
+    ),
+    QuerySpec(
+      // CTE reused in a correlated scalar MIN subquery.
+      "q83_tpch_q2",
+      (s, dir) => sharedSql(s, dir,
+        Seq("part", "lineitem", "supplier", "nation", "region"), tpchQ2Sql),
+      Some(tpchQ2Sql("")),
+    ),
+    QuerySpec(
+      // Grouped value vs global scalar threshold, cross-multiplied exact.
+      "q84_tpch_q11",
+      (s, dir) => sharedSql(s, dir,
+        Seq("lineitem", "supplier", "nation"), tpchQ11Sql),
+      Some(tpchQ11Sql("")),
+    ),
+    QuerySpec(
+      // COUNT(DISTINCT) over a derived pair relation + NOT IN exclusion.
+      "q85_tpch_q16",
+      (s, dir) => sharedSql(s, dir,
+        Seq("lineitem", "part", "supplier"), tpchQ16Sql),
+      Some(tpchQ16Sql("")),
+    ),
+    QuerySpec(
+      // Nested IN subqueries + scalar-subquery equality filter.
+      "q86_tpch_q20",
+      (s, dir) => sharedSql(s, dir,
+        Seq("supplier", "lineitem", "part", "nation"), tpchQ20Sql),
+      Some(tpchQ20Sql("")),
     ),
   )
 }
