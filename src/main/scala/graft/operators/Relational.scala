@@ -57,6 +57,9 @@ object Relational {
   /** q73's scratch dir (range-sorted orders export). */
   private[operators] lazy val sortedExportDir: String = roundtripDir("orders_sorted")
 
+  /** q88's scratch dir (z-ordered lineitem export). */
+  private[operators] lazy val zorderDir: String = roundtripDir("lineitem_zorder")
+
   /** q74's scratch dir (two-era schema-evolved orders). */
   private[operators] lazy val schemaEvoDir: String = roundtripDir("orders_evo")
 
@@ -458,6 +461,46 @@ object Relational {
       s"ELSE CAST(0 AS DECIMAL(18,2)) END) * 2 > SUM($qty)) " +
       s"AND s_nationkey = (SELECT n_nationkey FROM ${p}nation WHERE n_name = 'NATION_5') " +
       "ORDER BY s_suppkey"
+
+  /** Morton (z-order) value of two 16-bit keys: interleaves the bits so
+    * a range sort on the z-value clusters BOTH dimensions at once —
+    * per-file parquet min/max stay tight on both columns, and a scan
+    * filtered on either (or both) skips most files. The standard
+    * bit-spread: each step doubles the gaps with shift+mask; all plain
+    * bitwise column ops, fully codegen'd.
+    */
+  private[operators] def zorder16(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Adds a `z` column interleaving two numeric columns, each MIN-MAX
+    * NORMALIZED to the full 16-bit range first. The normalization is
+    * what makes it a real z-order: raw interleaving degenerates to a
+    * 1-D sort whenever the columns' bit widths differ (the wider key's
+    * high bits dominate every z prefix). One tiny stats agg fetches the
+    * four bounds — at warehouse scale that's a column-statistics
+    * lookup, not a scan.
+    */
+  private[operators] def withZorder16(df: DataFrame, a: String, b: String): DataFrame = {
+    val r = df.agg(min(a), max(a), min(b), max(b)).collect().head
+    def bound(i: Int): Double = r.get(i) match {
+      case n: java.lang.Number => n.doubleValue()
+      case v => v.toString.toDouble
+    }
+    def norm(c: String, lo: Double, hi: Double): org.apache.spark.sql.Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0)).cast("long")
+    df.withColumn("z",
+      zorder16(norm(a, bound(0), bound(1)), norm(b, bound(2), bound(3))))
+  }
 
   /** Registers the prefixed temp views a shared-SQL query needs and runs
     * it; the oracle is the same text with no prefix.
@@ -1330,6 +1373,76 @@ object Relational {
       (s, dir) => sharedSql(s, dir,
         Seq("supplier", "lineitem", "part", "nation"), tpchQ20Sql),
       Some(tpchQ20Sql("")),
+    ),
+    QuerySpec(
+      // CDC merge (upsert): apply a change set to a base snapshot —
+      // updated rows replace, new rows insert. Stated as anti-join +
+      // union rather than a full-outer join: the change set is the
+      // SMALL side in real CDC, so the anti-join broadcasts and the
+      // base table is never shuffled — a full-outer merge would
+      // shuffle all 100 TB on the key. Base = pre-1999 snapshot;
+      // change set = 1999+ rows (new keys) plus re-priced rows for
+      // every key divisible by 10 (updates that must replace).
+      "q87_merge_upsert",
+      (s, dir) => {
+        // DECIMAL(18,4) throughout: a 2-dp price × 1.05 needs exactly 4
+        // decimals, so the re-price is EXACT — no tie-rounding for the
+        // engines to disagree on.
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          expr("CAST(o_totalprice AS DECIMAL(18,4))").as("o_totalprice"),
+          col("o_orderdate"))
+        val cut = to_date(lit("1999-01-01"))
+        val base = o.filter(col("o_orderdate") < cut)
+        val changes = o.filter(col("o_orderdate") >= cut)
+          .unionAll(
+            base.filter(col("o_orderkey") % 10 === 0)
+              .withColumn("o_totalprice",
+                expr("CAST(o_totalprice * 1.05 AS DECIMAL(18,4))")))
+        base
+          .join(broadcast(changes.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+          .unionAll(changes)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            expr("CAST(o_totalprice AS DOUBLE)").as("o_totalprice"),
+            col("o_orderdate"))
+      },
+      Some(
+        "WITH o AS (SELECT o_orderkey, o_custkey, " +
+          "CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice, o_orderdate FROM orders), " +
+          "base AS (SELECT * FROM o WHERE o_orderdate < DATE '1999-01-01'), " +
+          "changes AS (SELECT * FROM o WHERE o_orderdate >= DATE '1999-01-01' " +
+          "UNION ALL SELECT o_orderkey, o_custkey, " +
+          "CAST(o_totalprice * 1.05 AS DECIMAL(18,4)), o_orderdate " +
+          "FROM base WHERE o_orderkey % 10 = 0) " +
+          "SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+          "o_orderdate FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes) " +
+          "UNION ALL SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE), " +
+          "o_orderdate FROM changes"),
+    ),
+    QuerySpec(
+      // Z-order (Morton) layout: range-partition lineitem by the
+      // interleaved (l_partkey, l_suppkey) z-value so per-file min/max
+      // are tight on BOTH columns, then read back through a
+      // two-dimensional predicate — at 100 TB the scan skips every
+      // file whose zone maps exclude either dimension (file-range
+      // tightness asserted in SortedExportSpec). Content equality is
+      // gated here against a plain filter.
+      "q88_zorder_layout",
+      (s, dir) => {
+        val tmp = Relational.zorderDir
+        val li = t(s, dir, "lineitem")
+        withZorder16(li, "l_partkey", "l_suppkey")
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
+          .drop("z")
+      },
+      Some(
+        "SELECT * FROM lineitem WHERE l_partkey BETWEEN 100 AND 300 " +
+          "AND l_suppkey BETWEEN 10 AND 40"),
     ),
   )
 }

@@ -54,4 +54,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q63_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("q87 (CDC merge): the change-set anti-join broadcasts — base is never shuffled") {
+    val p = plan("q87_merge_upsert")
+    assert("BroadcastHashJoin \\S+, \\S+, LeftAnti".r.findFirstIn(p).isDefined, p.take(800))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+      s"merge shuffled the base table: ${p.take(800)}")
+  }
 }

@@ -59,4 +59,39 @@ class SortedExportSpec extends SparkSpec {
       .count()
     assert(unsortedFiles == 0L, "found out-of-order rows inside an exported file")
   }
+
+  test("z-order export: per-file ranges stay narrow on BOTH dimensions") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val li = graft.Tables(s, "/root/testdata/sf0.001", "lineitem")
+    Relational.withZorder16(li, "l_partkey", "l_suppkey")
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dir)
+
+    // Per-file (min,max) of each dimension — the zone maps a 2-D
+    // predicate scan consults. A single-column sort keeps the FIRST
+    // dimension narrow and leaves the second at ~full span per file;
+    // the z-curve must keep the AVERAGE span fraction of BOTH below
+    // what any 1-D layout can deliver on its non-sort dimension.
+    val stats = s.read.parquet(dir)
+      .select(input_file_name().as("f"), col("l_partkey"), col("l_suppkey"))
+      .groupBy("f")
+      .agg(
+        min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      .collect()
+    assert(stats.length > 1, "expected a multi-file export")
+    val Array(pGlob, sGlob) = li
+      .agg(
+        (max("l_partkey") - min("l_partkey")).cast("double"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    def frac(lo: Any, hi: Any, glob: Double): Double =
+      (hi.toString.toDouble - lo.toString.toDouble) / glob
+    val pAvg = stats.map(r => frac(r(1), r(2), pGlob)).sum / stats.length
+    val sAvg = stats.map(r => frac(r(3), r(4), sGlob)).sum / stats.length
+    assert(pAvg < 0.7, f"partkey per-file span fraction $pAvg%.2f — not clustered")
+    assert(sAvg < 0.7, f"suppkey per-file span fraction $sAvg%.2f — not clustered")
+  }
 }
