@@ -60,6 +60,10 @@ object Relational {
   /** q88's scratch dir (z-ordered lineitem export). */
   private[operators] lazy val zorderDir: String = roundtripDir("lineitem_zorder")
 
+  /** q90's scratch dirs (fragmented orders + its compaction). */
+  private[operators] lazy val fragmentedDir: String = roundtripDir("orders_frag")
+  private[operators] lazy val compactedDir: String = roundtripDir("orders_compact")
+
   /** q74's scratch dir (two-era schema-evolved orders). */
   private[operators] lazy val schemaEvoDir: String = roundtripDir("orders_evo")
 
@@ -1443,6 +1447,31 @@ object Relational {
       Some(
         "SELECT * FROM lineitem WHERE l_partkey BETWEEN 100 AND 300 " +
           "AND l_suppkey BETWEEN 10 AND 40"),
+    ),
+    QuerySpec(
+      // Small-file compaction — the standing maintenance op of any
+      // long-lived table (streaming sinks and partitioned writes leave
+      // thousands of KB-sized files; each costs a task + open + footer
+      // read). Target file count is COMPUTED from actual bytes /
+      // target size, and the rewrite uses coalesce (merge-only, no
+      // shuffle) — repartition would shuffle the whole table to fix a
+      // layout problem. File-count contract asserted in
+      // SortedExportSpec; content equality gated here.
+      "q90_compact_files",
+      (s, dir) => {
+        val (frag, compact) = (Relational.fragmentedDir, Relational.compactedDir)
+        t(s, dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(frag))
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        val targetBytes = 32L << 20
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        s.read.parquet(frag).coalesce(nFiles)
+          .write.mode("overwrite").parquet(compact)
+        s.read.parquet(compact)
+      },
+      Some("SELECT * FROM orders"),
     ),
   )
 }

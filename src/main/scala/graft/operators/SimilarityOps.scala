@@ -358,5 +358,52 @@ object SimilarityOps {
           "SELECT a0.vec_id, CAST(a0.c0 AS BIGINT) AS c0, CAST(a1.c1 AS BIGINT) AS c1 " +
           "FROM a0 JOIN a1 USING (vec_id)"),
     ),
+    QuerySpec(
+      // Symmetric int8 quantization of the embedding column — the 4×
+      // storage cut every 100 TB vector corpus takes before ANN
+      // serving. Per-vector scale = 127 / max|x|; quantize via
+      // FLOOR(x·scale + 0.5) (identical on both engines — round()
+      // tie semantics differ between them, FLOOR doesn't). Output is
+      // per-vector CONTRACT arithmetic: codes in [-127,127], code sum,
+      // and max reconstruction error (bounded by scale/2 per
+      // coordinate). Pure per-row higher-order-function work — zero
+      // shuffle, scan speed, codegen'd.
+      "q89_embed_quantize",
+      (s, dir) =>
+        emb(s, dir)
+          .select(
+            col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("mx",
+            expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+          .filter(col("mx") > 0)
+          .withColumn("scale", lit(127.0) / col("mx"))
+          .withColumn("q",
+            expr("transform(v, x -> CAST(FLOOR(x * scale + 0.5D) AS BIGINT))"))
+          .select(
+            col("vec_id"),
+            size(col("q")).as("n_dims"),
+            expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+            expr("array_min(q)").as("q_min"),
+            expr("array_max(q)").as("q_max"),
+            expr("CAST(aggregate(zip_with(q, v, (qi, xi) -> abs(qi / scale - xi)), " +
+              "CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e)) AS DOUBLE)").as("max_err")),
+      Some(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+          "m AS (SELECT vec_id, v, (SELECT MAX(ABS(v[i])) FROM unnest(range(1, 65)) AS u(i)) AS mx FROM e), " +
+          "sc AS (SELECT vec_id, v, 127.0 / mx AS scale FROM m WHERE mx > 0) " +
+          "SELECT vec_id, CAST(64 AS INT) AS n_dims, " +
+          // outer CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the
+          // compare canonicalizes as float and misaligns row sort
+          "CAST((SELECT SUM(FLOOR(v[i] * scale + 0.5)) " +
+          "FROM unnest(range(1, 65)) AS u(i)) AS BIGINT) AS q_sum, " +
+          "(SELECT MIN(CAST(FLOOR(v[i] * scale + 0.5) AS BIGINT)) " +
+          "FROM unnest(range(1, 65)) AS u(i)) AS q_min, " +
+          "(SELECT MAX(CAST(FLOOR(v[i] * scale + 0.5) AS BIGINT)) " +
+          "FROM unnest(range(1, 65)) AS u(i)) AS q_max, " +
+          "(SELECT MAX(ABS(FLOOR(v[i] * scale + 0.5) / scale - v[i])) " +
+          "FROM unnest(range(1, 65)) AS u(i)) AS max_err " +
+          "FROM sc"),
+    ),
   )
 }

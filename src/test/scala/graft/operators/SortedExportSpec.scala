@@ -94,4 +94,17 @@ class SortedExportSpec extends SparkSpec {
     assert(pAvg < 0.7, f"partkey per-file span fraction $pAvg%.2f — not clustered")
     assert(sAvg < 0.7, f"suppkey per-file span fraction $sAvg%.2f — not clustered")
   }
+
+  test("q90 compaction: 64 fragments merge to the computed file count, rows intact") {
+    val s = spark
+    val n = graft.SparkEntry.queries("q90_compact_files")(s, "/root/testdata/sf0.001").count()
+    assert(n == graft.Tables(s, "/root/testdata/sf0.001", "orders").count())
+    def parquetFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(Relational.fragmentedDir) == 64)
+    // sf0.001 orders ≈ a few hundred KB: one 32 MB-target file
+    assert(parquetFiles(Relational.compactedDir) == 1,
+      s"expected a single compacted file")
+  }
 }
