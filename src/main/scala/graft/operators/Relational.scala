@@ -64,6 +64,9 @@ object Relational {
   private[operators] lazy val fragmentedDir: String = roundtripDir("orders_frag")
   private[operators] lazy val compactedDir: String = roundtripDir("orders_compact")
 
+  /** q87's scratch dir (the materialized CDC change set). */
+  private[operators] lazy val changeSetDir: String = roundtripDir("orders_changes")
+
   /** q74's scratch dir (two-era schema-evolved orders). */
   private[operators] lazy val schemaEvoDir: String = roundtripDir("orders_evo")
 
@@ -410,7 +413,9 @@ object Relational {
       s"JOIN ${p}supplier ON s_suppkey = ps_suppkey " +
       s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
       s"JOIN ${p}region ON n_regionkey = r_regionkey " +
-      "WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE' " +
+      // size BAND, not point: p_size=15 ∧ LARGE matches nothing at
+      // sf0.001 and would make the gate vacuous at the dev scale
+      "WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE' " +
       "AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM ps ps2 " +
       s"JOIN ${p}supplier s2 ON s2.s_suppkey = ps2.ps_suppkey " +
       s"JOIN ${p}nation n2 ON s2.s_nationkey = n2.n_nationkey " +
@@ -419,18 +424,22 @@ object Relational {
       "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
 
   /** Q11 important stock: grouped exact-decimal value per part with a
-    * global scalar-subquery threshold, stated cross-multiplied
-    * (value × 1000 > total) so no float fraction touches the boundary.
+    * global scalar-subquery threshold. Two fixture adjustments keep the
+    * gate NON-VACUOUS at every sf: region filter instead of one nation
+    * (a single nation has no suppliers at sf0.001), and a scale-free
+    * threshold — 2× the average per-part value, cross-multiplied as
+    * value × n_parts > 2 × total so every operand stays exact (TPC-H's
+    * fixed 0.0001 fraction empties out as the part count grows).
     */
   private def tpchQ11Sql(p: String): String =
-    "SELECT ps_partkey, CAST(value AS DOUBLE) AS value FROM (" +
+    "WITH grp AS (" +
       s"SELECT l_partkey AS ps_partkey, SUM($price * $qty) AS value " +
       s"FROM ${p}lineitem JOIN ${p}supplier ON l_suppkey = s_suppkey " +
       s"JOIN ${p}nation ON s_nationkey = n_nationkey " +
-      "WHERE n_name = 'NATION_7' GROUP BY l_partkey) AS t " +
-      s"WHERE value * 1000 > (SELECT SUM($price * $qty) " +
-      s"FROM ${p}lineitem JOIN ${p}supplier ON l_suppkey = s_suppkey " +
-      s"JOIN ${p}nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7') " +
+      s"JOIN ${p}region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'EUROPE' GROUP BY l_partkey) " +
+      "SELECT ps_partkey, CAST(value AS DOUBLE) AS value FROM grp " +
+      "WHERE value * (SELECT COUNT(*) FROM grp) > 2 * (SELECT SUM(value) FROM grp) " +
       "ORDER BY value DESC, ps_partkey"
 
   /** Q16 parts-supplier relationship: COUNT(DISTINCT) over a derived
@@ -451,8 +460,9 @@ object Relational {
 
   /** Q20 potential part promotion: nested IN subqueries — suppliers who
     * shipped red parts mostly (>half, exact decimal, cross-multiplied)
-    * inside the target year — plus a scalar-subquery equality on the
-    * nation key.
+    * inside the target year — plus a nested-scalar region-membership
+    * filter (one NATION has no supplier at sf0.001; a region always
+    * does, and the subquery nesting depth is the same).
     */
   private def tpchQ20Sql(p: String): String =
     s"SELECT s_suppkey, s_name FROM ${p}supplier " +
@@ -463,7 +473,8 @@ object Relational {
       "HAVING SUM(CASE WHEN l_shipdate >= DATE '1996-01-01' " +
       s"AND l_shipdate < DATE '1997-01-01' THEN $qty " +
       s"ELSE CAST(0 AS DECIMAL(18,2)) END) * 2 > SUM($qty)) " +
-      s"AND s_nationkey = (SELECT n_nationkey FROM ${p}nation WHERE n_name = 'NATION_5') " +
+      s"AND s_nationkey IN (SELECT n_nationkey FROM ${p}nation " +
+      s"WHERE n_regionkey = (SELECT r_regionkey FROM ${p}region WHERE r_name = 'ASIA')) " +
       "ORDER BY s_suppkey"
 
   /** Morton (z-order) value of two 16-bit keys: interleaves the bits so
@@ -495,6 +506,8 @@ object Relational {
     */
   private[operators] def withZorder16(df: DataFrame, a: String, b: String): DataFrame = {
     val r = df.agg(min(a), max(a), min(b), max(b)).collect().head
+    // empty/all-null input: no rows to cluster — any constant z works
+    if (r.isNullAt(0) || r.isNullAt(2)) return df.withColumn("z", lit(0L))
     def bound(i: Int): Double = r.get(i) match {
       case n: java.lang.Number => n.doubleValue()
       case v => v.toString.toDouble
@@ -1361,7 +1374,7 @@ object Relational {
       // Grouped value vs global scalar threshold, cross-multiplied exact.
       "q84_tpch_q11",
       (s, dir) => sharedSql(s, dir,
-        Seq("lineitem", "supplier", "nation"), tpchQ11Sql),
+        Seq("lineitem", "supplier", "nation", "region"), tpchQ11Sql),
       Some(tpchQ11Sql("")),
     ),
     QuerySpec(
@@ -1375,7 +1388,7 @@ object Relational {
       // Nested IN subqueries + scalar-subquery equality filter.
       "q86_tpch_q20",
       (s, dir) => sharedSql(s, dir,
-        Seq("supplier", "lineitem", "part", "nation"), tpchQ20Sql),
+        Seq("supplier", "lineitem", "part", "nation", "region"), tpchQ20Sql),
       Some(tpchQ20Sql("")),
     ),
     QuerySpec(
@@ -1398,11 +1411,17 @@ object Relational {
           col("o_orderdate"))
         val cut = to_date(lit("1999-01-01"))
         val base = o.filter(col("o_orderdate") < cut)
-        val changes = o.filter(col("o_orderdate") >= cut)
+        // In real CDC the change set ARRIVES materialized; derive it
+        // once to scratch parquet so neither the anti-join key set nor
+        // the union re-runs the derivation (an unpersisted DF here
+        // would scan the base snapshot twice).
+        o.filter(col("o_orderdate") >= cut)
           .unionAll(
             base.filter(col("o_orderkey") % 10 === 0)
               .withColumn("o_totalprice",
                 expr("CAST(o_totalprice * 1.05 AS DECIMAL(18,4))")))
+          .write.mode("overwrite").parquet(Relational.changeSetDir)
+        val changes = s.read.parquet(Relational.changeSetDir)
         base
           .join(broadcast(changes.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
           .unionAll(changes)
@@ -1441,12 +1460,14 @@ object Relational {
           .sortWithinPartitions("z")
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)
-          .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
+          // bounds chosen non-empty at every fixture sf (key ranges grow
+          // 10x per sf step; 20-120 x 2-8 intersects all of them)
+          .filter(col("l_partkey").between(20, 120) && col("l_suppkey").between(2, 8))
           .drop("z")
       },
       Some(
-        "SELECT * FROM lineitem WHERE l_partkey BETWEEN 100 AND 300 " +
-          "AND l_suppkey BETWEEN 10 AND 40"),
+        "SELECT * FROM lineitem WHERE l_partkey BETWEEN 20 AND 120 " +
+          "AND l_suppkey BETWEEN 2 AND 8"),
     ),
     QuerySpec(
       // Small-file compaction — the standing maintenance op of any

@@ -365,9 +365,9 @@ object SimilarityOps {
       // FLOOR(x·scale + 0.5) (identical on both engines — round()
       // tie semantics differ between them, FLOOR doesn't). Output is
       // per-vector CONTRACT arithmetic: codes in [-127,127], code sum,
-      // and max reconstruction error (bounded by scale/2 per
-      // coordinate). Pure per-row higher-order-function work — zero
-      // shuffle, scan speed, codegen'd.
+      // and max reconstruction error (bounded by 1/(2·scale) =
+      // max|x|/254 per coordinate). Pure per-row higher-order-function
+      // work — zero shuffle, scan speed, codegen'd.
       "q89_embed_quantize",
       (s, dir) =>
         emb(s, dir)

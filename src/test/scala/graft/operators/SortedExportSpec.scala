@@ -62,12 +62,13 @@ class SortedExportSpec extends SparkSpec {
 
   test("z-order export: per-file ranges stay narrow on BOTH dimensions") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // drive the REAL q88 (not a re-implementation): its side effect is
+    // the z-ordered export at Relational.zorderDir (pid-scoped scratch,
+    // shutdown-hook cleaned), which is what this spec inspects
+    graft.SparkEntry.queries("q88_zorder_layout")(s, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    val dir = Relational.zorderDir
     val li = graft.Tables(s, "/root/testdata/sf0.001", "lineitem")
-    Relational.withZorder16(li, "l_partkey", "l_suppkey")
-      .repartitionByRange(8, col("z"))
-      .sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(dir)
 
     // Per-file (min,max) of each dimension — the zone maps a 2-D
     // predicate scan consults. A single-column sort keeps the FIRST
