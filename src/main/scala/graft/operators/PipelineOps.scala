@@ -30,6 +30,35 @@ object PipelineOps {
   private def cooDedup(s: SparkSession, dir: String): DataFrame =
     coo(s, dir).groupBy("sample", "probe").agg(sum(col("value")).as("value"))
 
+  /** q38/q38b's graph: customers chained by consecutive key within a
+    * nation → path components. CUSTOMERS, not suppliers: at sf0.001 the
+    * ten suppliers land in ten distinct nations, so a supplier-keyed
+    * edge set is empty and the CC gates would be vacuous at the dev
+    * scale; customers share nations at every sf.
+    */
+  private def ccEdges(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").cast("int").as("k"), col("c_nationkey").as("n"))
+    cust.as("a")
+      .join(cust.as("b"), expr("a.n = b.n AND b.k = a.k + 1"))
+      .select(col("a.k").as("pi"), col("b.k").as("pj"))
+  }
+
+  /** Min-reachable-id label propagation as a recursive CTE over the
+    * symmetrized edge set — component = min id reachable. Shared by
+    * q38 (GraphX path) and q38b (DataFrame-only path).
+    */
+  private val ccOracleSql: String =
+    "WITH RECURSIVE e AS (" +
+      "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+      "JOIN customer b ON a.c_nationkey = b.c_nationkey AND b.c_custkey = a.c_custkey + 1), " +
+      "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+      "reach(id, comp) AS (" +
+      "SELECT src, src FROM sym UNION " +
+      "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
+      "SELECT CAST(id AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component " +
+      "FROM reach GROUP BY id"
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q37_pearson_pairs",
@@ -47,58 +76,24 @@ object PipelineOps {
     ),
     QuerySpec(
       "q38_connected_components",
-      (s, dir) => {
-        // graph: suppliers chained by consecutive key within a nation →
-        // path components; CC via the pipeline's GraphX operator
-        val sup = Tables(s, dir, "supplier")
-          .select(col("s_suppkey").cast("int").as("k"), col("s_nationkey").as("n"))
-        val edges = sup.as("a")
-          .join(sup.as("b"), expr("a.n = b.n AND b.k = a.k + 1"))
-          .select(col("a.k").as("pi"), col("b.k").as("pj"))
-        graft.pipeline.Network.connectedComponents(s, edges)
+      (s, dir) =>
+        graft.pipeline.Network.connectedComponents(s, ccEdges(s, dir))
           .select(
             col("probe").cast("bigint").as("node"),
-            col("component").cast("bigint").as("component"))
-      },
-      Some(
-        // min-reachable-id label propagation as a recursive CTE over the
-        // symmetrized edge set — component = min id reachable
-        "WITH RECURSIVE e AS (" +
-          "SELECT a.s_suppkey AS src, b.s_suppkey AS dst FROM supplier a " +
-          "JOIN supplier b ON a.s_nationkey = b.s_nationkey AND b.s_suppkey = a.s_suppkey + 1), " +
-          "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-          "reach(id, comp) AS (" +
-          "SELECT src, src FROM sym UNION " +
-          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
-          "SELECT CAST(id AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component " +
-          "FROM reach GROUP BY id"),
+            col("component").cast("bigint").as("component")),
+      Some(ccOracleSql),
     ),
     QuerySpec(
       // Same graph/oracle as q38, computed by the DataFrame-only CC
       // path (iterative min-label propagation, no GraphX) — gates the
       // SQL-engine-only route to components, not just the Pregel one.
       "q38b_connected_components_df",
-      (s, dir) => {
-        val sup = Tables(s, dir, "supplier")
-          .select(col("s_suppkey").cast("int").as("k"), col("s_nationkey").as("n"))
-        val edges = sup.as("a")
-          .join(sup.as("b"), expr("a.n = b.n AND b.k = a.k + 1"))
-          .select(col("a.k").as("pi"), col("b.k").as("pj"))
-        graft.pipeline.Network.connectedComponentsDF(edges)
+      (s, dir) =>
+        graft.pipeline.Network.connectedComponentsDF(ccEdges(s, dir))
           .select(
             col("probe").cast("bigint").as("node"),
-            col("component").cast("bigint").as("component"))
-      },
-      Some(
-        "WITH RECURSIVE e AS (" +
-          "SELECT a.s_suppkey AS src, b.s_suppkey AS dst FROM supplier a " +
-          "JOIN supplier b ON a.s_nationkey = b.s_nationkey AND b.s_suppkey = a.s_suppkey + 1), " +
-          "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-          "reach(id, comp) AS (" +
-          "SELECT src, src FROM sym UNION " +
-          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
-          "SELECT CAST(id AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component " +
-          "FROM reach GROUP BY id"),
+            col("component").cast("bigint").as("component")),
+      Some(ccOracleSql),
     ),
     QuerySpec(
       // ALS matrix completion on the COO view. The cell VALUES are not

@@ -182,8 +182,12 @@ object Relational {
 
   /** Q7 volume-shipping: the dimension-self-join shape — nation joined
     * TWICE under different aliases (supplier side vs customer side) with
-    * a symmetric disjunction, then a 3-key grouped sum. Nation names
-    * follow the fixture's NATION_n convention.
+    * a symmetric pair condition, then a 3-key grouped sum. A 5-nation
+    * set with n1 <> n2 instead of the reference's single ordered pair:
+    * at sf0.001 only ~10 suppliers exist spread across nations, so any
+    * fixed pair matches nothing and the gate would be vacuous at the
+    * dev scale — the set keeps the double-alias symmetric-filter shape
+    * non-degenerate at every sf.
     */
   private def tpchQ7Sql(p: String): String =
     "SELECT supp_nation, cust_nation, l_year, " +
@@ -195,8 +199,9 @@ object Relational {
       s"JOIN ${p}customer ON c_custkey = o_custkey " +
       s"JOIN ${p}nation n1 ON s_nationkey = n1.n_nationkey " +
       s"JOIN ${p}nation n2 ON c_nationkey = n2.n_nationkey " +
-      "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
-      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+      "WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4') " +
+      "AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4') " +
+      "AND n1.n_name <> n2.n_name " +
       "AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'" +
       ") AS shipping " +
       "GROUP BY supp_nation, cust_nation, l_year " +
@@ -308,7 +313,10 @@ object Relational {
       s"> (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM ${p}customer " +
       "WHERE c_acctbal > 0.00) " +
       s"AND NOT EXISTS (SELECT 1 FROM ${p}orders " +
-      "WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1998-01-01') " +
+      // 2000, not 1998: at sf0.001 every customer has some 1998-99
+      // order, which made the anti-join (and the whole gate) vacuous
+      // at the dev scale
+      "WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01') " +
       "GROUP BY c_nationkey ORDER BY c_nationkey"
 
   // ── TPC-H Q2/Q8/Q9/Q11/Q12/Q16/Q20/Q21, completing the 22-query suite.
@@ -711,20 +719,30 @@ object Relational {
     QuerySpec(
       "q10_join_theta",
       (s, dir) => {
-        // Theta self-join: equi part (same nation) hash-partitions; the
-        // `>` rides as a post-join predicate, so this stays a hash join
-        // rather than a cartesian product at scale.
-        val s1 = t(s, dir, "supplier").select(
-          col("s_suppkey").as("k1"), col("s_nationkey").as("nation"))
-        val s2 = t(s, dir, "supplier").select(
-          col("s_suppkey").as("k2"), col("s_nationkey").as("nation2"))
-        s1.join(s2, s1("nation") === s2("nation2") && s1("k1") > s2("k2"))
-          .select("k1", "k2", "nation")
+        // Theta self-join: equi part (same REGION — at sf0.001 the ten
+        // suppliers land in ten distinct nations, so a nation-keyed
+        // self-join is empty and the gate vacuous at the dev scale)
+        // hash-partitions; the `>` rides as a post-join predicate, so
+        // this stays a hash join rather than a cartesian product at
+        // scale. nation is a broadcast dim lookup on each side.
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+        def side(k: String, r: String): DataFrame =
+          t(s, dir, "supplier")
+            .select(col("s_suppkey").as(k), col("s_nationkey"))
+            .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+            .select(col(k), col("n_regionkey").as(r))
+        val s1 = side("k1", "region")
+        val s2 = side("k2", "region2")
+        s1.join(s2, s1("region") === s2("region2") && s1("k1") > s2("k2"))
+          .select("k1", "k2", "region")
       },
       Some(
-        "SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2, s1.s_nationkey AS nation " +
-          "FROM supplier s1 JOIN supplier s2 " +
-          "ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey > s2.s_suppkey"),
+        "SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2, n1.n_regionkey AS region " +
+          "FROM supplier s1 JOIN nation n1 ON s1.s_nationkey = n1.n_nationkey " +
+          "JOIN supplier s2 ON s1.s_suppkey > s2.s_suppkey " +
+          "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+          "AND n1.n_regionkey = n2.n_regionkey"),
     ),
     QuerySpec(
       "q11_agg_hash",
