@@ -17,7 +17,8 @@ object SparkEntry {
       operators.PipelineOps.specs ++
       operators.ScaleJoins.specs ++
       operators.CurationOps.specs ++
-      operators.TypedOps.specs
+      operators.TypedOps.specs ++
+      operators.GraphOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -349,5 +349,28 @@ object CurationOps {
           "ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
           "FROM documents) t WHERE rk <= 10"),
     ),
+    QuerySpec(
+      // Keep-latest-per-key dedup: one surviving row per user_id, the
+      // newest by (ts, event_id) — the CommonCrawl "keep newest capture
+      // per URL" shape, and the batch twin of the streaming
+      // dropDuplicates path. Scale: ONE shuffle on the key; the window
+      // is rank-1-only so AQE + the WindowGroupLimit rewrite push the
+      // top-1 filter below the sort (no full per-key materialization).
+      // event_id tie-break → deterministic under equal timestamps.
+      "q94_keep_latest",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rk") === 1)
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+      Some(
+        "SELECT user_id, event_id, ts, event_type, value FROM (" +
+          "SELECT user_id, event_id, ts, event_type, value, " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk " +
+          "FROM events) t WHERE rk = 1"),
+    ),
   )
 }

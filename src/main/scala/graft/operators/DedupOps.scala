@@ -325,5 +325,79 @@ object DedupOps {
           "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
           "FROM cand WHERE bit_count(xor(sa, sb)) <= 3"),
     ),
+    QuerySpec(
+      // Fuzzy (edit-distance) dedup: levenshtein ≤ 14 on a 40-char
+      // prefix fingerprint, candidate pairs blocked on (lang, first
+      // token). Blocking is the scale story: the O(n²) comparison runs
+      // only inside (lang, leading-token) buckets — a shuffle on a
+      // well-distributed compound key — never across the corpus. The
+      // prefix cap bounds the O(m·n) levenshtein cell count per pair.
+      // Spark's levenshtein() and DuckDB's agree (classic Wagner-
+      // Fischer, unit costs), so the oracle is exact.
+      "q92_fuzzy_dedup",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            expr("split_part(text, ' ', 1)").as("tok1"),
+            substring(col("text"), 1, 40).as("p"))
+        d.as("a")
+          .join(
+            d.as("b"),
+            col("a.lang") === col("b.lang") && col("a.tok1") === col("b.tok1") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .withColumn("dist", levenshtein(col("a.p"), col("b.p")).cast("bigint"))
+          .filter(col("dist") <= 14)
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1, " +
+          "substr(text, 1, 40) AS p FROM documents) " +
+          "SELECT a.doc_id AS da, b.doc_id AS db, " +
+          "CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist " +
+          "FROM d a JOIN d b ON a.lang = b.lang AND a.tok1 = b.tok1 " +
+          "AND a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 14"),
+    ),
+    QuerySpec(
+      // Duplicated-span detection (exact-substring dedup, Lee et al.
+      // 2022 "Deduplicating Training Data Makes Language Models
+      // Better", arXiv:2107.06499, approximated at token-5-gram
+      // granularity): per document, how many 5-gram positions are
+      // covered by a gram that also appears in ≥1 OTHER document.
+      // Shape at 100 TB: explode to (gram, doc) pairs → one groupBy
+      // on the gram (map-side combinable; shuffle carries the gram
+      // string — hash it to a long for the real corpus) → semi-join
+      // back. No all-pairs anywhere.
+      "q93_dup_spans",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+              .as("gram"))
+          .localCheckpoint()
+        val crossDoc = grams
+          .groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("gram")
+        grams
+          .join(crossDoc, Seq("gram"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+          "WHERE len(string_split(text, ' ')) >= 5), " +
+          "g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram " +
+          "FROM t, unnest(range(1, len(toks) - 3)) AS u(i)), " +
+          "dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2) " +
+          "SELECT doc_id, COUNT(*) AS n_dup_spans FROM g " +
+          "WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id"),
+    ),
   )
 }

@@ -245,5 +245,30 @@ object TextOps {
           "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term " +
           "FROM documents) t GROUP BY term ORDER BY n DESC, term LIMIT 25"),
     ),
+    QuerySpec(
+      // Overlapping text chunking: fixed 200-char windows at stride 150
+      // (50-char overlap) — the context-window prep step for embedding /
+      // RAG pipelines. Pure map-side explode (sequence + substring): no
+      // shuffle at all; output rows ≈ n_chars/150 per doc. 1-based
+      // offsets so Spark substring and DuckDB substr index identically;
+      // both count characters, not bytes.
+      "q95_chunk_overlap",
+      (s, dir) =>
+        docs(s, dir)
+          .filter(length(col("text")) >= 1)
+          .select(
+            col("doc_id"),
+            explode(expr("sequence(1, length(text), 150)")).as("pos"),
+            col("text"))
+          .select(
+            col("doc_id"),
+            ((col("pos") - 1) / 150).cast("bigint").as("chunk_idx"),
+            expr("substring(text, pos, 200)").as("chunk")),
+      Some(
+        "SELECT doc_id, CAST((i - 1) // 150 AS BIGINT) AS chunk_idx, " +
+          "substr(text, i, 200) AS chunk " +
+          "FROM documents, unnest(range(1, length(text) + 1, 150)) AS u(i) " +
+          "WHERE length(text) >= 1"),
+    ),
   )
 }
