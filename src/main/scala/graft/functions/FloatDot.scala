@@ -115,10 +115,12 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     // same registry as ensureRegistered — one place to add functions
     GraftFunctions.fns.foreach { case (name, className, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.FuzzyMatchRewrite)
+  }
 }

@@ -336,6 +336,10 @@ object DedupOps {
       // Fischer, unit costs), so the oracle is exact.
       "q92_fuzzy_dedup",
       (s, dir) => {
+        // injects FuzzyMatchRewrite: the levenshtein <= 14 predicate
+        // optimizes to a length-difference guard + the banded
+        // (thresholded) DP — see graft.plans.FuzzyMatchRewrite
+        graft.plans.GraftRules.ensureInjected(s)
         val d = docs(s, dir)
           .select(
             col("doc_id"),

@@ -47,26 +47,40 @@ object GraphOps {
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  /** 3 power iterations; returns (node_id, pr) for every node. */
+  /** 3 power iterations; returns (node_id, pr) for every node.
+    *
+    * The graph is symmetrized, so every node has ≥1 in-edge and the
+    * per-iteration contribution aggregate already produces a row per
+    * node — no nodes-frame left join is needed (the oracle keeps the
+    * textbook left-join formulation; results are identical on this
+    * graph). Edges are weighted ONCE with 1/outdeg and materialized;
+    * each iteration is then one join + one map-side-combinable groupBy.
+    * The rank frame is (id, pr) — node-count-sized, far below the edge
+    * list — so AQE broadcasts it at this scale; on a 100 TB graph it
+    * grows past the broadcast threshold and AQE falls back to a
+    * shuffle join keyed on src, which is the right plan there too.
+    * 3 iterations keep the un-checkpointed lineage shallow (the
+    * N-iteration loop in `pipeline/Network.scala` shows the
+    * checkpointed pattern for unbounded iteration counts).
+    */
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // materialize the distinct edge list ONCE — the degree aggregate and
+    // the weighted join both consume it (Catalyst doesn't share aliased
+    // subtrees, so an unmaterialized frame would run the lineitem scan +
+    // distinct twice)
     val edges = tradeEdges(s, dir).localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
-    // symmetrized graph → every node appears as a src
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
-    val contribBase = edges
+    val weighted = edges
       .join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
+      .select(col("src"), col("dst"), (lit(1.0d) / col("outdeg")).as("w"))
       .localCheckpoint()
-    var rank = nodes.withColumn("pr", lit(1.0d))
+    var rank = weighted.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(1.0d))
     for (_ <- 1 to 3) {
-      val contrib = contribBase
-        .join(rank, contribBase("src") === rank("id"))
-        .groupBy(col("dst"))
-        .agg(sum(col("pr") / col("outdeg")).as("m"))
-      rank = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"), (lit(0.15d) + lit(0.85d) * coalesce(col("m"), lit(0.0d))).as("pr"))
-        .localCheckpoint()
+      rank = weighted
+        .join(rank, weighted("src") === rank("id"))
+        .groupBy(col("dst").as("id"))
+        .agg((lit(0.15d) + lit(0.85d) * sum(col("pr") * col("w"))).as("pr"))
     }
     rank.select(col("id").as("node_id"), col("pr"))
   }
@@ -88,6 +102,36 @@ object GraphOps {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q91_pagerank", (s, dir) => pagerank(s, dir), Some(pagerankSql))
+    QuerySpec("q91_pagerank", (s, dir) => pagerank(s, dir), Some(pagerankSql)),
+    QuerySpec(
+      // Item co-occurrence features: per supplier, how many distinct
+      // co-suppliers share ≥1 order with it and the total co-occurrence
+      // count — the word2vec/item-item-graph construction pass of a
+      // recommender or embedding pipeline. Scale shape: the self-join
+      // fans out PER ORDER, so output is Σ_orders deg·(deg−1) with deg
+      // bounded by order size (single-digit) — never the quadratic
+      // per-customer or per-corpus blowup a naive projection would
+      // take; both groupBys are map-side combinable.
+      "q97_cooccur",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        li.as("a")
+          .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+          .groupBy(col("a.sk").as("supplier"), col("b.sk").as("co_supplier"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("supplier")
+          .agg(
+            count(lit(1)).as("n_co_suppliers"),
+            sum("n").as("n_cooccurrences"))
+      },
+      Some(
+        "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem), " +
+          "p AS (SELECT a.sk AS supplier, b.sk AS co_supplier, COUNT(*) AS n " +
+          "FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2) " +
+          "SELECT supplier, COUNT(*) AS n_co_suppliers, " +
+          "CAST(SUM(n) AS BIGINT) AS n_cooccurrences FROM p GROUP BY supplier"),
+    ),
   )
 }

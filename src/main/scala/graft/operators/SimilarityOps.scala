@@ -405,5 +405,25 @@ object SimilarityOps {
           "FROM unnest(range(1, 65)) AS u(i)) AS max_err " +
           "FROM sc"),
     ),
+    QuerySpec(
+      // Per-label embedding centroids — the class-prototype pass behind
+      // nearest-centroid classification, semantic-cluster summaries,
+      // and cluster-balanced sampling. Scale shape: posexplode is
+      // map-side, the (label, dim) groupBy is map-side combinable, and
+      // the exchange carries one partial row per (partition, label,
+      // dim) — never the vectors. Output is labels × 64 rows.
+      "q96_label_centroids",
+      (s, dir) =>
+        emb(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(avg(col("v").cast("double")).as("centroid"))
+          .select(col("label"), col("dim").cast("bigint").as("dim"), col("centroid")),
+      Some(
+        "SELECT label, CAST(i - 1 AS BIGINT) AS dim, " +
+          "AVG(CAST(embedding[i] AS DOUBLE)) AS centroid " +
+          "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i) " +
+          "GROUP BY label, i"),
+    ),
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, language-ID heuristic, document fingerprinting.
@@ -269,6 +270,51 @@ object TextOps {
           "substr(text, i, 200) AS chunk " +
           "FROM documents, unnest(range(1, length(text) + 1, 150)) AS u(i) " +
           "WHERE length(text) >= 1"),
+    ),
+    QuerySpec(
+      // Per-document TF-IDF top-3 terms — the keyword-extraction /
+      // salient-term pass (q52's BM25 scores a QUERY against docs; this
+      // characterizes each doc standalone). Ranking is INTEGER-only
+      // (tf desc, df asc, term asc) so the top-3 cut is cross-engine
+      // exact even where two terms' float tfidf values are near-equal;
+      // the float tfidf rides along as a value column. Scale shape:
+      // explode map-side → two map-side-combinable groupBys; the df
+      // side is vocabulary-sized so its join broadcasts; the corpus
+      // count is a broadcast scalar.
+      "q98_tfidf_top_terms",
+      (s, dir) => {
+        val terms = docs(s, dir)
+          .select(
+            col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).select(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .withColumn(
+            "rk",
+            row_number()
+              .over(Window.partitionBy("doc_id")
+                .orderBy(col("tf").desc, col("df").asc, col("term").asc))
+              .cast("bigint"))
+          .filter(col("rk") <= 3)
+          .select(
+            col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+            (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term " +
+          "FROM documents), " +
+          "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2), " +
+          "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+          "n AS (SELECT COUNT(*) AS n_docs FROM documents) " +
+          "SELECT doc_id, rk, term, tf, df, tfidf FROM (" +
+          "SELECT tf.doc_id, tf.term, tf.tf, df.df, " +
+          "tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id " +
+          "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rk " +
+          "FROM tf JOIN df USING (term) CROSS JOIN n) x WHERE rk <= 3"),
     ),
   )
 }
