@@ -350,6 +350,43 @@ object CurationOps {
           "FROM documents) t WHERE rk <= 10"),
     ),
     QuerySpec(
+      // Token-budget mixture allocation: the "rebalance sources by
+      // TOKEN share, not doc share" planning pass of a training-data
+      // mixture. Per source: docs, whitespace tokens, and the sampling
+      // rate that hits an equal-share budget of 20% of the corpus
+      // (budget = 0.2·T/S tokens per source, rate = min(1, budget/
+      // tokens)) — scale-free arithmetic, so the gate is meaningful at
+      // every sf. Pure map-side-combinable aggregates; the totals join
+      // is a broadcast SINGLE row.
+      "q101_token_budget",
+      (s, dir) => {
+        val per = docs(s, dir)
+          .select(col("source"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+        val tot = per.select(
+          sum("n_tokens").cast("double").as("t_tokens"),
+          count(lit(1)).cast("double").as("n_sources"))
+        per
+          .crossJoin(broadcast(tot))
+          .select(
+            col("source"), col("n_docs"), col("n_tokens"),
+            least(
+              lit(1.0d),
+              (lit(0.2d) * col("t_tokens") / col("n_sources")) / col("n_tokens"))
+              .as("sample_rate"))
+      },
+      Some(
+        "WITH per AS (SELECT source, COUNT(*) AS n_docs, " +
+          "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+          "FROM documents GROUP BY source), " +
+          "tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t_tokens, " +
+          "CAST(COUNT(*) AS DOUBLE) AS n_sources FROM per) " +
+          "SELECT source, n_docs, n_tokens, " +
+          "LEAST(1.0, (0.2 * t_tokens / n_sources) / n_tokens) AS sample_rate " +
+          "FROM per CROSS JOIN tot"),
+    ),
+    QuerySpec(
       // Keep-latest-per-key dedup: one surviving row per user_id, the
       // newest by (ts, event_id) — the CommonCrawl "keep newest capture
       // per URL" shape, and the batch twin of the streaming

@@ -113,5 +113,31 @@ object TemporalOps {
           "ON c.user_id = e.user_id AND e.ts >= c.ts " +
           "AND date_diff('second', c.ts, e.ts) <= 1800"),
     ),
+    QuerySpec(
+      // Temporal debounce: drop an event when the PREVIOUS event of the
+      // same (user, type) is ≤ 6 h older — the "re-crawl of the same
+      // page minutes later" suppression in snapshot curation (lag-based:
+      // gap to the previous RAW event, the one-pass windowed form).
+      // ONE shuffle on the compound key; the (ts, event_id) sort order
+      // makes lag deterministic under equal timestamps. Drops ~10% of
+      // the fixture at every sf, so the gate is non-degenerate.
+      "q100_debounce",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn(
+            "prev_us",
+            lag(unix_micros(col("ts")), 1).over(
+              Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))))
+          .filter(
+            col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 21600000000L)
+          .select("event_id", "user_id", "event_type", "ts", "value"),
+      Some(
+        "SELECT event_id, user_id, event_type, ts, value FROM (" +
+          "SELECT event_id, user_id, event_type, ts, value, " +
+          "LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type " +
+          "ORDER BY ts, event_id) AS prev_us FROM events) t " +
+          "WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 21600000000"),
+    ),
   )
 }

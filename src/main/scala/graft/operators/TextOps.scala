@@ -316,5 +316,34 @@ object TextOps {
           "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rk " +
           "FROM tf JOIN df USING (term) CROSS JOIN n) x WHERE rk <= 3"),
     ),
+    QuerySpec(
+      // Character-entropy quality signal (the CCNet/Gopher-family
+      // "garbage text" detector: near-zero entropy = repeated chars,
+      // near-log2(alphabet) = random noise; natural text sits in a
+      // band). Shannon entropy in bits over the character frequency
+      // distribution — DuckDB's entropy() aggregate is the oracle.
+      // Scale shape: per-char explode is map-side; both groupBys are
+      // map-side combinable on (doc_id[, char]) — the exchange carries
+      // counts, never characters. At 100 TB this folds into the same
+      // scan as the other per-doc quality scalars.
+      "q99_char_entropy",
+      (s, dir) => {
+        val freq = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(length(col("c")) > 0)
+          .groupBy("doc_id", "c")
+          .agg(count(lit(1)).as("n"))
+        val tot = freq.groupBy("doc_id").agg(sum("n").as("ntot"))
+        freq
+          .join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg((-sum((col("n") / col("ntot")) * log2(col("n") / col("ntot"))))
+            .as("char_entropy"))
+      },
+      Some(
+        "SELECT doc_id, entropy(c) AS char_entropy FROM (" +
+          "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) t " +
+          "GROUP BY doc_id"),
+    ),
   )
 }

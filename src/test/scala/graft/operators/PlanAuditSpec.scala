@@ -21,12 +21,13 @@ class PlanAuditSpec extends SparkSpec {
   // not a pair explosion); q27/q29/q29b share the code but checkpoint
   // past it before their self-joins. q52: same shape — the corpus
   // stats (N, avgdl) are a broadcast SINGLE-ROW cross join.
-  // q98: same SINGLE-ROW shape (the corpus doc count broadcast into
-  // the tf-idf scoring join).
+  // q98/q101: same SINGLE-ROW shape (corpus doc count / corpus token
+  // totals broadcast into the scoring join).
   private val allowNestedLoop = Set(
     "q09_join_cross", "q30_cosine_topk", "q31_ann_ivf",
     "q39_als_complete", "q40_svm_predict",
-    "q28_simhash", "q28b_simhash64", "q52_bm25", "q98_tfidf_top_terms")
+    "q28_simhash", "q28b_simhash64", "q52_bm25", "q98_tfidf_top_terms",
+    "q101_token_budget")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
