@@ -139,5 +139,149 @@ object TemporalOps {
           "ORDER BY ts, event_id) AS prev_us FROM events) t " +
           "WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 21600000000"),
     ),
+    QuerySpec(
+      // Calendar-spine gap fill: zero-filled daily counts per event
+      // type over the full [min, max] date range — the densification
+      // pass every time-series model needs (missing days must be 0,
+      // not absent). The spine is generated from a SINGLE-ROW bounds
+      // aggregate (broadcast), crossed with the distinct type set
+      // (tiny), then left-joined to the daily counts — the only real
+      // shuffle is the combinable daily groupBy.
+      "q104_gapfill",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.agg(
+          min(to_date(col("ts"))).as("dmin"),
+          max(to_date(col("ts"))).as("dmax"))
+        val spine = bounds
+          .select(explode(expr("sequence(dmin, dmax, interval 1 day)")).as("d"))
+        val types = ev.select(col("event_type")).distinct()
+        val daily = ev
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        spine
+          .crossJoin(broadcast(types))
+          .join(daily, Seq("d", "event_type"), "left")
+          // dates ride as yyyy-MM-dd strings (the surface's date-output
+          // convention — Spark DATE and DuckDB DATE canonicalize
+          // differently in the compare)
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      },
+      Some(
+        "WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax " +
+          "FROM events), " +
+          "spine AS (SELECT CAST(unnest(generate_series(dmin::TIMESTAMP, dmax::TIMESTAMP, " +
+          "INTERVAL 1 DAY)) AS DATE) AS d FROM b), " +
+          "types AS (SELECT DISTINCT event_type FROM events), " +
+          "daily AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n " +
+          "FROM events GROUP BY 1, 2) " +
+          "SELECT strftime(spine.d, '%Y-%m-%d') AS d, types.event_type, " +
+          "COALESCE(daily.n, 0) AS n " +
+          "FROM spine CROSS JOIN types " +
+          "LEFT JOIN daily ON daily.d = spine.d AND daily.event_type = types.event_type"),
+    ),
+    QuerySpec(
+      // Cohort retention: users grouped by first-active DAY, counted at
+      // each day offset — the standard retention triangle (daily grain:
+      // the fixture spans one month, so a monthly grain would collapse
+      // to a single cell; daily yields 30/59/111 cells at the three
+      // sfs). Two combinable aggregates (first-day per user; distinct
+      // user-days) plus one join keyed on user_id; offsets are exact
+      // day arithmetic, so the grid is cross-engine exact.
+      "q105_cohort_retention",
+      (s, dir) => {
+        val active = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val cohort = active.groupBy("user_id").agg(min(col("d")).as("cohort"))
+        active
+          .join(cohort, "user_id")
+          .groupBy(
+            date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            datediff(col("d"), col("cohort")).cast("bigint").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some(
+        "WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+          "c AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY 1) " +
+          "SELECT strftime(cohort, '%Y-%m-%d') AS cohort, " +
+          "CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset, " +
+          "COUNT(DISTINCT a.user_id) AS n_users " +
+          "FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2"),
+    ),
+    QuerySpec(
+      // Strict sequential funnel (view → click → purchase, each step
+      // within 24 h of the previous) — the conversion-analysis shape.
+      // Each step is a combinable min-aggregate keyed on user_id joined
+      // back on user_id: three same-key shuffles, no window over full
+      // event history, no per-user collect. The 24 h bound is what makes
+      // the funnel discriminate (unbounded, every fixture user converts).
+      // Timestamps compare at µs grain on both engines (Tables.events
+      // truncates ns→µs; the oracle date_truncs to match).
+      "q106_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val step1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val step2 = ev.filter(col("event_type") === "click")
+          .join(step1, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val step3 = ev.filter(col("event_type") === "purchase")
+          .join(step2, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        step1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), col("n"))
+          .unionAll(step2.agg(count(lit(1)).as("n"))
+            .select(lit("2_click").as("step"), col("n")))
+          .unionAll(step3.agg(count(lit(1)).as("n"))
+            .select(lit("3_purchase").as("step"), col("n")))
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_type, " +
+          "date_trunc('microseconds', ts) AS ts FROM events), " +
+          "v AS (SELECT user_id, MIN(ts) AS t1 FROM e " +
+          "WHERE event_type = 'view' GROUP BY 1), " +
+          "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e " +
+          "JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' " +
+          "AND e.ts > t1 AND e.ts <= t1 + INTERVAL 24 HOURS GROUP BY 1), " +
+          "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e " +
+          "JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' " +
+          "AND e.ts > t2 AND e.ts <= t2 + INTERVAL 24 HOURS GROUP BY 1) " +
+          "SELECT '1_view' AS step, COUNT(*) AS n FROM v " +
+          "UNION ALL SELECT '2_click', COUNT(*) FROM c " +
+          "UNION ALL SELECT '3_purchase', COUNT(*) FROM p"),
+    ),
+    QuerySpec(
+      // Event-type transition matrix: per-user bigrams along the
+      // (ts, event_id)-ordered stream, counted over all users — the
+      // Markov-chain / next-event-prediction feature. ONE shuffle
+      // (window on user_id), then a 25-cell combinable groupBy. The
+      // event_id tie-break makes same-µs orderings deterministic
+      // cross-engine.
+      "q107_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, " +
+          "date_trunc('microseconds', ts) AS ts FROM events), " +
+          "l AS (SELECT event_type AS prev_type, LEAD(event_type) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e) " +
+          "SELECT prev_type, next_type, COUNT(*) AS n FROM l " +
+          "WHERE next_type IS NOT NULL GROUP BY 1, 2"),
+    ),
   )
 }

@@ -147,5 +147,87 @@ object WindowOps {
           "UNION ALL " +
           "SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part"),
     ),
+    QuerySpec(
+      // Month-over-month growth per nation: the reporting time-series
+      // shape (aggregate to a monthly grain, then lag-delta along it).
+      // Revenue sums over DECIMAL casts (exact cross-engine, like q55);
+      // the growth ratio divides the exact sums as doubles on both
+      // sides. Scale shape: dims broadcast, one combinable groupBy on
+      // (nation, month), then a window over nation-partitioned months —
+      // the series is months-long, so the window state is trivial.
+      "q102_mom_growth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val monthly = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+        val w = Window.partitionBy("n_name").orderBy("month")
+        monthly
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .select(
+            col("n_name"), col("month"),
+            col("rev").cast("double").as("revenue"),
+            ((col("rev").cast("double") - col("prev").cast("double"))
+              / col("prev").cast("double")).as("mom_growth"))
+      },
+      Some(
+        "WITH m AS (SELECT n_name, date_trunc('month', o_orderdate) AS month, " +
+          "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2) " +
+          "SELECT n_name, month, CAST(rev AS DOUBLE) AS revenue, " +
+          "(CAST(rev AS DOUBLE) - CAST(LAG(rev) OVER (PARTITION BY n_name ORDER BY month) AS DOUBLE)) " +
+          "/ CAST(LAG(rev) OVER (PARTITION BY n_name ORDER BY month) AS DOUBLE) AS mom_growth " +
+          "FROM m"),
+    ),
+    QuerySpec(
+      // Per-group z-score outlier flagging (|z| > 3 vs the event-type
+      // distribution) — the numeric-outlier filter of a data-quality
+      // pass. Group stats are a combinable aggregate on a LOW-cardinality
+      // key (broadcasts back); the flagging pass is scan-speed. Sample
+      // stddev on both engines.
+      "q103_zscore_outliers",
+      (s, dir) => {
+        val stats = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+        Tables.events(s, dir)
+          .join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("m")) / col("sd"))
+          .filter(abs(col("z")) > 3.0d)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      },
+      Some(
+        "WITH s AS (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd " +
+          "FROM events GROUP BY 1) " +
+          "SELECT event_id, event_type, value, (value - m) / sd AS z " +
+          "FROM events JOIN s USING (event_type) WHERE ABS((value - m) / sd) > 3"),
+    ),
+    QuerySpec(
+      // Fixed-bin (20) equi-width histogram of `value` with data-derived
+      // bounds — the numeric-profiling shape. Bounds are a SINGLE-ROW
+      // aggregate broadcast into the binning scan (same shape as q104's
+      // spine); the histogram itself is a ≤20-group combinable groupBy.
+      // The bin formula is written identically on both engines — same
+      // IEEE-double op sequence → identical floor results; max-value
+      // rows clamp into the last bin on both sides.
+      "q108_histogram",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("value"))
+        val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev.crossJoin(broadcast(bounds))
+          .select(least(lit(19L),
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0d))))
+            .cast("bigint").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(
+        "WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events) " +
+          "SELECT CAST(LEAST(19, FLOOR((value - lo) / ((hi - lo) / 20.0))) AS BIGINT) " +
+          "AS bin, COUNT(*) AS n FROM events CROSS JOIN b GROUP BY 1"),
+    ),
   )
 }

@@ -22,12 +22,15 @@ class PlanAuditSpec extends SparkSpec {
   // past it before their self-joins. q52: same shape — the corpus
   // stats (N, avgdl) are a broadcast SINGLE-ROW cross join.
   // q98/q101: same SINGLE-ROW shape (corpus doc count / corpus token
-  // totals broadcast into the scoring join).
+  // totals broadcast into the scoring join). q104: the calendar spine ×
+  // distinct-type cross is days × types — both sides tiny by
+  // construction. q108: the histogram bounds are a SINGLE-ROW broadcast
+  // cross.
   private val allowNestedLoop = Set(
     "q09_join_cross", "q30_cosine_topk", "q31_ann_ivf",
     "q39_als_complete", "q40_svm_predict",
     "q28_simhash", "q28b_simhash64", "q52_bm25", "q98_tfidf_top_terms",
-    "q101_token_budget")
+    "q101_token_budget", "q104_gapfill", "q108_histogram")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
