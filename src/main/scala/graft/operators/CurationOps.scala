@@ -409,5 +409,43 @@ object CurationOps {
           "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk " +
           "FROM events) t WHERE rk = 1"),
     ),
+    QuerySpec(
+      // Per-source top-fraction quality curation: keep each source's
+      // top 20% of documents by q23's quality score — the
+      // quality-threshold pass of a FineWeb/Gopher-style pipeline,
+      // where the threshold must adapt PER DOMAIN rather than be one
+      // global cut. Rank-based (row_number over (quality DESC, doc_id)
+      // with the kept count as integer arithmetic, ceil(n/5) =
+      // (n+4) div 5) so the cut is exact on both engines — a
+      // ceil(n * 0.2) would round differently in IEEE double vs
+      // DuckDB's decimal when n is a multiple of 5. One shuffle on
+      // source; scoring is scan-speed.
+      "q111_quality_topfrac",
+      (s, dir) => {
+        val scored = docs(s, dir)
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("stop_cnt",
+            expr("size(regexp_extract_all(text, '\\\\b(the|a)\\\\b', 0))"))
+          .select(col("source"), col("doc_id"),
+            expr("round(least(n_tokens / 100.0D, 1.0D) * 0.5D " +
+              "+ least(5.0D * stop_cnt / n_tokens, 1.0D) * 0.5D, 6)").as("quality"))
+        val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+        val n = Window.partitionBy("source")
+        scored
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(n))
+          .filter(col("rk") <= expr("(n + 4) div 5"))
+          .select(col("source"), col("doc_id"), col("quality"), col("rk"))
+      },
+      Some(
+        "WITH b AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens, " +
+          "len(regexp_extract_all(text, '\\b(the|a)\\b')) AS stop_cnt FROM documents), " +
+          "s AS (SELECT doc_id, source, round(least(n_tokens / 100.0, 1.0) * 0.5 " +
+          "+ least(5.0 * stop_cnt / n_tokens, 1.0) * 0.5, 6) AS quality FROM b), " +
+          "r AS (SELECT source, doc_id, quality, ROW_NUMBER() OVER " +
+          "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rk, " +
+          "COUNT(*) OVER (PARTITION BY source) AS n FROM s) " +
+          "SELECT source, doc_id, quality, rk FROM r WHERE rk <= (n + 4) // 5"),
+    ),
   )
 }

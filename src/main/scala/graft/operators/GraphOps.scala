@@ -133,5 +133,88 @@ object GraphOps {
           "SELECT supplier, COUNT(*) AS n_co_suppliers, " +
           "CAST(SUM(n) AS BIGINT) AS n_cooccurrences FROM p GROUP BY supplier"),
     ),
+    QuerySpec(
+      // Top-k backbone graph + per-node triangle participation. The raw
+      // supplier co-occurrence graph densifies toward complete as data
+      // grows (sf0.1: 454k edges over 1000 nodes, 124M triangles — a
+      // scale trap); the standard fix is a k-NN backbone: keep each
+      // node's k=3 strongest edges (weight DESC, neighbor-id tie-break
+      // → deterministic), symmetrize, then enumerate triangles with the
+      // ordered two-hop join (x<y<z, each counted once). Work is
+      // bounded by n·k² regardless of raw density. Per-node counts come
+      // from exploding the three corners — no second pass over edges.
+      "q109_backbone_triangles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+          .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val rk = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+        val edges = pairs
+          .withColumn("rk", row_number().over(rk)).filter(col("rk") <= 3)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("supplier"))
+          .groupBy("supplier")
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(
+        "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem), " +
+          "p AS (SELECT a.sk AS src, b.sk AS dst, COUNT(*) AS w FROM li a " +
+          "JOIN li b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2), " +
+          "t AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER " +
+          "(PARTITION BY src ORDER BY w DESC, dst) AS rk FROM p) WHERE rk <= 3), " +
+          "e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM t), " +
+          "tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+          "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+          "SELECT u AS supplier, COUNT(*) AS n_triangles FROM " +
+          "(SELECT unnest([x, y, z]) AS u FROM tr) GROUP BY 1"),
+    ),
+    QuerySpec(
+      // Link-prediction features: top-100 supplier pairs by Jaccard
+      // overlap of their order sets. Pairs are generated per order
+      // (fan-out bounded by lines-per-order, so pair generation is
+      // linear in lineitem, never suppliers²); degrees are a tiny
+      // broadcast; the top-k cut is exact cross-engine — jaccard is ONE
+      // double division of exact ints (bit-identical both engines) and
+      // (a, b) breaks all remaining ties.
+      "q110_link_prediction",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val deg = li.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+        val pairs = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+          .agg(count(lit(1)).as("w"))
+        pairs
+          .join(broadcast(deg.withColumnRenamed("sk", "a").withColumnRenamed("d", "da")), "a")
+          .join(broadcast(deg.withColumnRenamed("sk", "b").withColumnRenamed("d", "db")), "b")
+          .select(col("a"), col("b"), col("w"),
+            (col("w").cast("double") / (col("da") + col("db") - col("w")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a"), col("b"))
+          .limit(100)
+      },
+      Some(
+        "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem), " +
+          "deg AS (SELECT sk, COUNT(*) AS d FROM li GROUP BY 1), " +
+          "p AS (SELECT x.sk AS a, y.sk AS b, COUNT(*) AS w FROM li x " +
+          "JOIN li y ON x.ok = y.ok AND x.sk < y.sk GROUP BY 1, 2) " +
+          "SELECT p.a, p.b, w, CAST(w AS DOUBLE) / CAST(da.d + db.d - w AS DOUBLE) " +
+          "AS jaccard FROM p JOIN deg da ON p.a = da.sk JOIN deg db ON p.b = db.sk " +
+          "ORDER BY jaccard DESC, p.a, p.b LIMIT 100"),
+    ),
   )
 }

@@ -61,4 +61,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
       s"merge shuffled the base table: ${p.take(800)}")
   }
+
+  test("q110 (link prediction): degree joins broadcast; top-k never globally sorts") {
+    val p = plan("q110_link_prediction")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 cut is a global sort: ${p.take(800)}")
+  }
+
+  test("q103 (z-score): the stats frame broadcasts back — no second full shuffle of events") {
+    val p = plan("q103_zscore_outliers")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 1, p.take(800))
+    assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(800))
+  }
 }
