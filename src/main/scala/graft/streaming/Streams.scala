@@ -156,6 +156,52 @@ object Streams {
       .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("value"))
   }
 
+  /** Streaming anomaly detection: per-key running mean/variance via
+    * Welford's online update inside flatMapGroupsWithState, flagging
+    * each event whose value is > 3σ from the running per-key mean AT
+    * ARRIVAL (state before the event's own update — a fixed-stats
+    * z-score like q103 would need the final mean, which a stream never
+    * has). State per key is three doubles (n, mean, M2) — size scales
+    * with DISTINCT keys, never events, exactly the bound a 100 TB/day
+    * stream needs. Rows are folded in (ts, event_id) order within each
+    * micro-batch so results are replay-deterministic regardless of
+    * shuffle arrival order.
+    */
+  final case class Anomaly(event_type: String, event_id: Long, value: Double, z: Double)
+
+  def anomalyStream(
+      events: DataFrame, // needs event_type STRING, event_id LONG, ts TIMESTAMP, value DOUBLE
+      sigmas: Double = 3.0,
+      minCount: Long = 10L,
+  ): org.apache.spark.sql.Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("event_type", "event_id", "CAST(ts AS LONG) AS ts_s", "value")
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double), Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          // deterministic fold order under any within-batch shuffle order
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, v) =>
+            if (n >= minCount) {
+              val sd = math.sqrt(m2 / (n - 1))
+              val z = (v - mean) / sd
+              if (math.abs(z) > sigmas) out += Anomaly(key, id, v, z)
+            }
+            n += 1
+            val d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+          }
+          state.update((n, mean, m2))
+          out.result().iterator
+      }
+  }
+
   /** foreachBatch scoring: apply a fitted model (or any batch
     * DataFrame→DataFrame function) to each micro-batch — the streaming
     * deployment mode of the trained LUAD SVM.
