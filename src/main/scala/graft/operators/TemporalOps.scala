@@ -202,7 +202,12 @@ object TemporalOps {
           .groupBy(
             date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
             datediff(col("d"), col("cohort")).cast("bigint").as("day_offset"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
+          // plain count, not countDistinct: `active` is distinct per
+          // (user_id, d) and each user has exactly one cohort, so a
+          // user contributes at most one row per (cohort, day_offset)
+          // cell — the distinct pass would re-shuffle for nothing (the
+          // oracle keeps COUNT(DISTINCT), proving the equivalence)
+          .agg(count(lit(1)).as("n_users"))
       },
       Some(
         "WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
