@@ -403,5 +403,39 @@ object DedupOps {
           "SELECT doc_id, COUNT(*) AS n_dup_spans FROM g " +
           "WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id"),
     ),
+    QuerySpec(
+      // Cross-document 5-gram sharing profile: for each shingle
+      // fingerprint, how many docs contain it; histogrammed by that
+      // count — the corpus-level duplication/contamination diagnostic
+      // read before choosing dedup thresholds (exact-dup profiling is
+      // vacuous on this corpus: texts are unique, but ~5% of shingles
+      // are shared). Scale shape: shingle explode is map-side (fan-out
+      // linear in tokens), the shuffle carries (long fp) pairs via
+      // q51's 60-bit md5 prefix, and both groupBys are combinable.
+      "q112_ngram_sharing",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 5)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
+          .select(
+            col("doc_id"),
+            expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
+          .distinct()
+        g.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+          .groupBy("n_docs").agg(count(lit(1)).as("n_fingerprints"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents " +
+          "WHERE len(string_split(text, ' ')) >= 5), " +
+          "g AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(" +
+          "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]" +
+          "), 1, 15))::BIGINT AS fp FROM d, unnest(range(1, len(ws) - 3)) AS u(i)), " +
+          "f AS (SELECT fp, COUNT(*) AS n_docs FROM g GROUP BY 1) " +
+          "SELECT n_docs, COUNT(*) AS n_fingerprints FROM f GROUP BY 1"),
+    ),
   )
 }
