@@ -288,5 +288,48 @@ object TemporalOps {
           "SELECT prev_type, next_type, COUNT(*) AS n FROM l " +
           "WHERE next_type IS NOT NULL GROUP BY 1, 2"),
     ),
+    QuerySpec(
+      // Last-touch attribution: each purchase credits the most recent
+      // preceding click by the same user within 24 h — q41's
+      // union-and-carry-forward as-of pattern applied to marketing
+      // semantics. ONE shuffle (user window); (ts, side, event_id)
+      // ordering makes same-microsecond click/purchase pairs
+      // deterministic on both engines (click sorts first → gap 0
+      // attribution). Gap rides as exact epoch-microsecond arithmetic.
+      "q113_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "click", 0).otherwise(1).as("side"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("side"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("click_id",
+            last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_ts",
+            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1 && col("click_id").isNotNull &&
+            col("ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, " +
+          "date_trunc('microseconds', ts) AS ts FROM events " +
+          "WHERE event_type IN ('click', 'purchase')), " +
+          "u AS (SELECT user_id, event_id, ts, " +
+          "CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side FROM e), " +
+          "c AS (SELECT *, LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) " +
+          "OVER w AS click_id, " +
+          "LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS click_ts " +
+          "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+          "SELECT user_id, event_id AS purchase_id, click_id, " +
+          "epoch_us(ts) - epoch_us(click_ts) AS gap_us FROM c " +
+          "WHERE side = 1 AND click_id IS NOT NULL " +
+          "AND ts - click_ts <= INTERVAL 24 HOURS"),
+    ),
   )
 }
