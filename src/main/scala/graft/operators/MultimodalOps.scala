@@ -162,6 +162,35 @@ object MultimodalOps {
       .toDF("doc_id", "chunk_idx", "n_bytes", "chunk_md5")
   }
 
+  /** Frame sampling: treat the payload as a sequence of fixed-size
+    * frames and keep every `stride`-th one — the video keyframe-
+    * extraction shape (a real pipeline samples I-frames; here frames
+    * are fixed-width byte windows so the sampling arithmetic, schema
+    * and partition behavior are the real thing while the codec stays
+    * out of the container). Sampling happens INSIDE the flatMap —
+    * skipped frames are never materialized, so a stride of 30 reads
+    * 1/30th of the decode cost, exactly like real frame sampling.
+    */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, nFrames, stride).map { i =>
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, i * frameBytes, math.min((i + 1) * frameBytes, bytes.length))
+            val md = java.security.MessageDigest.getInstance("MD5").digest(frame)
+            (id, i.toLong, frame.length.toLong, md.map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_bytes", "frame_md5")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q33b_multimodal_chunks",
@@ -176,6 +205,23 @@ object MultimodalOps {
           "CAST(length(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS BIGINT) AS n_bytes, " +
           "md5(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS chunk_md5 " +
           "FROM documents, unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS u(i)"),
+    ),
+    QuerySpec(
+      // Every-4th-frame sampling over 64-byte frames — the keyframe-
+      // extraction plumbing (see sampleFrames). The oracle re-slices
+      // the same byte windows with substr and strides the frame index
+      // by 4, so frame boundaries, lengths, and hashes are all gated.
+      "q33c_frame_sample",
+      (s, dir) => {
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        sampleFrames(s, media, 64, 4)
+      },
+      Some(
+        "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
+          "CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS n_bytes, " +
+          "md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5 " +
+          "FROM documents, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS u(i)"),
     ),
     QuerySpec(
       "q33_multimodal_decode",
