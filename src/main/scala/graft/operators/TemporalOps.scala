@@ -228,8 +228,15 @@ object TemporalOps {
       // truncates ns→µs; the oracle date_truncs to match).
       "q106_funnel",
       (s, dir) => {
+        // materialize the funnel-relevant projection ONCE (q91's
+        // localCheckpoint pattern): the three step branches and the
+        // three count branches otherwise re-scan events 12× through
+        // the union's lineage — at 100 TB that's 12 full scans for
+        // one funnel
         val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), col("event_type"), col("ts"))
+          .localCheckpoint()
         val step1 = ev.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min(col("ts")).as("t1"))
         val step2 = ev.filter(col("event_type") === "click")
