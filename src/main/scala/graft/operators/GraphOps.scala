@@ -117,6 +117,9 @@ object GraphOps {
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
+          // both self-join sides re-derive the distinct otherwise —
+          // one materialization, two in-memory reads
+          .localCheckpoint()
         li.as("a")
           .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
           .groupBy(col("a.sk").as("supplier"), col("b.sk").as("co_supplier"))
@@ -149,6 +152,7 @@ object GraphOps {
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
+          .localCheckpoint() // two self-join sides
         val pairs = li.as("a")
           .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
           .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
@@ -159,6 +163,9 @@ object GraphOps {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
+          // referenced three times by the triangle join — without this
+          // the whole pair-gen + window + distinct re-runs per side
+          .localCheckpoint()
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.b") === col("e2.a"))
           .join(edges.as("e3"),
@@ -193,6 +200,7 @@ object GraphOps {
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
           .distinct()
+          .localCheckpoint() // degree agg + two self-join sides
         val deg = li.groupBy(col("sk")).agg(count(lit(1)).as("d"))
         val pairs = li.as("x")
           .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))

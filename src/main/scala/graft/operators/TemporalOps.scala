@@ -196,6 +196,9 @@ object TemporalOps {
         val active = Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("d"))
           .distinct()
+          // referenced by both the cohort agg and the retention join —
+          // materialize so the distinct shuffle runs once, not twice
+          .localCheckpoint()
         val cohort = active.groupBy("user_id").agg(min(col("d")).as("cohort"))
         active
           .join(cohort, "user_id")
