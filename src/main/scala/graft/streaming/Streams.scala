@@ -202,6 +202,54 @@ object Streams {
       }
   }
 
+  /** Streaming funnel state machine: the per-user sequential
+    * view → click → purchase progression of q106 as keyed streaming
+    * state. State per user is three optional step timestamps (µs) —
+    * fixed-size regardless of event volume. Emits (user_id, step,
+    * at_us) each time a user NEWLY reaches a step, so downstream
+    * counts are incremental. Chronological replay reproduces the
+    * batch q106 semantics exactly (the first qualifying event per
+    * step IS the min-timestamp event); same-microsecond ordering
+    * cannot change outcomes because every transition predicate is
+    * strict (`us > t_prev`), so ties reject identically in any fold
+    * order. StreamsSpec proves batch ≡ stream on the sf0.01 fixture.
+    */
+  final case class FunnelStep(user_id: Long, step: String, at_us: Long)
+  final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  def funnelStream(
+      events: DataFrame, // needs user_id LONG, event_type STRING, ts TIMESTAMP
+      windowUs: Long = 24L * 3600 * 1000000,
+  ): org.apache.spark.sql.Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = Seq.newBuilder[FunnelStep]
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, us) =>
+            (typ, st) match {
+              case ("view", FunnelState(None, _, _)) =>
+                st = st.copy(t1 = Some(us)); out += FunnelStep(user, "1_view", us)
+              case ("click", FunnelState(Some(t1), None, _))
+                  if us > t1 && us <= t1 + windowUs =>
+                st = st.copy(t2 = Some(us)); out += FunnelStep(user, "2_click", us)
+              case ("purchase", FunnelState(_, Some(t2), None))
+                  if us > t2 && us <= t2 + windowUs =>
+                st = st.copy(t3 = Some(us)); out += FunnelStep(user, "3_purchase", us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** foreachBatch scoring: apply a fitted model (or any batch
     * DataFrame→DataFrame function) to each micro-batch — the streaming
     * deployment mode of the trained LUAD SVM.

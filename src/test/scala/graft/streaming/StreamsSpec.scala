@@ -313,6 +313,74 @@ class StreamsSpec extends SparkSpec {
       assert(seen.map(_._1).toSet == Set("x", "y"))
     } finally q.stop()
   }
+
+  test("anomaly stream: Welford z-flagging over the sf0.001 fixture equals a sequential fold") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(r => (r._3.getTime, r._2))
+    val chunks = rows.grouped((rows.length + 2) / 3).map(_.toIndexedSeq).toSeq
+    // sequential truth: same per-batch, per-key (epoch-second, id) fold
+    // order the stream handler uses
+    val state = scala.collection.mutable.Map.empty[String, (Long, Double, Double)]
+    val want = scala.collection.mutable.Set.empty[(String, Long)]
+    for (chunk <- chunks; (key, evs) <- chunk.groupBy(_._1)) {
+      var (n, mean, m2) = state.getOrElse(key, (0L, 0.0, 0.0))
+      for ((_, id, t, v) <- evs.sortBy(e => (e._3.toInstant.getEpochSecond, e._2))) {
+        if (n >= 10L && math.abs((v - mean) / math.sqrt(m2 / (n - 1))) > 3.0)
+          want += ((key, id))
+        n += 1
+        val d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+      }
+      state(key) = (n, mean, m2)
+    }
+    val input = MemoryStream[(String, Long, Timestamp, Double)]
+    val q = Streams
+      .anomalyStream(input.toDF().toDF("event_type", "event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val got = s.table("anomalies").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "vacuous: no anomaly in the fixture at 3 sigma")
+      assert(got == want.toSet)
+    } finally q.stop()
+  }
+
+  test("streaming funnel over the sf0.01 fixture equals the batch q106 step counts") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    // batch truth: q106 (DuckDB-oracle-gated) — step → user count
+    val batch = graft.SparkEntry.queries("q106_funnel")(s, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = graft.Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .sortBy(r => (r._3.getTime, r._1))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.funnelStream(input.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("funnel_steps")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      val got = s.table("funnel_steps").collect()
+        .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).distinct.length.toLong }
+      assert(batch.getOrElse("3_purchase", 0L) > 0, "vacuous: nobody converts")
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
 }
 
 // Top-level (not spec-inner) row types: Seq.toDF for the batch twin
@@ -367,45 +435,5 @@ class StreamRecoverySpec extends graft.SparkSpec {
       import scala.reflect.io.Directory
       new Directory(root.toFile).deleteRecursively()
     }
-  }
-
-  test("anomaly stream: Welford z-flagging over the sf0.001 fixture equals a sequential fold") {
-    val s = spark; import s.implicits._
-    implicit val sc = s.sqlContext
-    val dir = "/root/testdata/sf0.001"
-    val rows = graft.Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
-      .sortBy(r => (r._3.getTime, r._2))
-    val chunks = rows.grouped((rows.length + 2) / 3).map(_.toIndexedSeq).toSeq
-    // sequential truth: same per-batch, per-key (epoch-second, id) fold
-    // order the stream handler uses
-    val state = scala.collection.mutable.Map.empty[String, (Long, Double, Double)]
-    val want = scala.collection.mutable.Set.empty[(String, Long)]
-    for (chunk <- chunks; (key, evs) <- chunk.groupBy(_._1)) {
-      var (n, mean, m2) = state.getOrElse(key, (0L, 0.0, 0.0))
-      for ((_, id, t, v) <- evs.sortBy(e => (e._3.toInstant.getEpochSecond, e._2))) {
-        if (n >= 10L && math.abs((v - mean) / math.sqrt(m2 / (n - 1))) > 3.0)
-          want += ((key, id))
-        n += 1
-        val d = v - mean
-        mean += d / n
-        m2 += d * (v - mean)
-      }
-      state(key) = (n, mean, m2)
-    }
-    val input = MemoryStream[(String, Long, Timestamp, Double)]
-    val q = Streams
-      .anomalyStream(input.toDF().toDF("event_type", "event_id", "ts", "value"))
-      .writeStream.format("memory").queryName("anomalies")
-      .outputMode("append").start()
-    try {
-      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
-      val got = s.table("anomalies").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSet
-      assert(want.nonEmpty, "vacuous: no anomaly in the fixture at 3 sigma")
-      assert(got == want.toSet)
-    } finally q.stop()
   }
 }
