@@ -341,5 +341,38 @@ object TemporalOps {
           "WHERE side = 1 AND click_id IS NOT NULL " +
           "AND ts - click_ts <= INTERVAL 24 HOURS"),
     ),
+    QuerySpec(
+      // Rolling 7-day active users per day (WAU) — the trailing-window
+      // distinct count. The naive form is a date-RANGE self-join
+      // (nested loop); the scale form used here explodes each
+      // (user, day) into the ≤7 report days it contributes to — a
+      // bounded fan-out equi-shuffle, the same banding trick as q42.
+      // Plain count suffices (contrib is distinct per (user, report
+      // day)); the oracle keeps COUNT(DISTINCT) to prove equivalence.
+      "q114_rolling_actives",
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+          .localCheckpoint() // referenced by both day spine and contributions
+        // rename the spine column: days and contrib share ud's lineage,
+        // and Spark's ambiguous-self-join check rejects a bare `d` ref
+        val days = ud.select(col("d").as("day")).distinct()
+        val contrib = ud
+          .select(col("user_id"),
+            explode(expr("sequence(d, date_add(d, 6))")).as("rd"))
+          .distinct()
+        contrib.join(days, col("rd") === col("day"))
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("d"))
+          .agg(count(lit(1)).as("wau"))
+      },
+      Some(
+        "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+          "days AS (SELECT DISTINCT d FROM ud), " +
+          "contrib AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(" +
+          "d::TIMESTAMP, (d + 6)::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS rd FROM ud) " +
+          "SELECT strftime(days.d, '%Y-%m-%d') AS d, COUNT(DISTINCT user_id) AS wau " +
+          "FROM contrib JOIN days ON contrib.rd = days.d GROUP BY 1"),
+    ),
   )
 }
