@@ -345,5 +345,41 @@ object TextOps {
           "SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) t " +
           "GROUP BY doc_id"),
     ),
+    QuerySpec(
+      // Per-source unigram KL divergence vs the corpus distribution —
+      // the drift/contamination monitor a mixture pipeline runs before
+      // reweighting sources (a source whose token distribution diverges
+      // is over-deduped, mis-scraped, or mislabeled). One token-explode
+      // shuffle into (source, tok) counts, materialized once and reused
+      // by the per-source totals, the corpus marginals, and the scoring
+      // join; corpus total broadcasts as a single row. Sum order
+      // differs across engines but the compare tolerance (1e-6 abs)
+      // dwarfs double-summation error on ~1e-2 values.
+      "q115_source_divergence",
+      (s, dir) => {
+        val st = docs(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // reused by totals, marginals, and scoring
+        val stot = st.groupBy("source").agg(sum(col("n")).as("sn"))
+        val corpus = st.groupBy("tok").agg(sum(col("n")).as("cn"))
+        val ctot = corpus.agg(sum(col("cn")).as("ct"))
+        st.join(stot, "source").join(corpus, "tok")
+          .crossJoin(broadcast(ctot))
+          .select(col("source"),
+            ((col("n") / col("sn")) *
+              log((col("n") / col("sn")) / (col("cn") / col("ct")))).as("term"))
+          .groupBy("source").agg(sum(col("term")).as("kl"))
+      },
+      Some(
+        "WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "st AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2), " +
+          "stot AS (SELECT source, SUM(n) AS sn FROM st GROUP BY 1), " +
+          "c AS (SELECT tok, SUM(n) AS cn FROM st GROUP BY 1), " +
+          "ctot AS (SELECT SUM(cn) AS ct FROM c) " +
+          "SELECT st.source, SUM((st.n / stot.sn) * ln((st.n / stot.sn) / (c.cn / ctot.ct))) " +
+          "AS kl FROM st JOIN stot USING (source) JOIN c USING (tok) " +
+          "CROSS JOIN ctot GROUP BY 1"),
+    ),
   )
 }
