@@ -374,5 +374,40 @@ object TemporalOps {
           "SELECT strftime(days.d, '%Y-%m-%d') AS d, COUNT(DISTINCT user_id) AS wau " +
           "FROM contrib JOIN days ON contrib.rd = days.d GROUP BY 1"),
     ),
+    QuerySpec(
+      // Frequent itemset pairs over (user, day) baskets: which event
+      // types co-occur within a user's day, with basket-relative
+      // support — the market-basket association shape. Pair generation
+      // is a within-basket self-join with fan-out bounded by distinct
+      // types per basket (≤5 here, ≤ catalog size in general), joined
+      // on the basket key — never a corpus-wide cross. The basket
+      // count broadcasts as a single row for the support fraction.
+      "q116_itemset_pairs",
+      (s, dir) => {
+        val b = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+          .distinct()
+          .localCheckpoint() // basket count + both self-join sides
+        val nb = b.select(col("user_id"), col("d")).distinct()
+          .agg(count(lit(1)).as("n"))
+        b.as("a")
+          .join(b.as("c"),
+            col("a.user_id") === col("c.user_id") && col("a.d") === col("c.d") &&
+              col("a.event_type") < col("c.event_type"))
+          .groupBy(col("a.event_type").as("t1"), col("c.event_type").as("t2"))
+          .agg(count(lit(1)).as("support"))
+          .crossJoin(broadcast(nb))
+          .select(col("t1"), col("t2"), col("support"),
+            (col("support") / col("n")).as("support_frac"))
+      },
+      Some(
+        "WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type " +
+          "FROM events), " +
+          "nb AS (SELECT COUNT(DISTINCT (user_id, d)) AS n FROM b), " +
+          "p AS (SELECT a.event_type AS t1, c.event_type AS t2 FROM b a JOIN b c " +
+          "ON a.user_id = c.user_id AND a.d = c.d AND a.event_type < c.event_type) " +
+          "SELECT t1, t2, COUNT(*) AS support, " +
+          "COUNT(*) / (SELECT n FROM nb) AS support_frac FROM p GROUP BY 1, 2"),
+    ),
   )
 }
