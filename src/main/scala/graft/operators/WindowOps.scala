@@ -229,5 +229,71 @@ object WindowOps {
           "SELECT CAST(LEAST(19, FLOOR((value - lo) / ((hi - lo) / 20.0))) AS BIGINT) " +
           "AS bin, COUNT(*) AS n FROM events CROSS JOIN b GROUP BY 1"),
     ),
+    QuerySpec(
+      // Robust outlier flagging via median absolute deviation — the
+      // heavy-tail-safe complement of q103's z-score (mean/stddev are
+      // themselves dragged by outliers; median/MAD are not). Two
+      // grouped interpolated medians (cross-engine-identical per
+      // q13c), stats broadcast back, scan-speed flagging. The 1.4826
+      // factor normalizes MAD to σ under normality; the comparison is
+      // written with the identical literal product on both engines so
+      // the boundary is bit-deterministic.
+      "q117_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5D)").as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+        ev.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .filter(abs(col("value") - col("med")) > expr("3.5D * 1.4826D * mad"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("med"), col("mad"))
+      },
+      Some(
+        "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+          "FROM events GROUP BY 1), " +
+          "a AS (SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad " +
+          "FROM events JOIN m USING (event_type) GROUP BY 1) " +
+          "SELECT event_id, event_type, value, med, mad " +
+          "FROM events JOIN m USING (event_type) JOIN a USING (event_type) " +
+          "WHERE ABS(value - med) > 3.5 * 1.4826 * mad"),
+    ),
+    QuerySpec(
+      // Pareto / ABC analysis: the customers that cover the first 80%
+      // of revenue, by exact-decimal cumulative share. The global
+      // cumulative window runs over the CUSTOMER AGGREGATE (dimension-
+      // sized — same argument as k-means centroids), never the order
+      // facts; the 80% cut compares decimals scaled by integers
+      // (cum·5 ≤ tot·4), exact on both engines, so no float boundary
+      // can flip a row. Share is converted to double only for output.
+      "q118_pareto_customers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+        val t = c.agg(sum(col("rev")).as("tot"))
+        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c.withColumn("cum", sum(col("rev")).over(w))
+          .crossJoin(broadcast(t))
+          .filter(col("cum") * 5 <= col("tot") * 4)
+          .select(col("o_custkey"),
+            col("rev").cast("double").as("revenue"),
+            (col("cum").cast("double") / col("tot").cast("double")).as("cum_share"))
+      },
+      Some(
+        "WITH c AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+          "FROM orders GROUP BY 1), " +
+          "t AS (SELECT SUM(rev) AS tot FROM c), " +
+          "r AS (SELECT o_custkey, rev, SUM(rev) OVER (ORDER BY rev DESC, o_custkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c) " +
+          "SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, " +
+          "CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share " +
+          "FROM r CROSS JOIN t WHERE cum * 5 <= tot * 4"),
+    ),
   )
 }
