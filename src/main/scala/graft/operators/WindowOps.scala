@@ -295,5 +295,53 @@ object WindowOps {
           "CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share " +
           "FROM r CROSS JOIN t WHERE cum * 5 <= tot * 4"),
     ),
+    QuerySpec(
+      // Per-session feature extraction: q36's 30-minute-gap
+      // sessionization extended to the feature row a user-model trains
+      // on — duration (µs-exact), event volume, type diversity,
+      // purchase conversion, value total. Same single user-partitioned
+      // shuffle as q36; every feature is a combinable aggregate of the
+      // sessionized frame.
+      "q119_session_features",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_ts").isNull ||
+                col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("duration_us"),
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            round(sum(col("value")), 6).as("value_sum"))
+          .withColumn("converted", col("n_purchases") > 0)
+      },
+      Some(
+        "WITH l AS (SELECT user_id, event_id, ts, event_type, value, " +
+          "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+          "m AS (SELECT *, CASE WHEN prev_ts IS NULL " +
+          "OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM l), " +
+          "sess AS (SELECT *, SUM(new_sess) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m) " +
+          "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+          "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us, " +
+          "COUNT(*) AS n_events, " +
+          "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types, " +
+          "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_purchases, " +
+          "round(SUM(value), 6) AS value_sum, " +
+          "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS converted " +
+          "FROM sess GROUP BY 1, 2"),
+    ),
   )
 }
