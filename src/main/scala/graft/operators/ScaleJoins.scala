@@ -124,5 +124,37 @@ object ScaleJoins {
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment"),
     ),
+    QuerySpec(
+      // Join-key skew report: the top-10 heaviest keys of each lineitem
+      // join column — the diagnostic run BEFORE deciding to salt
+      // (saltedJoin above) or let AQE split. Each column is one
+      // combinable groupBy; the per-column top-10 is a window rank with
+      // a deterministic (count DESC, key) tie-break. On the fixture it
+      // shows the real story: l_suppkey carries ~40× the per-key load
+      // of l_orderkey — exactly the key you'd salt.
+      "q120_skew_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, dir, "lineitem")
+        def keyed(c: String): DataFrame =
+          li.groupBy(col(c).cast("string").as("key"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(c).as("col"), col("key"), col("n"))
+        val u = keyed("l_suppkey")
+          .unionAll(keyed("l_partkey"))
+          .unionAll(keyed("l_orderkey"))
+        val w = Window.partitionBy("col").orderBy(col("n").desc, col("key"))
+        u.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      },
+      Some(
+        "WITH u AS (SELECT 'l_suppkey' AS col, CAST(l_suppkey AS VARCHAR) AS key, " +
+          "COUNT(*) AS n FROM lineitem GROUP BY 2 " +
+          "UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR), COUNT(*) " +
+          "FROM lineitem GROUP BY 2 " +
+          "UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR), COUNT(*) " +
+          "FROM lineitem GROUP BY 2), " +
+          "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY col ORDER BY n DESC, key) " +
+          "AS rk FROM u) SELECT col, key, n, rk FROM r WHERE rk <= 10"),
+    ),
   )
 }
