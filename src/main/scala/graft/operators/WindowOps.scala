@@ -343,5 +343,42 @@ object WindowOps {
           "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS converted " +
           "FROM sess GROUP BY 1, 2"),
     ),
+    QuerySpec(
+      // Nested percent-of-total contribution: each (nation, year)
+      // cell's share of its nation and of the grand total — the
+      // standard drill-down report. Both denominators are exact
+      // DECIMAL window sums over the ~175-row aggregate (dims
+      // broadcast into the fact scan; one combinable groupBy); shares
+      // become doubles only at output, so the same exact quotient is
+      // computed on both engines.
+      "q121_share_of_total",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("yr"))
+          .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+        val byNation = Window.partitionBy("n_name")
+        val all = Window.partitionBy()
+        m.select(
+          col("n_name"), col("yr"),
+          col("rev").cast("double").as("revenue"),
+          (col("rev").cast("double") / sum(col("rev")).over(byNation).cast("double"))
+            .as("share_of_nation"),
+          (col("rev").cast("double") / sum(col("rev")).over(all).cast("double"))
+            .as("share_of_total"))
+      },
+      Some(
+        "WITH m AS (SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, " +
+          "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2) " +
+          "SELECT n_name, yr, CAST(rev AS DOUBLE) AS revenue, " +
+          "CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) " +
+          "AS share_of_nation, " +
+          "CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_total " +
+          "FROM m"),
+    ),
   )
 }
