@@ -174,6 +174,42 @@ object DedupOps {
       "(CASE WHEN j = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << j END) " +
       "ELSE 0 END) AS BIGINT) AS simhash64 FROM bits GROUP BY doc_id)"
 
+  /** q92's blocking frame: (doc_id, lang, tok1, p, b, bv) — one row per
+    * document per SimHash band of its 40-char prefix. The candidate
+    * join key is (lang, tok1, b, bv): the token dimension preserves the
+    * original fuzzy-dedup semantics, the band dimension bounds the
+    * block. SimHash is over DISTINCT character 4-grams of the prefix
+    * (~37 grams at full length), 32 bits folded by the same
+    * map-side-combinable UDAF as q28, split into 4 × 8-bit bands.
+    * Docs with a prefix shorter than 4 chars have no grams and drop
+    * out of fuzzy candidacy (both engines identically); exact dedup
+    * (q25) owns that regime. Public so DedupSemanticsSpec can
+    * histogram the REAL block stream under adversarial token skew.
+    */
+  def fuzzyBlocks(s: SparkSession, dir: String): DataFrame = {
+    val simhash32 = udaf(graft.functions.SimhashAggs.Simhash32Agg)
+    val d = docs(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("split_part(text, ' ', 1)").as("tok1"),
+        substring(col("text"), 1, 40).as("p"))
+    val sig = d
+      .filter(length(col("p")) >= 4)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, length(p) - 3), i -> substring(p, i, 4))")).as("g"))
+      .distinct()
+      .withColumn("h32", expr("CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(simhash32(col("h32")).as("ph"))
+    d.join(sig, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("lang"), col("tok1"), col("p"),
+        expr("stack(4, 0, (ph >> 0) & 255, 1, (ph >> 8) & 255, " +
+          "2, (ph >> 16) & 255, 3, (ph >> 24) & 255) AS (b, bv)"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q25_dedup_exact",
@@ -327,41 +363,61 @@ object DedupOps {
     ),
     QuerySpec(
       // Fuzzy (edit-distance) dedup: levenshtein ≤ 14 on a 40-char
-      // prefix fingerprint, candidate pairs blocked on (lang, first
-      // token). Blocking is the scale story: the O(n²) comparison runs
-      // only inside (lang, leading-token) buckets — a shuffle on a
-      // well-distributed compound key — never across the corpus. The
-      // prefix cap bounds the O(m·n) levenshtein cell count per pair.
-      // Spark's levenshtein() and DuckDB's agree (classic Wagner-
-      // Fischer, unit costs), so the oracle is exact.
+      // prefix fingerprint. Candidate blocking is TWO-dimensional:
+      // (lang, first token) × a shared 8-bit SimHash band over the
+      // prefix's character 4-grams (see [[fuzzyBlocks]]). The first
+      // dimension alone is a Zipf trap — the leading token of natural
+      // text concentrates ("The"/"A"/"In" can be percent-scale of an
+      // English corpus) and the within-block self-join is O(block²).
+      // The band dimension is uniform by CONTENT, not token frequency:
+      // inside the heaviest token block, candidates still require one
+      // of 4 prefix-SimHash bytes to collide, so bucket sizes track
+      // true near-dup structure (identical prefixes share all bands;
+      // diverse prefixes spread over 256 values per band). Recall
+      // trade, stated: a pair at the far edge of the threshold whose
+      // prefixes share no band is not generated — the standard LSH
+      // candidate contract, same as q27/q29. The prefix cap bounds the
+      // O(m·n) levenshtein cell count per pair; Spark's levenshtein()
+      // and DuckDB's agree (classic Wagner-Fischer, unit costs), so
+      // the oracle is exact over the same candidate set.
       "q92_fuzzy_dedup",
       (s, dir) => {
         // injects FuzzyMatchRewrite: the levenshtein <= 14 predicate
         // optimizes to a length-difference guard + the banded
         // (thresholded) DP — see graft.plans.FuzzyMatchRewrite
         graft.plans.GraftRules.ensureInjected(s)
-        val d = docs(s, dir)
-          .select(
-            col("doc_id"),
-            col("lang"),
-            expr("split_part(text, ' ', 1)").as("tok1"),
-            substring(col("text"), 1, 40).as("p"))
-        d.as("a")
+        val banded = fuzzyBlocks(s, dir)
+        banded.as("a")
           .join(
-            d.as("b"),
+            banded.as("b"),
             col("a.lang") === col("b.lang") && col("a.tok1") === col("b.tok1") &&
+              col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
               col("a.doc_id") < col("b.doc_id"))
-          .withColumn("dist", levenshtein(col("a.p"), col("b.p")).cast("bigint"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.p").as("pa"), col("b.p").as("pb"))
+          .distinct() // a pair may collide on several bands
+          .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("bigint"))
           .filter(col("dist") <= 14)
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+          .select(col("da"), col("db"), col("dist"))
       },
       Some(
         "WITH d AS (SELECT doc_id, lang, split_part(text, ' ', 1) AS tok1, " +
-          "substr(text, 1, 40) AS p FROM documents) " +
-          "SELECT a.doc_id AS da, b.doc_id AS db, " +
-          "CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist " +
-          "FROM d a JOIN d b ON a.lang = b.lang AND a.tok1 = b.tok1 " +
-          "AND a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 14"),
+          "substr(text, 1, 40) AS p FROM documents), " +
+          "g AS (SELECT DISTINCT doc_id, substr(p, i, 4) AS g " +
+          "FROM d, unnest(range(1, len(p) - 2)) AS u(i) WHERE len(p) >= 4), " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h32 FROM g), " +
+          "bits AS (SELECT doc_id, j, SUM(2 * ((h32 >> j) & 1) - 1) AS bal " +
+          "FROM h, unnest(range(0, 32)) AS u(j) GROUP BY 1, 2), " +
+          "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS ph " +
+          "FROM bits GROUP BY doc_id), " +
+          "bd AS (SELECT d.doc_id, lang, tok1, p, b, (ph >> (8 * b)) & 255 AS bv " +
+          "FROM d JOIN sig USING (doc_id), unnest(range(0, 4)) AS u(b)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb " +
+          "FROM bd a JOIN bd b ON a.lang = b.lang AND a.tok1 = b.tok1 " +
+          "AND a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+          "SELECT da, db, CAST(levenshtein(pa, pb) AS BIGINT) AS dist " +
+          "FROM cand WHERE levenshtein(pa, pb) <= 14"),
     ),
     QuerySpec(
       // Duplicated-span detection (exact-substring dedup, Lee et al.

@@ -155,6 +155,73 @@ class DedupSemanticsSpec extends SparkSpec {
       s"16-bit banding ($sh16Candidates candidates) must beat 8-bit ($sh8Candidates)")
   }
 
+  /** q92's Zipf-trap fix: when EVERY document starts with the same
+    * token (the worst case of a Zipf-distributed leading token — the
+    * old (lang, first-token) blocking degenerates to one corpus-sized
+    * block and all-pairs work), the prefix-SimHash band dimension must
+    * keep candidate generation bounded by CONTENT structure. Same
+    * assertion shape as the MinHash/SimHash bucket-bound test above:
+    * doubling the corpus (fixed cluster size) grows candidates
+    * ~linearly while all-pairs grows ×4, and no block holds a constant
+    * fraction of the corpus. Recall is asserted too: identical-prefix
+    * cluster pairs must all survive the band filter.
+    */
+  test("fuzzy-dedup blocks stay sub-quadratic when every doc shares its first token") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(83)
+    val clusterSize = 50
+
+    def writeCorpus(nClusters: Int): (String, Long) = {
+      val clusters = (0 until nClusters).map { _ =>
+        // one shared prefix per cluster; variants diverge only in the
+        // tail → prefix levenshtein 0, a genuine near-dup cluster
+        val base = randWords(rnd, 10)
+        (0 until clusterSize).map(_ => ("the" +: base) ++ randWords(rnd, 30))
+      }
+      val randoms = (0 until nClusters * 35).map(_ => "the" +: randWords(rnd, 40))
+      val docs = (clusters.flatten ++ randoms).zipWithIndex
+        .map { case (ws, i) =>
+          (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong)
+        }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fuzzy_skew_$nClusters")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (dir.toString, docs.size.toLong)
+    }
+
+    // join work = Σ C(block, 2) over the REAL candidate key
+    def blockStats(dir: String): (Long, Long) = {
+      val counts = DedupOps.fuzzyBlocks(s, dir)
+        .groupBy("lang", "tok1", "b", "bv").count()
+        .select(col("count")).as[Long].collect()
+      (counts.max, counts.map(c => c * (c - 1) / 2).sum)
+    }
+
+    val (dir1, n1) = writeCorpus(4) // 340 docs, ALL tok1 = "the"
+    val (dir2, n2) = writeCorpus(8) // 680 docs
+    val allPairs = (n: Long) => n * (n - 1) / 2
+    assert(allPairs(n2) >= 4 * allPairs(n1) - n2) // the quadratic baseline
+
+    val (max1, cand1) = blockStats(dir1)
+    val (max2, cand2) = blockStats(dir2)
+    // no block approaches the corpus: bounded by cluster structure plus
+    // band noise, at BOTH sizes — the old single-dimension blocking
+    // would put ALL n docs in one block here
+    assert(max1 <= 3L * clusterSize, s"max block $max1 at n=$n1")
+    assert(max2 <= 3L * clusterSize, s"max block $max2 at n=$n2")
+    // ~linear candidate growth where all-pairs grows ×4
+    assert(cand2 <= (2.6 * cand1).toLong,
+      s"fuzzy candidates scaled $cand1 -> $cand2 (super-linear)")
+    assert(cand2 < allPairs(n2), s"candidates $cand2 vs all-pairs ${allPairs(n2)}")
+
+    // recall: every within-cluster pair (identical prefix → dist 0,
+    // all 4 bands shared) must survive the band filter
+    val found = graft.SparkEntry.queries("q92_fuzzy_dedup")(s, dir1)
+      .filter(col("dist") === 0).count()
+    val expected = 4L * clusterSize * (clusterSize - 1) / 2
+    assert(found >= expected, s"cluster recall: $found dist-0 pairs, expected >= $expected")
+  }
+
   test("minhash bands: near-dup shares a band, unrelated docs do not collide") {
     val s = spark
     val rnd = new Random(77)
