@@ -211,6 +211,12 @@ object MultimodalOps {
       // extraction plumbing (see sampleFrames). The oracle re-slices
       // the same byte windows with substr and strides the frame index
       // by 4, so frame boundaries, lengths, and hashes are all gated.
+      // Same latent fixture assumption as q33b: Spark slices BYTES of
+      // the payload while the oracle's substr slices CHARACTERS of the
+      // text — equal only because the fixture text is pure ASCII
+      // (verified); a multi-byte character would shift frame
+      // boundaries. Real media payloads are born binary, so only the
+      // text-as-payload oracle trick carries the assumption.
       "q33c_frame_sample",
       (s, dir) => {
         val media = Tables(s, dir, "documents")

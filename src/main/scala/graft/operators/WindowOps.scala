@@ -187,7 +187,12 @@ object WindowOps {
       // distribution) — the numeric-outlier filter of a data-quality
       // pass. Group stats are a combinable aggregate on a LOW-cardinality
       // key (broadcasts back); the flagging pass is scan-speed. Sample
-      // stddev on both engines.
+      // stddev on both engines. Boundary stability: the hard |z| > 3 cut
+      // could in principle flip membership if a value's z differed
+      // across engines by summation order, but the fixture keeps every
+      // value far from the cut — measured min ||z| - 3| is 3.7e-2 /
+      // 1.6e-3 / 2.2e-4 at sf0.001/0.01/0.1, ~8 orders of magnitude
+      // above the ~1e-12 cross-engine float-reduction noise.
       "q103_zscore_outliers",
       (s, dir) => {
         val stats = Tables.events(s, dir)
@@ -237,7 +242,10 @@ object WindowOps {
       // q13c), stats broadcast back, scan-speed flagging. The 1.4826
       // factor normalizes MAD to σ under normality; the comparison is
       // written with the identical literal product on both engines so
-      // the boundary is bit-deterministic.
+      // the boundary is bit-deterministic. Boundary stability: measured
+      // min distance of any |value - med| to the cut is 8.5e-1 / 1.3e-1
+      // / 4.9e-3 at sf0.001/0.01/0.1 — far above cross-engine
+      // interpolated-median noise (~1e-12), so membership cannot flip.
       "q117_mad_outliers",
       (s, dir) => {
         val ev = Tables.events(s, dir)

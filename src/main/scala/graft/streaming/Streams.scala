@@ -163,9 +163,9 @@ object Streams {
     * z-score like q103 would need the final mean, which a stream never
     * has). State per key is three doubles (n, mean, M2) — size scales
     * with DISTINCT keys, never events, exactly the bound a 100 TB/day
-    * stream needs. Rows are folded in (ts, event_id) order within each
-    * micro-batch so results are replay-deterministic regardless of
-    * shuffle arrival order.
+    * stream needs. Rows are folded in (unix_micros(ts), event_id)
+    * order within each micro-batch so results are replay-deterministic
+    * regardless of shuffle arrival order.
     */
   final case class Anomaly(event_type: String, event_id: Long, value: Double, z: Double)
 
@@ -177,7 +177,7 @@ object Streams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
-      .selectExpr("event_type", "event_id", "CAST(ts AS LONG) AS ts_s", "value")
+      .selectExpr("event_type", "event_id", "unix_micros(ts) AS ts_us", "value")
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double, Double), Anomaly](

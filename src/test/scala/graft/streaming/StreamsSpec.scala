@@ -324,13 +324,15 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
       .sortBy(r => (r._3.getTime, r._2))
     val chunks = rows.grouped((rows.length + 2) / 3).map(_.toIndexedSeq).toSeq
-    // sequential truth: same per-batch, per-key (epoch-second, id) fold
+    // sequential truth: same per-batch, per-key (unix_micros, id) fold
     // order the stream handler uses
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     val state = scala.collection.mutable.Map.empty[String, (Long, Double, Double)]
     val want = scala.collection.mutable.Set.empty[(String, Long)]
     for (chunk <- chunks; (key, evs) <- chunk.groupBy(_._1)) {
       var (n, mean, m2) = state.getOrElse(key, (0L, 0.0, 0.0))
-      for ((_, id, t, v) <- evs.sortBy(e => (e._3.toInstant.getEpochSecond, e._2))) {
+      for ((_, id, t, v) <- evs.sortBy(e => (us(e._3), e._2))) {
         if (n >= 10L && math.abs((v - mean) / math.sqrt(m2 / (n - 1))) > 3.0)
           want += ((key, id))
         n += 1
