@@ -96,6 +96,21 @@ object GraftFunctions {
       exprs => RollingHashMin(exprs(0), exprs(1))),
     ("bpe_token_count", classOf[BpeTokenCount].getName,
       exprs => BpeTokenCount(exprs(0))),
+    // Catalyst's runtime-filter bloom pair, surfaced as session
+    // functions: `bloom_filter_agg(xxhash64(k), n)` builds the sketch
+    // as a BINARY aggregate and `might_contain(sketch, xxhash64(k))`
+    // probes it with full codegen — unlike a Scala closure UDF over a
+    // broadcast sketch, the probe never leaves WholeStageCodegen.
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1))),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))),
   )
 
   /** Imperative registration into an existing session (the driver

@@ -196,19 +196,26 @@ object CurationOps {
       // "documents NOT IN blocklist".
       "q48_bloom_blocklist",
       (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
         val d = docs(s, dir).withColumn("fp", md5(col("text")))
         val blocklist = d.filter(pmod(col("doc_id"), lit(7)) === 0).select("fp")
         // size the sketch from the data — a fixed capacity saturates
         // at scale and silently degrades the prune to pure overhead
         val expected = math.max(blocklist.count(), 1000L)
-        val bloom = blocklist.stat.bloomFilter("fp", expected, 0.03)
-        val bbloom = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((fp: String) => fp != null && bbloom.value.mightContainString(fp))
-        d.filter(!mightContain(col("fp")))
+        // build the sketch with Catalyst's bloom_filter_agg (a combinable
+        // BINARY aggregate — the same machinery runtime row-filters use),
+        // then probe with might_contain on a literal sketch: the probe
+        // codegens, so the prune never drops out of WholeStageCodegen the
+        // way the previous broadcast-closure UDF did
+        val sketch = blocklist
+          .agg(call_function("bloom_filter_agg", xxhash64(col("fp")), lit(expected)).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        val hit = call_function("might_contain", lit(sketch), xxhash64(col("fp")))
+        d.filter(!hit)
           .unionByName(
             // bloom-positive candidates get the exact check; survivors
             // (false positives) are re-admitted
-            d.filter(mightContain(col("fp")))
+            d.filter(hit)
               .join(blocklist.withColumnRenamed("fp", "bfp"),
                 col("fp") === col("bfp"), "left_anti"))
           .select("doc_id", "source", "fp")

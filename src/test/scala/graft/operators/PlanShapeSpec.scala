@@ -69,6 +69,13 @@ class PlanShapeSpec extends SparkSpec {
       s"top-100 cut is a global sort: ${p.take(800)}")
   }
 
+  test("q48 (bloom blocklist): probe is codegen'd might_contain, not a Scala UDF") {
+    val p = plan("q48_bloom_blocklist")
+    assert(p.contains("might_contain"), p.take(800))
+    assert(!p.contains("ScalaUDF") && !"\\bUDF\\(".r.findFirstIn(p).isDefined,
+      s"bloom probe fell out of codegen into a closure UDF: ${p.take(800)}")
+  }
+
   test("q103 (z-score): the stats frame broadcasts back — no second full shuffle of events") {
     val p = plan("q103_zscore_outliers")
     assert(countOccurrences(p, "BroadcastHashJoin") == 1, p.take(800))
