@@ -48,6 +48,50 @@ object ScaleJoins {
       .drop("__graft_salt")
   }
 
+  /** Measured hottest-key load of `key` in `df`: (top-key count, total
+    * count). This is q120's skew report reduced to the one statistic
+    * salting needs — one combinable groupBy plus a two-long driver
+    * read, so the measurement itself is safe at any scale.
+    */
+  def topKeyShare(df: DataFrame, key: String): (Long, Long) = {
+    val row = df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("top"), sum(col("n")).as("total"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Salt factor derived from the measured top-key share: enough splits
+    * that the hottest key's heaviest salted shard carries about one
+    * average partition's rows — `ceil(share × parallelism)`, clamped to
+    * [1, parallelism]. A share at or below 1/parallelism derives 1 (the
+    * hot key already fits an average partition; salting would only add
+    * small-side replication cost).
+    */
+  def derivedSalts(top: Long, total: Long, parallelism: Int): Int = {
+    require(total > 0 && parallelism > 0, "empty frame / bad parallelism")
+    val share = top.toDouble / total.toDouble
+    math.max(1, math.min(parallelism, math.ceil(share * parallelism).toInt))
+  }
+
+  /** The closed measure→mitigate loop: read the top-key share the q120
+    * skew report surfaces, derive the salt factor from it, and engage
+    * [[saltedJoin]] only when the measurement says the key is actually
+    * hot. Result is exactly the plain inner join either way.
+    */
+  def adaptiveSaltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      parallelism: Int,
+      saltCols: Seq[String] = Nil,
+  ): DataFrame = {
+    val (top, total) = topKeyShare(big, key)
+    val salts = derivedSalts(top, total, parallelism)
+    if (salts <= 1) big.join(small, Seq(key))
+    else saltedJoin(big, small, key, salts, saltCols)
+  }
+
   /** q54's bucketed-table location (per-process, removed on exit). */
   private[operators] lazy val bucketedDir: String = Relational.roundtripDir("bkt_join")
 
@@ -155,6 +199,40 @@ object ScaleJoins {
           "FROM lineitem GROUP BY 2), " +
           "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY col ORDER BY n DESC, key) " +
           "AS rk FROM u) SELECT col, key, n, rk FROM r WHERE rk <= 10"),
+    ),
+    QuerySpec(
+      // q120's report CLOSED into q43's mitigation: build a join key
+      // that is deliberately Zipf-hot (~70% of lineitem rows collapse
+      // onto supplier 1), MEASURE its top-key share with the same
+      // combinable agg the skew report uses, DERIVE the salt factor
+      // from that share (ceil(share × shuffle.partitions)), and join
+      // salted. The oracle is the plain join — salting must be
+      // invisible in the result; ScaleJoinsSpec proves the derived
+      // factor and that the salted plan actually engaged on the hot
+      // key the measurement named.
+      "q122_adaptive_salted_join",
+      (s, dir) => {
+        val parallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val big = Tables(s, dir, "lineitem")
+          .select(
+            when(pmod(col("l_orderkey"), lit(10)) < 7, lit(1L))
+              .otherwise(col("l_suppkey")).as("sk"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val small = Tables(s, dir, "supplier")
+          .select(col("s_suppkey").as("sk"), col("s_name"))
+        adaptiveSaltedJoin(big, small, "sk", parallelism,
+            saltCols = Seq("l_orderkey", "l_linenumber"))
+          .groupBy("s_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(
+        "WITH b AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 " +
+          "ELSE l_suppkey END AS sk, l_quantity FROM lineitem) " +
+          "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+          "SUM(l_quantity) AS sum_qty " +
+          "FROM b JOIN supplier ON sk = s_suppkey GROUP BY s_name"),
     ),
   )
 }

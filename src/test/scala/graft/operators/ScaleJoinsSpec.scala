@@ -99,6 +99,41 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("adaptive salting: measured top-key share derives the factor and engages on the hot key") {
+    val s = spark; import s.implicits._
+    // adversarial skew: 90% of rows on key 0 — the shape q120's report
+    // would rank first
+    val big = (0 until 20000)
+      .map(i => (if (i % 10 == 0) i % 50 else 0, i.toLong))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    // the measurement is the skew report's statistic for this key
+    val (top, total) = ScaleJoins.topKeyShare(big, "k")
+    // key 0: the 18000 non-multiples of 10 plus the 400 rows with i%50==0
+    assert(total == 20000 && top == 18400, s"top=$top total=$total")
+    // share = 0.92 → ceil(0.92 × 16) = 15 of 16
+    assert(ScaleJoins.derivedSalts(top, total, 16) == 15)
+    // uniform data derives 1 — salting declines to engage
+    assert(ScaleJoins.derivedSalts(top = 100, total = 20000, parallelism = 16) == 1)
+
+    val salted = ScaleJoins.adaptiveSaltedJoin(big, small, "k", 16,
+      saltCols = Seq("payload"))
+    // engaged: the physical join key carries the salt column
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"),
+      s"adaptive salting did not engage on the measured hot key: ${plan.take(600)}")
+    // invisible in the result: exactly the plain join
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val got = salted.select("k", "payload", "name")
+    assert(got.except(plain).isEmpty && plain.except(got).isEmpty)
+
+    // below-threshold share: plain join, no salt machinery in the plan
+    val uniform = (0 until 8000).map(i => (i % 50, i.toLong)).toDF("k", "payload")
+    val notEngaged = ScaleJoins.adaptiveSaltedJoin(uniform, small, "k", 16)
+    assert(!notEngaged.queryExecution.executedPlan.toString.contains("__graft_salt"))
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     val s = spark; import s.implicits._
     // 4 configured shuffle partitions but only a few KB of shuffle
