@@ -126,6 +126,33 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Deterministic synthetic PNG for the q33d gate: `w × h`, row `y`
+    * filled with the gray level `(docId + 17·y) mod 256`. Gray pixels
+    * make the decoder's integer Rec.601 luma EXACTLY the gray value
+    * (v·(299+587+114)/1000 = v), so the luminance histogram is pure
+    * doc_id arithmetic an SQL oracle can re-derive — while the bytes
+    * on disk are a genuine PNG stream only a real codec can read.
+    * PNG is lossless for opaque RGB, so the round trip is exact.
+    */
+  def syntheticPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val v = ((docId + 17L * y) % 256).toInt
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q33d's scratch dir (parquet with a real-PNG BINARY column). */
+  private[operators] lazy val pngDir: String = Relational.roundtripDir("png_media")
+
   /** The real plumbing: binary column in, typed rows out, one decoder
     * per partition (mapPartitions ≈ mapInPandas batch shape).
     */
@@ -228,6 +255,64 @@ object MultimodalOps {
           "CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS n_bytes, " +
           "md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5 " +
           "FROM documents, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS u(i)"),
+    ),
+    QuerySpec(
+      // The REAL image decoder, oracle-gated: per document, synthesize
+      // a genuine PNG whose dimensions and gray-row pattern are pure
+      // doc_id arithmetic (syntheticPng), write the payloads through
+      // parquet as a BINARY column (the q60/q73 write-then-read
+      // pattern — what lands on disk is a real PNG stream), read them
+      // back, and decode with javax.imageio via decodeImageMedia. The
+      // oracle re-derives width/height/channels/luminance-histogram
+      // from the same arithmetic over `documents` — so a codec that
+      // mis-sizes, drops a row, or mis-reads a pixel breaks the hash.
+      "q33d_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false) // in-memory encode
+            it.map { id =>
+              val w = (8 + id % 24).toInt
+              val h = (8 + (id * 7) % 16).toInt
+              (id, syntheticPng(id, w, h))
+            }
+          }
+          .toDF("doc_id", "payload")
+        val path = s"$pngDir/${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        decodeImageMedia(s, s.read.parquet(path))
+          .select(
+            col("doc_id"), col("width"), col("height"), col("channels"),
+            element_at(col("feat"), 1).as("feat_bin0"),
+            element_at(col("feat"), 2).as("feat_bin1"),
+            element_at(col("feat"), 3).as("feat_bin2"),
+            element_at(col("feat"), 4).as("feat_bin3"))
+      },
+      // the construction arithmetic, re-derived: row y is the gray
+      // level (doc_id + 17y) % 256, every pixel of the row lands in
+      // luma bin gray // 64, so bin b holds w pixels per matching row;
+      // ratios divide the same exact integers both engines hold.
+      Some(
+        "WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, " +
+          "8 + (doc_id * 7) % 16 AS h FROM documents), " +
+          "rows_ AS (SELECT doc_id, w, h, " +
+          "((doc_id + 17 * y) % 256) // 64 AS bin " +
+          "FROM d, unnest(range(0, h)) AS u(y)), " +
+          "c AS (SELECT doc_id, w, h, " +
+          "SUM(CASE WHEN bin = 0 THEN w ELSE 0 END) AS b0, " +
+          "SUM(CASE WHEN bin = 1 THEN w ELSE 0 END) AS b1, " +
+          "SUM(CASE WHEN bin = 2 THEN w ELSE 0 END) AS b2, " +
+          "SUM(CASE WHEN bin = 3 THEN w ELSE 0 END) AS b3 " +
+          "FROM rows_ GROUP BY doc_id, w, h) " +
+          "SELECT doc_id, CAST(w AS BIGINT) AS width, " +
+          "CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, " +
+          "CAST(b0 AS DOUBLE) / (w * h) AS feat_bin0, " +
+          "CAST(b1 AS DOUBLE) / (w * h) AS feat_bin1, " +
+          "CAST(b2 AS DOUBLE) / (w * h) AS feat_bin2, " +
+          "CAST(b3 AS DOUBLE) / (w * h) AS feat_bin3 FROM c"),
     ),
     QuerySpec(
       "q33_multimodal_decode",
