@@ -1,0 +1,44 @@
+package graft
+
+/** Multi-file fixture rewrite for the full-surface scale rehearsal.
+  *
+  * The driver's fixture parquet is one row group per table, so every
+  * scan in the 146-query surface is structurally a 1-task stage — the
+  * first thing real 100 TB data has is MANY files. This main rewrites
+  * each table as an `nFiles`-part parquet directory (round-robin
+  * repartition: even part sizes, no layout skew) so the whole surface
+  * can be re-run — oracle gate AND bench — against a source layout
+  * whose scans actually parallelize.
+  *
+  * `events` goes through [[Tables.events]] first, so its TIMESTAMP
+  * (NANOS) column lands in the rewrite already normalized to the
+  * microsecond TimestampType every query and oracle expects; the
+  * re-read then takes the pass-through branch of the same normalizer.
+  *
+  * Usage: runMain graft.RewriteMulti <sfDir> <outDir> [nFiles=8]
+  * Then:  runMain graft.Verify <outDir> <verifyOut>
+  *        python3 tools/check.py <sfDir> <verifyOut>   # oracle reads
+  *                                                     # the ORIGINAL
+  *        SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench
+  */
+object RewriteMulti {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val nFiles = if (args.length > 2) args(2).toInt else 8
+    val spark = GraftSession.fromEnv()
+    try {
+      Views.tables.foreach { t =>
+        if (new java.io.File(s"$sfDir/$t.parquet").exists()) {
+          val df =
+            if (t == "events") Tables.events(spark, sfDir)
+            else Tables(spark, sfDir, t)
+          df.repartition(nFiles)
+            .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+          val parts = Option(new java.io.File(s"$outDir/$t.parquet").listFiles())
+            .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+          println(s"[rewrite] $t -> $parts part files")
+        }
+      }
+    } finally spark.stop()
+  }
+}

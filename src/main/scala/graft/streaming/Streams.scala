@@ -250,6 +250,81 @@ object Streams {
       }
   }
 
+  /** Streaming near-dup candidate pairs: q29's banded-SimHash machinery
+    * as watermark-bounded keyed state. The incoming stream carries
+    * per-document 32-bit SimHash signatures (computed upstream by the
+    * stateless q28 map — a signature is row-local, so the streaming
+    * stage is the MATCHER, which is the part that needs state). Each
+    * signature fans out to q29's exact banding — 4 bands × 8 bits, key
+    * (band, band_value) — and each bucket's state holds the (doc_id,
+    * signature, event-time) of documents seen inside the watermark
+    * horizon. An arriving document emits a pair for every stored
+    * neighbor within Hamming distance 3, then joins the state itself.
+    *
+    * Equivalence to batch q29 (proven in StreamingNearDupSpec on the
+    * replayed fixture): with every event inside the watermark, the
+    * DISTINCT emitted pairs equal the batch result exactly — same
+    * candidates (a pair surfaces once per agreeing band, like the batch
+    * self-join pre-`distinct`), same Hamming cut.
+    *
+    * Scale/state story: state per bucket is the documents of the last
+    * `watermarkMs` only — eviction happens on every invocation (entries
+    * behind the watermark can never match a non-late arrival) and via
+    * EventTimeTimeout for buckets that stop receiving data, so state
+    * size is bounded by the window's document count, never the
+    * stream's. Late rows (behind the watermark) are dropped, mirroring
+    * the aggregation operators' contract.
+    */
+  final case class NearDupPair(da: Long, db: Long, hamming: Long)
+
+  def nearDupPairsStream(
+      sigs: DataFrame, // needs doc_id LONG, simhash LONG, ts TIMESTAMP
+      watermarkMs: Long = 3600000L,
+  ): org.apache.spark.sql.Dataset[NearDupPair] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    sigs
+      .withWatermark("ts", s"$watermarkMs milliseconds")
+      // q29's banding exactly: bucket = band * 256 + bits[8b .. 8b+7]
+      .select(
+        expr("explode(sequence(0, 3))").as("b"),
+        col("doc_id"), col("simhash"), expr("unix_micros(ts)").as("ts_us"),
+        col("ts"))
+      .withColumn("bucket", expr("b * 256 + (shiftright(simhash, 8 * b) & 255)"))
+      .select("bucket", "doc_id", "simhash", "ts_us", "ts")
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // evict first: entries behind the watermark cannot match any
+          // admissible arrival (late rows are dropped below)
+          var entries = state.getOption.getOrElse(Nil).filter(_._3 >= wmUs)
+          val out = Seq.newBuilder[NearDupPair]
+          // deterministic fold under any within-batch shuffle order
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, id, sig, tsUs, _) =>
+            if (tsUs >= wmUs) {
+              entries.foreach { case (eid, esig, _) =>
+                if (eid != id) {
+                  val hd = java.lang.Long.bitCount(sig ^ esig).toLong
+                  if (hd <= 3)
+                    out += NearDupPair(math.min(eid, id), math.max(eid, id), hd)
+                }
+              }
+              entries = (id, sig, tsUs) :: entries
+            }
+          }
+          if (entries.isEmpty) state.remove()
+          else {
+            state.update(entries)
+            // wake once the newest entry ages out, to clear idle buckets
+            state.setTimeoutTimestamp(entries.map(_._3).max / 1000L + watermarkMs + 1)
+          }
+          out.result().iterator
+      }
+  }
+
   /** foreachBatch scoring: apply a fitted model (or any batch
     * DataFrame→DataFrame function) to each micro-batch — the streaming
     * deployment mode of the trained LUAD SVM.
