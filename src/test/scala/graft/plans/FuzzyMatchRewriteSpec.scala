@@ -29,25 +29,29 @@ class FuzzyMatchRewriteSpec extends SparkSpec {
     val withRule = SparkEntry.queries("q92_fuzzy_dedup")(spark, dir)
       .collect().map(_.toSeq).toSet
     // independent un-rewritten build while the rule is stripped (the
-    // SparkEntry query would re-inject it, so rebuild the frame here)
+    // SparkEntry query would re-inject it, so rebuild the frame here).
+    // The baseline mirrors q92's CURRENT blocking — (lang, tok1) plus
+    // the prefix-SimHash band dimension — so the ONLY difference under
+    // test is the optimizer rule being on or off; q92's blocking
+    // semantics themselves are gated by the DuckDB oracle, not here.
     val saved = spark.experimental.extraOptimizations
     try {
       spark.experimental.extraOptimizations =
         saved.filterNot(_ == FuzzyMatchRewrite)
-      val d = spark.read.parquet(s"$dir/documents.parquet")
-        .select(
-          col("doc_id"),
-          col("lang"),
-          expr("split_part(text, ' ', 1)").as("tok1"),
-          substring(col("text"), 1, 40).as("p"))
-      val withoutRule = d.as("a")
+      val blocks = graft.operators.DedupOps.fuzzyBlocks(spark, dir)
+      val withoutRule = blocks.as("a")
         .join(
-          d.as("b"),
+          blocks.as("b"),
           col("a.lang") === col("b.lang") && col("a.tok1") === col("b.tok1") &&
+            col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", levenshtein(col("a.p"), col("b.p")).cast("bigint"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.p").as("pa"), col("b.p").as("pb"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("bigint"))
         .filter(col("dist") <= 14)
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+        .select(col("da"), col("db"), col("dist"))
         .collect().map(_.toSeq).toSet
       assert(withRule == withoutRule)
       assert(withRule.nonEmpty) // non-vacuous at the dev scale too
