@@ -454,5 +454,62 @@ object CurationOps {
           "COUNT(*) OVER (PARTITION BY source) AS n FROM s) " +
           "SELECT source, doc_id, quality, rk FROM r WHERE rk <= (n + 4) // 5"),
     ),
+    QuerySpec(
+      // Length-stratified balanced resample: 10 docs per length decile,
+      // chosen by deterministic pseudo-random md5 rank — the
+      // curriculum/balance pass that keeps a training mixture from
+      // being dominated by one length regime. Decile assignment is
+      // INTEGER-exact and sort-free: a length histogram (bounded by
+      // distinct lengths, not corpus size) gets an exclusive cumulative
+      // count F(len) via a window over that tiny frame, and
+      // bucket = (10·F) div n — ties share a bucket, no float boundary
+      // can flip membership cross-engine (the q103/q117 boundary
+      // lesson), no global sort of the corpus exists anywhere. The
+      // per-bucket top-10 runs as the salted two-phase top-k: top-10
+      // per (bucket, salt) first — 16-way parallel, bounded state —
+      // then top-10 of the ≤160 survivors, which provably equals the
+      // direct per-bucket top-10 (each salt's top-10 is a superset of
+      // its members in the global top-10). With 10 buckets a direct
+      // window would concentrate the corpus on 10 reducers.
+      "q124_balanced_resample",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("len"))
+        val nTotal = d.agg(count(lit(1)).as("n_total"))
+        // tiny frame: one row per DISTINCT length — the global-order
+        // window runs over hundreds of rows, never the corpus
+        val wcum = Window.orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val buckets = d.groupBy("len").agg(count(lit(1)).as("n_l"))
+          .withColumn("cum_incl", sum(col("n_l")).over(wcum))
+          .crossJoin(broadcast(nTotal))
+          .select(
+            col("len"),
+            expr("((cum_incl - n_l) * 10) div n_total").as("bucket"))
+        val salted = d
+          .join(broadcast(buckets), Seq("len"))
+          .withColumn("r", md5(col("text")))
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+        val w1 = Window.partitionBy("bucket", "salt").orderBy(col("r"), col("doc_id"))
+        val w2 = Window.partitionBy("bucket").orderBy(col("r"), col("doc_id"))
+        salted
+          .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= 10)
+          .withColumn("rk", row_number().over(w2)).filter(col("rk") <= 10)
+          .select(col("bucket"), col("doc_id"), col("len"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len " +
+          "FROM documents), " +
+          "n AS (SELECT COUNT(*) AS n_total FROM d), " +
+          "h AS (SELECT len, COUNT(*) AS n_l FROM d GROUP BY len), " +
+          // CAST: DuckDB window SUM promotes to HUGEINT
+          "c AS (SELECT len, CAST(SUM(n_l) OVER (ORDER BY len) - n_l AS BIGINT) AS f FROM h), " +
+          "b AS (SELECT len, CAST((f * 10) // n_total AS BIGINT) AS bucket FROM c, n), " +
+          "j AS (SELECT d.doc_id, d.len, b.bucket, md5(d.text) AS r " +
+          "FROM d JOIN b USING (len)), " +
+          "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket " +
+          "ORDER BY r, doc_id) AS rk FROM j) " +
+          "SELECT bucket, doc_id, len FROM rk WHERE rk <= 10"),
+    ),
   )
 }

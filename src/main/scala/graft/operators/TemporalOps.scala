@@ -409,5 +409,52 @@ object TemporalOps {
           "SELECT t1, t2, COUNT(*) AS support, " +
           "COUNT(*) / (SELECT n FROM nb) AS support_frac FROM p GROUP BY 1, 2"),
     ),
+    QuerySpec(
+      // SCD-2 point-in-time dimension lookup: each supplier carries 4
+      // versioned attribute rows with [valid_from, valid_to) validity
+      // windows (derived deterministically from s_suppkey so the
+      // oracle can rebuild them); every lineitem joins to the version
+      // valid at its ship date. Scale shape: the join key is the
+      // EQUI key (suppkey) and the interval predicate is a post-join
+      // filter — per-key fan-out is bounded by the version count (4,
+      // and SCD dimensions are shallow by construction), so this stays
+      // a broadcast/hash join at any fact size, never the
+      // inequality-only nested loop a naive BETWEEN join plans.
+      "q123_scd2_lookup",
+      (s, dir) => {
+        val versions = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), explode(expr("sequence(0, 3)")).as("v"))
+          .select(
+            col("s_suppkey"),
+            expr("date_add(DATE'1992-01-01', CAST(v * 600 AS INT))").as("valid_from"),
+            expr("CASE WHEN v = 3 THEN DATE'9999-12-31' " +
+              "ELSE date_add(DATE'1992-01-01', CAST((v + 1) * 600 AS INT)) END")
+              .as("valid_to"),
+            // BIGINT on both sides: Spark would emit the scan's int
+            // width while DuckDB's range() promotes to int64
+            expr("CAST((s_suppkey * 7 + v) % 100 AS BIGINT)").as("rating"))
+        Tables(s, dir, "lineitem")
+          .select("l_suppkey", "l_shipdate", "l_quantity")
+          .join(
+            versions,
+            col("l_suppkey") === col("s_suppkey") &&
+              col("l_shipdate") >= col("valid_from") &&
+              col("l_shipdate") < col("valid_to"))
+          .groupBy("rating")
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(
+        "WITH v AS (SELECT s_suppkey, " +
+          "DATE '1992-01-01' + INTERVAL (v * 600) DAY AS valid_from, " +
+          "CASE WHEN v = 3 THEN DATE '9999-12-31' " +
+          "ELSE DATE '1992-01-01' + INTERVAL ((v + 1) * 600) DAY END AS valid_to, " +
+          "CAST((s_suppkey * 7 + v) % 100 AS BIGINT) AS rating " +
+          "FROM supplier, unnest(range(0, 4)) AS u(v)) " +
+          "SELECT rating, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+          "SUM(l_quantity) AS sum_qty " +
+          "FROM lineitem JOIN v ON l_suppkey = s_suppkey " +
+          "AND l_shipdate >= valid_from AND l_shipdate < valid_to " +
+          "GROUP BY rating"),
+    ),
   )
 }
