@@ -493,5 +493,62 @@ object DedupOps {
           "f AS (SELECT fp, COUNT(*) AS n_docs FROM g GROUP BY 1) " +
           "SELECT n_docs, COUNT(*) AS n_fingerprints FROM f GROUP BY 1"),
     ),
+    QuerySpec(
+      // Sub-document (paragraph-level) dedup WITH reconstruction — the
+      // remove-and-rebuild step of exact-substring dedup (Lee et al.
+      // 2022) that q93 only diagnoses: segment each document into
+      // non-overlapping 4-token "paragraphs", keep only each distinct
+      // segment's FIRST occurrence corpus-wide (min (doc_id, idx) —
+      // one map-side-combinable groupBy on the segment, no all-pairs),
+      // and re-emit every document with its surviving segments
+      // re-joined in order. Shape at 100 TB: explode → groupBy(segment)
+      // → join back on the segment → per-doc ordered fold; the
+      // reconstruction aggregates structs sorted by position, so no
+      // window or global sort exists. Non-vacuous at every fixture
+      // scale (430–7,228 dropped segments).
+      "q125_paragraph_dedup",
+      (s, dir) => {
+        val segs = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, CAST(ceil(size(toks) / 4.0) AS INT) - 1), " +
+                "i -> struct(CAST(i AS BIGINT) AS idx, " +
+                "concat_ws(' ', slice(toks, i * 4 + 1, 4)) AS seg))")).as("x"))
+          .select(col("doc_id"), col("x.idx").as("idx"), col("x.seg").as("seg"))
+          .localCheckpoint() // feeds winners, kept-join, and totals
+        val winners = segs.groupBy("seg")
+          .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+          .select(col("seg").as("wseg"), col("w.doc_id").as("wd"), col("w.idx").as("wi"))
+        val kept = segs.join(
+            winners,
+            col("seg") === col("wseg") &&
+              col("doc_id") === col("wd") && col("idx") === col("wi"))
+        val perDoc = kept.groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(collect_list(struct(idx, seg))), " +
+              "x -> x.seg), ' ')").as("dedup_text"))
+        segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_segs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "s AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, " +
+          "array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS seg " +
+          "FROM t, unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS u(i)), " +
+          "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn FROM s), " +
+          "k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+          "string_agg(seg, ' ' ORDER BY idx) AS dedup_text FROM r WHERE rn = 1 GROUP BY doc_id), " +
+          "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM s GROUP BY doc_id) " +
+          "SELECT tot.doc_id, n_segs, COALESCE(n_kept, 0) AS n_kept, " +
+          "COALESCE(dedup_text, '') AS dedup_text " +
+          "FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id"),
+    ),
   )
 }

@@ -381,5 +381,53 @@ object TextOps {
           "AS kl FROM st JOIN stot USING (source) JOIN c USING (tok) " +
           "CROSS JOIN ctot GROUP BY 1"),
     ),
+    QuerySpec(
+      // Gopher-style quality rule battery (Rae et al. 2021 §A1.1,
+      // arXiv:2112.11446), the rules that are scan-computable and
+      // non-degenerate on this fixture: word-count bounds [50, 100k],
+      // mean word length in [3, 10], ≥ 2 stop-word hits, and ≤ 25%
+      // single-character words; `pass` is their conjunction. Every
+      // rule is exact integer arithmetic or a ratio of exact integers
+      // (mean word length = (chars − spaces) / words), so both engines
+      // compute bit-identical doubles and the flags cannot straddle a
+      // boundary. Zero shuffles — the whole battery is scan-speed,
+      // which is the point: Gopher rules run before any expensive
+      // dedup pass touches the corpus.
+      "q126_gopher_rules",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+            expr("CAST(length(text) AS BIGINT)").as("n_chars"),
+            expr("CAST(size(regexp_extract_all(text, '\\\\b(the|a|of|to|and)\\\\b', 0)) AS BIGINT)")
+              .as("n_stop"),
+            expr("CAST(size(filter(split(text, ' '), w -> length(w) = 1)) AS BIGINT)")
+              .as("n_short"))
+          .select(
+            col("doc_id"), col("n_words"),
+            expr("(n_chars - (n_words - 1)) / n_words").as("mean_wl"),
+            expr("CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)").as("wc_ok"),
+            expr("CAST((n_chars - (n_words - 1)) / n_words BETWEEN 3.0D AND 10.0D AS BIGINT)")
+              .as("mwl_ok"),
+            expr("CAST(n_stop >= 2 AS BIGINT)").as("stop_ok"),
+            expr("CAST(n_short / n_words <= 0.25D AS BIGINT)").as("short_ok"))
+          .withColumn("pass",
+            expr("CAST(wc_ok + mwl_ok + stop_ok + short_ok = 4 AS BIGINT)")),
+      Some(
+        "WITH b AS (SELECT doc_id, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+          "CAST(length(text) AS BIGINT) AS n_chars, " +
+          "CAST(len(regexp_extract_all(text, '\\b(the|a|of|to|and)\\b')) AS BIGINT) AS n_stop, " +
+          "CAST(len(list_filter(string_split(text, ' '), w -> length(w) = 1)) AS BIGINT) AS n_short " +
+          "FROM documents) " +
+          "SELECT doc_id, n_words, " +
+          "(n_chars - (n_words - 1)) / n_words AS mean_wl, " +
+          "CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS wc_ok, " +
+          "CAST((n_chars - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0 AS BIGINT) AS mwl_ok, " +
+          "CAST(n_stop >= 2 AS BIGINT) AS stop_ok, " +
+          "CAST(n_short / n_words <= 0.25 AS BIGINT) AS short_ok, " +
+          "CAST(wc_ok + mwl_ok + stop_ok + short_ok = 4 AS BIGINT) AS pass FROM b"),
+    ),
   )
 }

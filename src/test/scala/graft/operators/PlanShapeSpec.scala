@@ -76,6 +76,16 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom probe fell out of codegen into a closure UDF: ${p.take(800)}")
   }
 
+  test("q124 (per-group top-k): WindowGroupLimit bounds the rank windows") {
+    // Spark's rank-filter pushdown keeps per-partition window state at
+    // k rows instead of sorting whole groups — the property that makes
+    // the window-based top-k shapes survive 100 TB groups; both the
+    // salted stage and the final stage must carry it
+    val p = plan("q124_balanced_resample")
+    assert(countOccurrences(p, "WindowGroupLimit") >= 2,
+      s"rank-filter pushdown lost: ${p.take(800)}")
+  }
+
   test("q103 (z-score): the stats frame broadcasts back — no second full shuffle of events") {
     val p = plan("q103_zscore_outliers")
     assert(countOccurrences(p, "BroadcastHashJoin") == 1, p.take(800))
