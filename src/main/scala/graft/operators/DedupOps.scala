@@ -550,5 +550,111 @@ object DedupOps {
           "COALESCE(dedup_text, '') AS dedup_text " +
           "FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id"),
     ),
+    QuerySpec(
+      // The full MinHash near-dup dedup DECISION: q27's banded
+      // candidate pairs chained through connected components into
+      // keeper groups (pairs alone don't dedup — A~B~C must collapse
+      // to ONE keeper even when A and C never shared a band). Same
+      // pairs→CC→min-keeper shape as q32b's semantic groups, driven by
+      // the LSH band stream instead of embedding blocks; GraphX Pregel
+      // runs on the pair list only (candidate-sized, never
+      // corpus-sized). Output is every document that has at least one
+      // near-dup, labeled with its group keeper.
+      "q127_minhash_cc_dedup",
+      (s, dir) => {
+        val bands = minhashBands(s, dir).localCheckpoint()
+        val pairs = bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("pi"), col("b.doc_id").as("pj"))
+          .distinct()
+        graft.pipeline.Network.connectedComponents(s, pairs)
+          .select(col("probe").as("doc_id"), col("component").as("keeper"))
+      },
+      Some(
+        s"WITH RECURSIVE $contentShinglesSql, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s2), " +
+          "perms AS (SELECT * FROM (VALUES " +
+          minhashPerms.map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",") +
+          ") AS v(i, a, b)), " +
+          s"mh AS (SELECT doc_id, i, MIN((a * h0 + b) % $P) AS m FROM h, perms GROUP BY 1, 2), " +
+          "bands AS (SELECT doc_id, i // 2 AS band, " +
+          "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig FROM mh GROUP BY 1, 2), " +
+          "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b " +
+          "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+          "sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p), " +
+          "reach(id, comp) AS (SELECT src, src FROM sym UNION " +
+          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src) " +
+          "SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS keeper " +
+          "FROM reach GROUP BY id"),
+    ),
+    QuerySpec(
+      // Incremental ingestion dedup: a NEW batch (doc_id % 10 = 0)
+      // checked against the EXISTING corpus (the rest) — the decision a
+      // training pipeline makes on every arriving crawl shard without
+      // re-deduplicating the corpus. exact_dup = fingerprint anti-check
+      // (broadcast semi-join on md5); near_dup = shares a MinHash band
+      // with any corpus document (semi-join on the tiny (band, sig)
+      // key). Both probes are batch-sized joins against corpus-sized
+      // build sides keyed on signatures, so the corpus text itself
+      // never moves — exactly how an incremental dedup service runs at
+      // 100 TB (corpus signatures precomputed once, batch streamed
+      // through).
+      "q128_incremental_dedup",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("fp", md5(col("text")))
+        val isBatch = pmod(col("doc_id"), lit(10)) === 0
+        val batch = d.filter(isBatch).select("doc_id", "fp")
+        val corpusFp = d.filter(!isBatch).select(col("fp").as("cfp"))
+        val bands = minhashBands(s, dir).localCheckpoint()
+        val batchBands = bands.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpusBands = bands.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("band").as("cband"), col("sig").as("csig"))
+        val nearIds = batchBands
+          .join(
+            corpusBands,
+            col("band") === col("cband") && col("sig") === col("csig"),
+            "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("near_dup", lit(1L))
+        val exactIds = batch
+          .join(corpusFp, col("fp") === col("cfp"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("exact_dup", lit(1L))
+        batch
+          .join(exactIds, Seq("doc_id"), "left")
+          .join(nearIds, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+            coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+          .withColumn("novel",
+            expr("CAST(exact_dup = 0 AND near_dup = 0 AS BIGINT)"))
+      },
+      Some(
+        s"WITH $contentShinglesSql, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s2), " +
+          "perms AS (SELECT * FROM (VALUES " +
+          minhashPerms.map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",") +
+          ") AS v(i, a, b)), " +
+          s"mh AS (SELECT doc_id, i, MIN((a * h0 + b) % $P) AS m FROM h, perms GROUP BY 1, 2), " +
+          "bands AS (SELECT doc_id, i // 2 AS band, " +
+          "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig FROM mh GROUP BY 1, 2), " +
+          "d AS (SELECT doc_id, md5(text) AS fp FROM documents), " +
+          "near AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b " +
+          "ON a.band = b.band AND a.sig = b.sig " +
+          "AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0), " +
+          "ex AS (SELECT DISTINCT a.doc_id FROM d a JOIN d b ON a.fp = b.fp " +
+          "AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0) " +
+          "SELECT d.doc_id, " +
+          "CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup, " +
+          "CAST(CASE WHEN near.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup, " +
+          "CAST(ex.doc_id IS NULL AND near.doc_id IS NULL AS BIGINT) AS novel " +
+          "FROM d LEFT JOIN ex ON d.doc_id = ex.doc_id " +
+          "LEFT JOIN near ON d.doc_id = near.doc_id " +
+          "WHERE d.doc_id % 10 = 0"),
+    ),
   )
 }
