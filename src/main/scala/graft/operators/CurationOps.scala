@@ -475,14 +475,18 @@ object CurationOps {
       (s, dir) => {
         val d = docs(s, dir)
           .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("len"))
-        val nTotal = d.agg(count(lit(1)).as("n_total"))
         // tiny frame: one row per DISTINCT length — the global-order
-        // window runs over hundreds of rows, never the corpus
+        // window runs over hundreds of rows, never the corpus. n_total
+        // is the full-frame sum of the SAME histogram (Σ n_l = corpus
+        // count), so no second corpus scan and no single-row
+        // crossJoin(broadcast(...)) nested-loop shape.
         val wcum = Window.orderBy("len")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val buckets = d.groupBy("len").agg(count(lit(1)).as("n_l"))
           .withColumn("cum_incl", sum(col("n_l")).over(wcum))
-          .crossJoin(broadcast(nTotal))
+          .withColumn("n_total", sum(col("n_l")).over(wAll))
           .select(
             col("len"),
             expr("((cum_incl - n_l) * 10) div n_total").as("bucket"))
