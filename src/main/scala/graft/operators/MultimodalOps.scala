@@ -226,7 +226,8 @@ object MultimodalOps {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
         chunkMedia(s, media, 128)
       },
-      // ASCII text (verified) ⇒ byte slicing == substr; md5 per chunk
+      // ASCII text (asserted per-scale by BoundaryMarginSpec) ⇒ byte
+      // slicing == substr; md5 per chunk
       Some(
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
           "CAST(length(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS BIGINT) AS n_bytes, " +
@@ -241,7 +242,8 @@ object MultimodalOps {
       // Same latent fixture assumption as q33b: Spark slices BYTES of
       // the payload while the oracle's substr slices CHARACTERS of the
       // text — equal only because the fixture text is pure ASCII
-      // (verified); a multi-byte character would shift frame
+      // (asserted per-scale by BoundaryMarginSpec; DuckDB 1.0.0 has no
+      // blob substring); a multi-byte character would shift frame
       // boundaries. Real media payloads are born binary, so only the
       // text-as-payload oracle trick carries the assumption.
       "q33c_frame_sample",

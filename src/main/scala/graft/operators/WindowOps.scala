@@ -192,7 +192,9 @@ object WindowOps {
       // across engines by summation order, but the fixture keeps every
       // value far from the cut — measured min ||z| - 3| is 3.7e-2 /
       // 1.6e-3 / 2.2e-4 at sf0.001/0.01/0.1, ~8 orders of magnitude
-      // above the ~1e-12 cross-engine float-reduction noise.
+      // above the ~1e-12 cross-engine float-reduction noise, and
+      // ASSERTED >= 1e-6 per scale by BoundaryMarginSpec so fixture
+      // drift onto the boundary fails a spec, not the oracle gate.
       "q103_zscore_outliers",
       (s, dir) => {
         val stats = Tables.events(s, dir)
@@ -245,7 +247,8 @@ object WindowOps {
       // the boundary is bit-deterministic. Boundary stability: measured
       // min distance of any |value - med| to the cut is 8.5e-1 / 1.3e-1
       // / 4.9e-3 at sf0.001/0.01/0.1 — far above cross-engine
-      // interpolated-median noise (~1e-12), so membership cannot flip.
+      // interpolated-median noise (~1e-12), so membership cannot flip;
+      // asserted >= 1e-6 per scale by BoundaryMarginSpec.
       "q117_mad_outliers",
       (s, dir) => {
         val ev = Tables.events(s, dir)
