@@ -27,6 +27,11 @@ object GraftSession {
       // read as long and normalize in Tables.events (DuckDB truncates to
       // micros the same way).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture timestamps are timezone-less micros; Spark 4 would infer
+      // TIMESTAMP_NTZ, which breaks epoch casts and streaming watermarks.
+      // Read them as TIMESTAMP in the UTC session — the same wall-clock
+      // values DuckDB's naive TIMESTAMP oracle sees.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
