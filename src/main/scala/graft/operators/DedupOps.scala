@@ -61,14 +61,25 @@ object DedupOps {
     */
   private def contentShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir, None).localCheckpoint()
+    sh.join(broadcast(frequentShingles(s, dir, sh)), Seq("sh"), "left_anti")
+  }
+
+  /** Shingles with df > 50% of the corpus — the stop set itself. */
+  private def frequentShingles(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
     val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))
-    val frequent = sh
-      .groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > col("n_docs") * 0.5D)
       .select("sh")
-    sh.join(broadcast(frequent), Seq("sh"), "left_anti")
   }
+
+  /** The corpus stop-shingle set folded to a SINGLE row (`stop_arr`
+    * ARRAY<STRING>) — the static artifact the row-wise signature path
+    * broadcasts. Tiny by construction (df > 50%).
+    */
+  def stopShingleRow(s: SparkSession, dir: String): DataFrame =
+    frequentShingles(s, dir, shingles(s, dir, None))
+      .agg(collect_list(col("sh")).as("stop_arr"))
 
   /** shinglesSqlAll + the same df > 50% stop-shingle filter (CTE `s2`). */
   private val contentShinglesSql: String =
@@ -136,6 +147,53 @@ object DedupOps {
       .map(bd => s"$bd, concat_ws(',', m${2 * bd}, m${2 * bd + 1})")
       .mkString(", ")
     mh.select(col("doc_id"), expr(s"stack(8, $stackArgs) AS (band, sig)"))
+  }
+
+  /** Row-wise MinHash LSH bands: the same 16-perm / 8-band signatures
+    * as [[minhashBands]], computed per DOCUMENT ROW with higher-order
+    * array expressions — no explode, no shuffle, no aggregation. This
+    * is the signature path a streaming shard probe needs (stateless →
+    * usable before a stream-static join) and the cheaper batch plan
+    * when the doc is already in hand (signature cost stays inside the
+    * scan's whole-stage codegen). q129 gates it against the SAME DuckDB
+    * oracle as the grouped fold, proving the two paths identical.
+    *
+    * Input needs `text` and `stop_arr` (the corpus stop-shingle array,
+    * see [[stopShingleRow]]); adds `band_arr:
+    * ARRAY<STRUCT<band BIGINT, sig STRING>>`, empty when the document
+    * yields no content shingles (< 3 tokens, or all shingles stopped) —
+    * mirroring the grouped path, where such documents simply have no
+    * band rows.
+    */
+  def withRowwiseBands(df: DataFrame): DataFrame = {
+    val aArr = minhashPerms.map(_._2).mkString("array(", ", ", ")")
+    val bArr = minhashPerms.map(_._3).mkString("array(", ", ", ")")
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn(
+        "shs",
+        expr(
+          "CASE WHEN size(toks) >= 3 THEN array_distinct(" +
+            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn(
+        "hs",
+        expr(
+          "transform(filter(shs, x -> NOT array_contains(stop_arr, x)), " +
+            "x -> CAST(conv(substr(md5(x), 1, 7), 16, 10) AS BIGINT))"))
+      .withColumn(
+        "mins",
+        expr(
+          s"transform(sequence(0, 15), i -> array_min(transform(hs, " +
+            s"h -> (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))"))
+      .withColumn(
+        "band_arr",
+        expr(
+          "CASE WHEN size(hs) > 0 THEN transform(sequence(0, 7), b -> " +
+            "named_struct('band', CAST(b AS BIGINT), 'sig', " +
+            "concat(CAST(element_at(mins, 2 * b + 1) AS STRING), ',', " +
+            "CAST(element_at(mins, 2 * b + 2) AS STRING)))) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<band: BIGINT, sig: STRING>>) END"))
+      .drop("toks", "shs", "hs", "mins")
   }
 
   /** (doc_id, simhash64) — 64-bit SimHash over word 3-gram shingles:
@@ -655,6 +713,36 @@ object DedupOps {
           "FROM d LEFT JOIN ex ON d.doc_id = ex.doc_id " +
           "LEFT JOIN near ON d.doc_id = near.doc_id " +
           "WHERE d.doc_id % 10 = 0"),
+    ),
+    QuerySpec(
+      // Row-wise MinHash signatures: the SAME 8-band LSH signatures as
+      // q27's grouped fold, but computed per document row with
+      // higher-order array expressions — no explode, no shuffle. This
+      // is the stateless signature path the streaming incremental-dedup
+      // operator probes with (a streaming shard can't run a grouped
+      // fold before its stream-static join), and this gate proves it
+      // bit-identical to the grouped path: the oracle below is the
+      // grouped DuckDB fold. The only join is the SINGLE-ROW broadcast
+      // of the corpus stop-shingle array.
+      "q129_rowwise_minhash",
+      (s, dir) =>
+        withRowwiseBands(
+          docs(s, dir).crossJoin(broadcast(stopShingleRow(s, dir))))
+          .select(col("doc_id"), explode(col("band_arr")).as("bs"))
+          .select(
+            col("doc_id"),
+            col("bs.band").as("band"),
+            col("bs.sig").as("sig")),
+      Some(
+        s"WITH $contentShinglesSql, " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s2), " +
+          "perms AS (SELECT * FROM (VALUES " +
+          minhashPerms.map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",") +
+          ") AS v(i, a, b)), " +
+          s"mh AS (SELECT doc_id, i, MIN((a * h0 + b) % $P) AS m FROM h, perms GROUP BY 1, 2), " +
+          "bands AS (SELECT doc_id, CAST(i // 2 AS BIGINT) AS band, " +
+          "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig FROM mh GROUP BY 1, 2) " +
+          "SELECT doc_id, band, sig FROM bands"),
     ),
   )
 }

@@ -325,6 +325,65 @@ object Streams {
       }
   }
 
+  /** Incremental ingestion dedup as a LIVE stream — batch q128's
+    * service shape, run continuously: each arriving document is checked
+    * against the EXISTING corpus without ever re-deduplicating the
+    * corpus. exact_dup = md5 fingerprint ∈ corpus fingerprints;
+    * near_dup = any MinHash LSH band matches a corpus band; novel =
+    * neither.
+    *
+    * Plan shape (the 100 TB story): signatures are computed PER ROW
+    * with the stateless higher-order path
+    * ([[graft.operators.DedupOps.withRowwiseBands]]) — no aggregation
+    * before the probes, so the only stream state is the final
+    * per-document flag fold, watermark-bounded. Both probes are
+    * stream-static LEFT joins against corpus-sized SIGNATURE tables
+    * keyed on (band, sig) and md5 — the corpus text never moves, the
+    * static sides are loaded once per micro-batch plan and are
+    * broadcast- or shuffled-hash-joined like any dim. Corpus signatures
+    * are precomputed once (exactly how the batch side of q128 builds
+    * them); the stop-shingle array is the static artifact of
+    * [[graft.operators.DedupOps.stopShingleRow]].
+    *
+    * Emission: append mode — a document's decision row finalizes when
+    * the watermark passes its event time (the flag fold groups on the
+    * watermarked `ts` itself, so state per group is one row of two
+    * longs, evicted at the watermark).
+    */
+  def incrementalDedupStream(
+      docsStream: DataFrame, // streaming: doc_id LONG, text STRING, ts TIMESTAMP
+      corpusFp: DataFrame, // static: cfp STRING (md5 of corpus text)
+      corpusBands: DataFrame, // static: cband BIGINT, csig STRING
+      stopShingles: Seq[String],
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    val sigs = graft.operators.DedupOps.withRowwiseBands(
+      docsStream
+        .withWatermark("ts", watermark)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("stop_arr", typedLit(stopShingles)))
+    // explode_outer: a doc with no content shingles keeps one null-band
+    // row — it can never near-match, but must still get a decision row
+    val bandRows = sigs
+      .select(col("doc_id"), col("ts"), col("fp"), explode_outer(col("band_arr")).as("bs"))
+      .select(
+        col("doc_id"), col("ts"), col("fp"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cb = corpusBands.select(col("cband"), col("csig")).distinct()
+      .withColumn("near_hit", lit(1L))
+    val cf = corpusFp.select(col("cfp")).distinct().withColumn("exact_hit", lit(1L))
+    bandRows
+      .join(cb, col("band") === col("cband") && col("sig") === col("csig"), "left")
+      .join(cf, col("fp") === col("cfp"), "left")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(
+        max(coalesce(col("exact_hit"), lit(0L))).as("exact_dup"),
+        max(coalesce(col("near_hit"), lit(0L))).as("near_dup"))
+      .select(
+        col("doc_id"), col("exact_dup"), col("near_dup"),
+        expr("CAST(exact_dup = 0 AND near_dup = 0 AS BIGINT)").as("novel"))
+  }
+
   /** foreachBatch scoring: apply a fitted model (or any batch
     * DataFrame→DataFrame function) to each micro-batch — the streaming
     * deployment mode of the trained LUAD SVM.

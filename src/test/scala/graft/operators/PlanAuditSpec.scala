@@ -31,7 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     "q39_als_complete", "q40_svm_predict",
     "q28_simhash", "q28b_simhash64", "q52_bm25", "q98_tfidf_top_terms",
     "q101_token_budget", "q104_gapfill", "q108_histogram",
-    "q115_source_divergence", "q116_itemset_pairs", "q118_pareto_customers")
+    "q115_source_divergence", "q116_itemset_pairs", "q118_pareto_customers",
+    // q129: the corpus stop-shingle set rides in as a broadcast
+    // SINGLE-ROW array (the scalar-subquery shape, same family as q28)
+    "q129_rowwise_minhash")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
