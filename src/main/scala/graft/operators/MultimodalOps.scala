@@ -153,6 +153,34 @@ object MultimodalOps {
   /** q33d's scratch dir (parquet with a real-PNG BINARY column). */
   private[operators] lazy val pngDir: String = Relational.roundtripDir("png_media")
 
+  /** Deterministic synthetic JPEG for the q33e gate: a UNIFORM gray
+    * image at level `bin·64 + 16 + (docId mod 32)` where
+    * `bin = docId mod 4`. The gray level sits ≥ 16 luma units from
+    * both edges of its 64-wide luminance bin, so JPEG's lossy round
+    * trip (±1–2 on a uniform field) can never move a pixel across a
+    * bin boundary — that margin IS the stated tolerance band of the
+    * oracle contract: dims/channels gate exactly, the histogram gates
+    * as "every decoded pixel still lands in the constructed bin".
+    */
+  def syntheticJpeg(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val v = ((docId % 4) * 64 + 16 + docId % 32).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** q33e's scratch dir (parquet with a real-JPEG BINARY column). */
+  private[operators] lazy val jpegDir: String = Relational.roundtripDir("jpeg_media")
+
   /** The real plumbing: binary column in, typed rows out, one decoder
     * per partition (mapPartitions ≈ mapInPandas batch shape).
     */
@@ -315,6 +343,48 @@ object MultimodalOps {
           "CAST(b1 AS DOUBLE) / (w * h) AS feat_bin1, " +
           "CAST(b2 AS DOUBLE) / (w * h) AS feat_bin2, " +
           "CAST(b3 AS DOUBLE) / (w * h) AS feat_bin3 FROM c"),
+    ),
+    QuerySpec(
+      // Lossy-codec gate: genuine JPEG streams (huffman + DCT decode,
+      // not a stub) through the same real-decoder plumbing as q33d.
+      // Exact fields (width/height/channels) gate bit-for-bit; the
+      // lossy histogram gates through the tolerance contract built
+      // into the fixture (see syntheticJpeg): dom_bin = the argmax of
+      // the DECODED histogram must be the constructed bin, and
+      // hist_in_band = 1 iff every decoded pixel stayed inside it.
+      // The oracle states the contract (all flags 1) — a codec drift
+      // larger than the ±16-luma margin breaks the hash.
+      "q33e_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false) // in-memory encode
+            it.map { id =>
+              val w = (8 + id % 24).toInt
+              val h = (8 + (id * 7) % 16).toInt
+              (id, syntheticJpeg(id, w, h))
+            }
+          }
+          .toDF("doc_id", "payload")
+        val path = s"$jpegDir/${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        decodeImageMedia(s, s.read.parquet(path))
+          .select(
+            col("doc_id"), col("width"), col("height"), col("channels"),
+            (array_position(col("feat"), array_max(col("feat"))) - 1)
+              .cast("bigint").as("dom_bin"),
+            (element_at(col("feat"), (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+              === lit(1.0d)).cast("bigint").as("hist_in_band"))
+      },
+      Some(
+        "SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS width, " +
+          "CAST(8 + (doc_id * 7) % 16 AS BIGINT) AS height, " +
+          "CAST(3 AS BIGINT) AS channels, " +
+          "CAST(doc_id % 4 AS BIGINT) AS dom_bin, " +
+          "CAST(1 AS BIGINT) AS hist_in_band FROM documents"),
     ),
     QuerySpec(
       "q33_multimodal_decode",
