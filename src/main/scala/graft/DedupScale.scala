@@ -16,16 +16,57 @@ import org.apache.spark.sql.functions._
   * BASELINE.md's record.
   *
   * Usage: runMain graft.DedupScale [sfDir ...]  (default: all three)
+  *
+  * A `dir@xN` argument synthesizes an N× corpus from `dir` by
+  * DETERMINISTIC hash-derived token mutation (no RNG): variant k of a
+  * document replaces ~20% of its tokens — those where a fixed integer
+  * hash of (position, doc_id, k) lands in residue 0 mod 5 — with
+  * md5-derived replacements, then re-ids as doc_id·N + k. Each
+  * replaced token kills its 3 covering shingles, so variants share a
+  * minority of shingles with their parent: the synthesized corpus
+  * grows the DISTINCT signature population (what band saturation is
+  * about) rather than stacking exact copies into the same buckets.
+  * The fixture's 5k docs @ sf0.1 → 50k docs @ x10: one scale step
+  * past where SimHash32 already saturated.
   */
 object DedupScale {
+
+  /** Materialize the N× mutated corpus under /tmp and return its dir. */
+  private def synthesize(spark: org.apache.spark.sql.SparkSession, srcDir: String, xf: Int): String = {
+    val out = s"/tmp/graft_dedup_scale/${new java.io.File(srcDir).getName}_x$xf"
+    val base = Tables(spark, srcDir, "documents")
+    base
+      .crossJoin(spark.range(xf).toDF("k"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn(
+        "toks2",
+        expr(
+          "transform(toks, (t, i) -> CASE WHEN k > 0 AND " +
+            "pmod(i * 2654435761 + doc_id * 1000003 * k, 5) = 0 " +
+            "THEN substr(md5(concat(t, ':', CAST(doc_id AS STRING), ':', CAST(k AS STRING))), 1, 8) " +
+            "ELSE t END)"))
+      .select(
+        (col("doc_id") * xf + col("k")).as("doc_id"),
+        concat_ws(" ", col("toks2")).as("text"),
+        col("lang"), col("source"),
+        length(concat_ws(" ", col("toks2"))).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val dirs =
+    val specs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv()
     try {
-      dirs.foreach { dir =>
-        val sf = new java.io.File(dir).getName
+      specs.foreach { spec =>
+        val (dir, label) = spec.split("@x", 2) match {
+          case Array(src, n) =>
+            (synthesize(spark, src, n.toInt), s"${new java.io.File(src).getName}_x$n")
+          case _ => (spec, new java.io.File(spec).getName)
+        }
+        val sf = label
         val nDocs = Tables(spark, dir, "documents").count()
 
         def report(family: String, buckets: org.apache.spark.sql.DataFrame): Unit = {

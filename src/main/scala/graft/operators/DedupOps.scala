@@ -201,6 +201,14 @@ object DedupOps {
     * 16-bit bands → 2^16 buckets per band instead of 2^8, keeping
     * bucket sizes bounded as the corpus grows).
     *
+    * Measured band-capacity guidance (BASELINE.md round-9 table): at
+    * 50k docs each 16-bit band is already 52% occupied — saturation
+    * onset. 4×16-bit banding is sound to ~100k documents per dedup
+    * domain; past that, partition the corpus (dedup per source/lang
+    * domain), widen to 2×32-bit bands, or prefer the MinHash banded
+    * path, whose two-minima string key (~2^62 space) cannot saturate
+    * at any realistic corpus size.
+    *
     * Bit sourcing: md5 gives 128 bits but a signed BIGINT can only
     * carry 60 of them through the `'0x...'::BIGINT` oracle route
     * (16 hex chars would overflow the sign bit), so bits 0-59 come
