@@ -134,6 +134,37 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(!notEngaged.queryExecution.executedPlan.toString.contains("__graft_salt"))
   }
 
+  test("plain AQE splits the q122 hot key natively once the join shuffles") {
+    val s = spark; import s.implicits._
+    // the q122 adversarial shape: 90% of big-side rows on one key, and
+    // a join that must shuffle (broadcast disabled). AQE's skew-join
+    // split is threshold-gated by partition BYTES, so scale the
+    // thresholds to fixture size the way 256 MB defaults relate to a
+    // real executor's partitions.
+    val big = (0 until 200000)
+      .map(i => (if (i % 10 == 0) i % 50 else 0, i.toLong))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ).map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val joined = big.join(small, Seq("k"))
+      // execute THIS tree so the AdaptiveSparkPlan finalizes
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join skewed: ${plan.take(800)}")
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     val s = spark; import s.implicits._
     // 4 configured shuffle partitions but only a few KB of shuffle
