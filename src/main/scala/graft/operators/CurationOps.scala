@@ -515,5 +515,87 @@ object CurationOps {
           "ORDER BY r, doc_id) AS rk FROM j) " +
           "SELECT bucket, doc_id, len FROM rk WHERE rk <= 10"),
     ),
+    QuerySpec(
+      // Importance sampling: inclusion probability proportional to a
+      // per-document weight (here length-derived, the "prefer long
+      // documents" mixing knob) with a DETERMINISTIC md5-derived
+      // uniform draw — retry-stable and reproducible like every
+      // sampling op in this engine, unlike rand(). Pure scan-speed
+      // row filter: no shuffle, no state, pushes through any layout.
+      "q131_importance_sample",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("w", least(lit(1.0d), col("n_chars") / lit(600.0d)))
+          .withColumn(
+            "u",
+            expr(
+              "CAST(conv(substr(md5(concat('imp:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS DOUBLE) " +
+                "/ 16777216.0D"))
+          .filter(col("u") < col("w"))
+          .select(col("doc_id"), col("source"), col("w"), col("u")),
+      Some(
+        "WITH d AS (SELECT doc_id, source, " +
+          "LEAST(1.0, n_chars / 600.0) AS w, " +
+          "CAST(('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS DOUBLE) " +
+          "/ 16777216.0 AS u FROM documents) " +
+          "SELECT doc_id, source, w, u FROM d WHERE u < w"),
+    ),
+    QuerySpec(
+      // Column profiling: per-column null rate / distinct count /
+      // min / max / mean over a fact table — the data-quality summary
+      // every ingestion job runs before training sees the data. The
+      // stack unpivot keeps it ONE scan + ONE combinable groupBy on a
+      // 4-value key (vs the union-of-aggregates form, which scans the
+      // table once per column); count-distinct shuffles (col, v) pairs
+      // only.
+      "q133_column_profile",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(expr(
+            "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+              "'l_discount', l_discount, 'l_tax', l_tax) AS (col_name, v)"))
+          .groupBy("col_name")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_nonnull"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("vmin"),
+            max(col("v")).as("vmax"),
+            avg(col("v")).as("vmean")),
+      Some(
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+          s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
+            s"COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS vmin, MAX($c) AS vmax, " +
+            s"AVG($c) AS vmean FROM lineitem"
+        }.mkString(" UNION ALL ")),
+    ),
+    QuerySpec(
+      // Winsorization: clamp a per-document feature to its source's
+      // [p05, p95] band — the outlier-clipping normalization a feature
+      // pipeline applies before training. The per-source percentile
+      // frame is a tiny combinable aggregate broadcast back onto the
+      // scan; the clamp itself is scan-speed. Both engines compute the
+      // exact linearly-interpolated quantile (Spark `percentile`,
+      // DuckDB `quantile_cont`) from the same integers, so the floats
+      // agree.
+      "q134_winsorize",
+      (s, dir) => {
+        val st = docs(s, dir).groupBy("source").agg(
+          expr("percentile(n_chars, 0.05D)").as("p05"),
+          expr("percentile(n_chars, 0.95D)").as("p95"))
+        docs(s, dir)
+          .join(broadcast(st), Seq("source"))
+          .select(
+            col("doc_id"), col("source"), col("n_chars"),
+            greatest(col("p05"), least(col("p95"), col("n_chars").cast("double")))
+              .as("clipped"))
+      },
+      Some(
+        "WITH st AS (SELECT source, quantile_cont(n_chars, 0.05) AS p05, " +
+          "quantile_cont(n_chars, 0.95) AS p95 FROM documents GROUP BY source) " +
+          "SELECT d.doc_id, d.source, d.n_chars, " +
+          "GREATEST(st.p05, LEAST(st.p95, CAST(d.n_chars AS DOUBLE))) AS clipped " +
+          "FROM documents d JOIN st USING (source)"),
+    ),
   )
 }

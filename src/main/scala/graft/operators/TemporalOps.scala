@@ -456,5 +456,74 @@ object TemporalOps {
           "AND l_shipdate >= valid_from AND l_shipdate < valid_to " +
           "GROUP BY rating"),
     ),
+    QuerySpec(
+      // Per-group linear trend: regr_slope/intercept/r2 of event value
+      // over day index — the "is this signal drifting" pass a metrics
+      // pipeline runs per segment. One combinable groupBy (the
+      // regression aggregates fold to (n, Σx, Σy, Σxx, Σyy, Σxy)
+      // partials — map-side combine, scan-speed at any scale). The day
+      // index is anchored at the fixture epoch so x stays O(30) and
+      // slope/intercept magnitudes stay well inside the oracle's 1e-6
+      // float tolerance.
+      "q130_group_trend",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn(
+            "x",
+            datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+              .cast("double"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            regr_slope(col("value"), col("x")).as("slope"),
+            regr_intercept(col("value"), col("x")).as("intercept"),
+            regr_r2(col("value"), col("x")).as("r2")),
+      Some(
+        "SELECT event_type, COUNT(*) AS n, " +
+          "regr_slope(value, CAST(date_diff('day', DATE '2024-01-01', ts) AS DOUBLE)) AS slope, " +
+          "regr_intercept(value, CAST(date_diff('day', DATE '2024-01-01', ts) AS DOUBLE)) AS intercept, " +
+          "regr_r2(value, CAST(date_diff('day', DATE '2024-01-01', ts) AS DOUBLE)) AS r2 " +
+          "FROM events GROUP BY event_type"),
+    ),
+    QuerySpec(
+      // Snapshot diff — the CDC shape of a training-data refresh: two
+      // per-user activity snapshots over overlapping day windows,
+      // full-outer-joined and classified added/removed/changed/
+      // unchanged. Scale: both snapshots are combinable groupBys on
+      // the SAME key, so the outer join is co-partitioned by AQE (one
+      // shuffle each side, no residue); the classification is
+      // scan-speed. This is the operator that turns "re-crawl the
+      // corpus" into "process what moved".
+      "q132_snapshot_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn(
+            "d",
+            datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01"))))
+        val a = ev.filter(col("d") < 20)
+          .groupBy("user_id").agg(count(lit(1)).as("n_a"))
+        val b = ev.filter(col("d") >= 10)
+          .groupBy("user_id").agg(count(lit(1)).as("n_b"))
+        a.join(b, Seq("user_id"), "full_outer")
+          .select(
+            col("user_id"),
+            coalesce(col("n_a"), lit(0L)).as("cnt_old"),
+            coalesce(col("n_b"), lit(0L)).as("cnt_new"),
+            when(col("n_a").isNull, "added")
+              .when(col("n_b").isNull, "removed")
+              .when(col("n_a") === col("n_b"), "unchanged")
+              .otherwise("changed").as("change"))
+      },
+      Some(
+        "WITH e AS (SELECT user_id, date_diff('day', DATE '2024-01-01', ts) AS d " +
+          "FROM events), " +
+          "a AS (SELECT user_id, COUNT(*) AS n_a FROM e WHERE d < 20 GROUP BY 1), " +
+          "b AS (SELECT user_id, COUNT(*) AS n_b FROM e WHERE d >= 10 GROUP BY 1) " +
+          "SELECT COALESCE(a.user_id, b.user_id) AS user_id, " +
+          "COALESCE(n_a, 0) AS cnt_old, COALESCE(n_b, 0) AS cnt_new, " +
+          "CASE WHEN n_a IS NULL THEN 'added' WHEN n_b IS NULL THEN 'removed' " +
+          "WHEN n_a = n_b THEN 'unchanged' ELSE 'changed' END AS change " +
+          "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id"),
+    ),
   )
 }
