@@ -96,6 +96,8 @@ object GraftFunctions {
       exprs => RollingHashMin(exprs(0), exprs(1))),
     ("bpe_token_count", classOf[BpeTokenCount].getName,
       exprs => BpeTokenCount(exprs(0))),
+    ("minhash_mins", classOf[MinhashMins].getName,
+      exprs => MinhashMins(exprs(0), exprs(1))),
     // Catalyst's runtime-filter bloom pair, surfaced as session
     // functions: `bloom_filter_agg(xxhash64(k), n)` builds the sketch
     // as a BINARY aggregate and `might_contain(sketch, xxhash64(k))`

@@ -1,0 +1,125 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** `minhash_mins(text, stop_arr)` — the 16 per-permutation MinHash
+  * minima of a document's stop-filtered distinct word-3-gram shingles,
+  * in ONE compiled pass over the text: tokenize, shingle, dedup,
+  * stop-filter, md5, fold all 16 `(a·h + b) mod p` minima per shingle.
+  *
+  * This is the native-Expression form of the row-wise signature path:
+  * the same computation expressed with higher-order array lambdas runs
+  * interpreted (HigherOrderFunction has no codegen) at ~2 ms/doc;
+  * this expression is plain compiled Scala invoked from generated
+  * code. Bit-identical to the grouped [[graft.operators.DedupOps]]
+  * fold and to the DuckDB oracle (q129 gates all three): tokens split
+  * on single spaces KEEPING empties (Spark `split` semantics), shingle
+  * hash = first 7 md5 hex chars as an integer, permutation table
+  * [[MinhashMins.perms]].
+  *
+  * Returns NULL when the document yields no content shingles (< 3
+  * tokens, or every shingle stop-filtered) — mirroring the grouped
+  * path, where such documents simply have no rows.
+  */
+case class MinhashMins(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "minhash_mins requires (STRING, ARRAY<STRING>)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_mins"
+
+  override def nullSafeEval(t: Any, stopAny: Any): Any =
+    MinhashMins.compute(
+      t.asInstanceOf[UTF8String], stopAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) => {
+      s"""
+         |${ev.value} = graft.functions.MinhashMins.compute($t, $s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashMins =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashMins {
+  /** The 16 fixed permutations (i, a, b) of `(a·h + b) mod P` — the
+    * single source of truth; DedupOps builds its SQL oracles from this
+    * same table.
+    */
+  val perms: Seq[(Int, Int, Int)] = Seq(
+    (0, 737, 941), (1, 1553, 2087), (2, 2671, 3217), (3, 3823, 4391),
+    (4, 4973, 5519), (5, 6101, 6689), (6, 7237, 7829), (7, 8389, 8969),
+    (8, 9511, 10111), (9, 10663, 11261), (10, 11779, 12409), (11, 12917, 13553),
+    (12, 14081, 14699), (13, 15227, 15859), (14, 16381, 17011), (15, 17519, 18149),
+  )
+  val P = 2147483647L // 2^31 - 1
+
+  private val A: Array[Long] = perms.map(_._2.toLong).toArray
+  private val B: Array[Long] = perms.map(_._3.toLong).toArray
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Compiled kernel — public static so generated code can call it. */
+  def compute(text: UTF8String, stopArr: ArrayData): ArrayData = {
+    // Spark split semantics: single-space regex, limit -1 (KEEP empty
+    // tokens) — must match `split(text, ' ')` exactly
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    var stop: java.util.HashSet[String] = null
+    if (stopArr.numElements() > 0) {
+      stop = new java.util.HashSet[String](stopArr.numElements() * 2)
+      var i = 0
+      while (i < stopArr.numElements()) {
+        if (!stopArr.isNullAt(i)) stop.add(stopArr.getUTF8String(i).toString)
+        i += 1
+      }
+    }
+    val md = digest.get()
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val mins = Array.fill(16)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i <= toks.length - 3) {
+      val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      // distinct first (the grouped path dedups before the stop
+      // filter; same result either way for a set filter)
+      if (seen.add(sh) && (stop == null || !stop.contains(sh))) {
+        any = true
+        md.reset()
+        val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
+        // first 7 hex chars of the md5 as an integer = top 28 bits
+        val h0 = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+          ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+        var j = 0
+        while (j < 16) {
+          val v = (A(j) * h0 + B(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null else new GenericArrayData(mins)
+  }
+}
