@@ -597,5 +597,95 @@ object CurationOps {
           "GREATEST(st.p05, LEAST(st.p95, CAST(d.n_chars AS DOUBLE))) AS clipped " +
           "FROM documents d JOIN st USING (source)"),
     ),
+    QuerySpec(
+      // Temperature-based mixture allocation (the mT5/multilingual
+      // α-sampling rule): per-source sampling probability ∝ p^α with
+      // α = 0.3, flattening the source distribution so low-resource
+      // sources are upweighted; rate hits a 50%-of-corpus token
+      // budget. All corpus-wide scalars derive from full-frame window
+      // sums over the TINY per-source frame (q124's pattern — no
+      // single-row cross join), so the only real shuffle is the
+      // token-count groupBy.
+      "q136_temperature_mixture",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val full = Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        docs(s, dir)
+          .select(col("source"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+          .groupBy("source").agg(sum("tok").as("n_tokens"))
+          .withColumn("t_tokens", sum(col("n_tokens")).over(full).cast("double"))
+          .withColumn("p", col("n_tokens") / col("t_tokens"))
+          .withColumn("pa", pow(col("p"), lit(0.3d)))
+          .withColumn("q", col("pa") / sum(col("pa")).over(full))
+          .select(
+            col("source"), col("n_tokens"), col("p"), col("q"),
+            least(lit(1.0d), col("q") * lit(0.5d) * col("t_tokens") / col("n_tokens"))
+              .as("rate"))
+      },
+      Some(
+        "WITH per AS (SELECT source, " +
+          "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+          "FROM documents GROUP BY source), " +
+          "t AS (SELECT *, CAST(SUM(n_tokens) OVER () AS DOUBLE) AS t_tokens FROM per), " +
+          "p1 AS (SELECT *, n_tokens / t_tokens AS p, " +
+          "POW(n_tokens / t_tokens, 0.3) AS pa FROM t), " +
+          "p2 AS (SELECT *, SUM(pa) OVER () AS sum_pa FROM p1) " +
+          "SELECT source, n_tokens, p, pa / sum_pa AS q, " +
+          "LEAST(1.0, (pa / sum_pa) * 0.5 * t_tokens / n_tokens) AS rate FROM p2"),
+    ),
+    QuerySpec(
+      // Boilerplate stripping with reconstruction (the C4/RefinedWeb
+      // "remove lines shared across many pages" pass): 4-token
+      // segments whose document frequency ≥ 5 are removed from EVERY
+      // document (q125 keeps the first occurrence; boilerplate has no
+      // rightful owner), then each document reassembles in segment
+      // order. Scale: segment df is one combinable groupBy; the
+      // common-segment set is tiny by construction (df threshold) so
+      // the strip is a broadcast anti-join; reconstruction is the q125
+      // ordered array fold — no window over the corpus.
+      "q137_boilerplate_strip",
+      (s, dir) => {
+        val segs = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, CAST(ceil(size(toks) / 4.0) AS INT) - 1), " +
+                "i -> struct(CAST(i AS BIGINT) AS idx, " +
+                "concat_ws(' ', slice(toks, i * 4 + 1, 4)) AS seg))")).as("x"))
+          .select(col("doc_id"), col("x.idx").as("idx"), col("x.seg").as("seg"))
+          .localCheckpoint() // feeds df, the strip, and totals
+        val common = segs.groupBy("seg")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 5)
+          .select(col("seg"))
+        val kept = segs.join(broadcast(common), Seq("seg"), "left_anti")
+        val perDoc = kept.groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(collect_list(struct(idx, seg))), " +
+              "x -> x.seg), ' ')").as("clean_text"))
+        segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_segs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+          "s AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, " +
+          "array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS seg " +
+          "FROM t, unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS u(i)), " +
+          "c AS (SELECT seg FROM s GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 5), " +
+          "k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+          "string_agg(seg, ' ' ORDER BY idx) AS clean_text " +
+          "FROM s ANTI JOIN c USING (seg) GROUP BY doc_id), " +
+          "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM s GROUP BY doc_id) " +
+          "SELECT tot.doc_id, n_segs, COALESCE(n_kept, 0) AS n_kept, " +
+          "COALESCE(clean_text, '') AS clean_text " +
+          "FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id"),
+    ),
   )
 }

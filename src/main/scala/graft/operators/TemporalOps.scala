@@ -525,5 +525,80 @@ object TemporalOps {
           "WHEN n_a = n_b THEN 'unchanged' ELSE 'changed' END AS change " +
           "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id"),
     ),
+    QuerySpec(
+      // Linear gap interpolation: fill missing (series, day) points by
+      // interpolating between the nearest observed neighbors — the
+      // sensor/metric densification pass (q104 zero-fills; this
+      // RECONSTRUCTS). Gaps are synthesized deterministically (~1/4 of
+      // days dropped per series). Plan: daily grain is ONE combinable
+      // groupBy; the spine × tiny type set is the q104 shape; the
+      // neighbor lookup is two IGNORE-NULLS window passes over the
+      // per-series day grain — state bounded by days × series, never
+      // raw events. Leading/trailing gaps back-/forward-fill.
+      "q135_interpolate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .withColumn(
+            "d",
+            datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+              .cast("long"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(avg(col("value")).as("v"))
+          .filter(pmod(col("d") + length(col("event_type")), lit(4)) =!= 0)
+        val bounds = ev.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+        val spine = bounds.select(explode(expr("sequence(dmin, dmax)")).as("d"))
+        val types = ev.select(col("event_type")).distinct()
+        val w = Window.partitionBy("event_type").orderBy("d")
+        val back = w.rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+        spine.crossJoin(broadcast(types))
+          .join(daily, Seq("event_type", "d"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn(
+            "pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn(
+            "nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(fwd))
+          .select(
+            col("event_type"), col("d"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(
+                col("pv") + (col("nv") - col("pv")) *
+                  (col("d") - col("pd")).cast("double") /
+                  (col("nd") - col("pd")).cast("double"))
+              .as("v_filled"),
+            col("v").isNull.cast("bigint").as("was_gap"))
+      },
+      Some(
+        "WITH e AS (SELECT event_type, " +
+          "CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d, value " +
+          "FROM events), " +
+          "b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM e), " +
+          "spine AS (SELECT UNNEST(range(dmin, dmax + 1)) AS d FROM b), " +
+          "ty AS (SELECT DISTINCT event_type FROM e), " +
+          "daily AS (SELECT event_type, d, AVG(value) AS v FROM e GROUP BY 1, 2), " +
+          "dailyf AS (SELECT * FROM daily WHERE (d + len(event_type)) % 4 != 0), " +
+          "g AS (SELECT ty.event_type, spine.d, f.v FROM spine CROSS JOIN ty " +
+          "LEFT JOIN dailyf f ON f.event_type = ty.event_type AND f.d = spine.d), " +
+          "w AS (SELECT *, " +
+          "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+          "last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER " +
+          "(PARTITION BY event_type ORDER BY d " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+          "first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d " +
+          "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+          "first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER " +
+          "(PARTITION BY event_type ORDER BY d " +
+          "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM g) " +
+          "SELECT event_type, d, " +
+          "CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv " +
+          "WHEN nv IS NULL THEN pv " +
+          "ELSE pv + (nv - pv) * CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE) END " +
+          "AS v_filled, CAST(v IS NULL AS BIGINT) AS was_gap FROM w"),
+    ),
   )
 }

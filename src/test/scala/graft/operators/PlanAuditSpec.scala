@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     "q115_source_divergence", "q116_itemset_pairs", "q118_pareto_customers",
     // q129: the corpus stop-shingle set rides in as a broadcast
     // SINGLE-ROW array (the scalar-subquery shape, same family as q28)
-    "q129_rowwise_minhash")
+    "q129_rowwise_minhash",
+    // q135: the q104 calendar-spine shape — single-row bounds feed the
+    // spine, crossed with the tiny distinct type set
+    "q135_interpolate")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
