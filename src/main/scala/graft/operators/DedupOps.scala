@@ -125,14 +125,41 @@ object DedupOps {
       "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY doc_id)"
 
-  /** (doc_id, band, sig) — 8 MinHash LSH bands of 2 permutations each.
-    * Single-pass signatures: all 16 permutation minima as 16 aggregate
-    * columns of ONE map-side-combinable groupBy — no perm crossJoin
-    * (which would multiply the shingle stream ×16 and shuffle it
-    * twice). Bands then unpivot driver-free via stack. Public so the
-    * bucket-bound spec can histogram the REAL band stream.
+  /** (doc_id, band, sig) — 8 MinHash LSH bands of 2 permutations each,
+    * computed by the native `minhash_mins` kernel: the whole signature
+    * fold (shingle → dedup → stop-filter → md5 → 16 minima) happens
+    * inside the document scan, so the only shuffle left in signature
+    * building is the stop-set pass — the grouped fold it replaced
+    * shuffled the exploded shingle stream (≈30× the document stream)
+    * through distinct + min-agg. Measured honestly (BASELINE.md
+    * round-9): locally the two are PAR (the shuffles it removes are
+    * CPU-cheap in one JVM, and on the single-row-group fixture the
+    * in-scan fold serializes into the 1-task scan, costing q128
+    * ~0.5 s); the kernel wins on multi-file layouts where the scan
+    * parallelizes at the source (q129 1.50 → 1.10 s) and is the right
+    * shape at 100 TB, where the removed corpus-sized shuffles are
+    * network/disk-bound, not CPU-bound. Semantics gated three ways:
+    * the q27/q127/q128/q129 DuckDB oracles, and
+    * [[minhashBandsGrouped]] kept as a test-only second witness
+    * (MinhashMinsSpec). Public so the bucket-bound spec can histogram
+    * the REAL band stream.
     */
-  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    withRowwiseBands(
+      docs(s, dir).crossJoin(broadcast(stopShingleRow(s, dir))))
+      .select(col("doc_id"), explode(col("band_arr")).as("bs"))
+      .select(
+        col("doc_id"),
+        col("bs.band").cast("int").as("band"),
+        col("bs.sig").as("sig"))
+
+  /** The original grouped signature fold — all 16 permutation minima
+    * as aggregate columns of one map-side-combinable groupBy over the
+    * exploded shingle stream. Kept as the independent reference
+    * implementation the kernel is spec-checked against; production
+    * paths use [[minhashBands]].
+    */
+  private[graft] def minhashBandsGrouped(s: SparkSession, dir: String): DataFrame = {
     val sh = contentShingles(s, dir)
     val h = sh.withColumn(
       "h0", expr("CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT)"))

@@ -69,7 +69,8 @@ class MinhashMinsSpec extends SparkSpec {
   test("kernel bands equal the grouped fold on the sf0.001 fixture") {
     val s = spark
     val sfDir = "/root/testdata/sf0.001"
-    val grouped = graft.operators.DedupOps.minhashBands(s, sfDir)
+    // the INDEPENDENT witness: the original shuffle-based fold
+    val grouped = graft.operators.DedupOps.minhashBandsGrouped(s, sfDir)
       .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
     val rowwise = graft.SparkEntry.queries("q129_rowwise_minhash")(s, sfDir)
     assert(grouped.count() > 1000, "fixture too small for a meaningful check")
