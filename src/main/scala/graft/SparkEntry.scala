@@ -18,7 +18,8 @@ object SparkEntry {
       operators.ScaleJoins.specs ++
       operators.CurationOps.specs ++
       operators.TypedOps.specs ++
-      operators.GraphOps.specs
+      operators.GraphOps.specs ++
+      operators.ModernSqlOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

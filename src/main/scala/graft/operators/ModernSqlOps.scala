@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Modern SQL-engine surface: recursive CTEs, VARIANT semi-structured
+  * extraction, and mergeable sketches (frequent-items, HLL). These are
+  * the engine capabilities a 100 TB curation stack leans on when the
+  * data is not a clean star schema:
+  *
+  *  - q138: `WITH RECURSIVE` — iterative SQL without leaving the
+  *    engine. The walk here is a per-nation Pareto frontier (how many
+  *    top suppliers cover 80% of revenue), a linear recursion whose
+  *    depth is bounded by suppliers-per-nation, NOT by corpus size;
+  *    each step is one hash join on the nation key. Unbounded/graph
+  *    recursion at scale belongs to the checkpointed loop (q38b) or
+  *    GraphX (q38) — the recursive CTE is the right tool exactly when
+  *    the recursion domain is dimension-sized, as here.
+  *  - q139: VARIANT — schema-on-read without a fixed `from_json`
+  *    schema. Parsing cost is paid once per row in the scan stage
+  *    (zero shuffles); typed `variant_get` paths replace brittle
+  *    string munging. The binary VARIANT encoding is columnar-friendly
+  *    and predicate-ready, unlike raw JSON text.
+  *  - q140/q141: sketches whose partial states MERGE — the only
+  *    aggregation shape that survives 1000 executors × re-shards:
+  *    frequent-items (approx_top_k) for heavy-hitter detection with
+  *    bounded memory, and per-shard HLL sketches unioned WITHOUT
+  *    re-scanning the shards (the pre-aggregated-rollup pattern:
+  *    daily sketches → monthly/annual distincts for free). Both are
+  *    gated with the q12b self-checking idiom: the sketch result must
+  *    agree with the exactly-computed answer, and the hash-checked
+  *    contract is that verdict, so a broken sketch flips a flag the
+  *    DuckDB oracle pins to `true`.
+  */
+object ModernSqlOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Pareto walk: suppliers are ranked by exact-DECIMAL revenue within
+    * each nation; the recursion walks down the ranking accumulating
+    * revenue while the running total is still below 80% of the nation
+    * total (`cum*5 < total*4` keeps the comparison in exact integer
+    * DECIMAL arithmetic — no float 0.8 anywhere). All money math stays
+    * DECIMAL(18,2) end-to-end, and the per-step fold order is pinned
+    * by the rank chain, so both engines compute bit-identical sums.
+    */
+  private def recursiveParetoSql(p: String): String =
+    s"""WITH RECURSIVE sup_rev AS (
+       |  SELECT CAST(s.s_nationkey AS BIGINT) AS nation, l.l_suppkey AS suppkey,
+       |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+       |  FROM ${p}lineitem l JOIN ${p}supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT nation, suppkey, rev,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY rev DESC, suppkey) AS BIGINT) AS rk,
+       |         CAST(SUM(rev) OVER (PARTITION BY nation) AS DECIMAL(18,2)) AS nation_total
+       |  FROM sup_rev
+       |), walk AS (
+       |  SELECT nation, rk, CAST(rev AS DECIMAL(18,2)) AS cum_rev, nation_total
+       |  FROM ranked WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.nation, r.rk, CAST(w.cum_rev + r.rev AS DECIMAL(18,2)) AS cum_rev, r.nation_total
+       |  FROM walk w JOIN ranked r ON r.nation = w.nation AND r.rk = w.rk + 1
+       |  WHERE w.cum_rev * 5 < w.nation_total * 4
+       |)
+       |SELECT nation, MAX(rk) AS suppliers_to_80,
+       |       CAST(MAX(cum_rev) AS DOUBLE) AS covered_rev,
+       |       CAST(MAX(nation_total) AS DOUBLE) AS nation_rev
+       |FROM walk GROUP BY nation""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      // WITH RECURSIVE through the SQL front door on both engines.
+      // Linear recursion: one in-flight row per nation per step, depth
+      // bounded by suppliers-per-nation (~40 at sf0.1) — the level
+      // limit is raised to 256 purely as headroom; the 80% cut
+      // terminates the walk long before it. Scale note: the recursion
+      // operates on the DIMENSION-sized `ranked` frame (|supplier|
+      // rows); the only corpus-sized work is the one combinable
+      // sup_rev aggregation that feeds it.
+      "q138_recursive_pareto",
+      (s, dir) => {
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "256")
+        Seq("lineitem", "supplier")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(s"graft_$n"))
+        s.sql(recursiveParetoSql("graft_"))
+      },
+      Some(recursiveParetoSql("")),
+    ),
+    QuerySpec(
+      // VARIANT round trip: each event is re-serialized as a nested
+      // JSON document (typed struct + array), parsed with parse_json
+      // into a VARIANT, and read back through typed variant_get paths
+      // (nested field, array index) alongside the fixture's REAL
+      // `props` JSON column. The oracle recomputes every extracted
+      // value from the base columns, so any loss in the
+      // serialize→parse→extract chain (doubles round-trip via
+      // shortest-repr JSON; longs exactly) breaks the hash. Filter
+      // runs ON an extracted path — predicate-after-parse, the
+      // schema-on-read shape. Zero shuffles: parse and extraction are
+      // scan-stage expressions.
+      "q139_variant_extract",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.select(
+            col("event_id"), col("props"),
+            to_json(struct(
+              col("event_type").as("t"),
+              struct(col("user_id").as("id"), col("value").as("v")).as("u"),
+              array(col("event_id"), col("user_id")).as("ids"))).as("j"))
+          .select(
+            col("event_id"),
+            expr("variant_get(parse_json(j), '$.t', 'string')").as("vtype"),
+            expr("variant_get(parse_json(j), '$.u.v', 'double')").as("vval"),
+            expr("variant_get(parse_json(j), '$.ids[1]', 'bigint')").as("vuser"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("vk"))
+          .filter(col("vtype").isin("click", "error") && col("vk") >= 10)
+      },
+      Some(
+        "SELECT event_id, event_type AS vtype, value AS vval, user_id AS vuser, " +
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk " +
+          "FROM events WHERE event_type IN ('click', 'error') " +
+          "AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10"),
+    ),
+    QuerySpec(
+      // Frequent-items sketch (Apache DataSketches under approx_top_k)
+      // vs the exact per-user counts. maxItemsTracked=65536 exceeds
+      // the user cardinality at every fixture SF (1.5k at sf0.1), so
+      // the sketch provably tracks every key without eviction and its
+      // counts are exact — the flags assert that, and the oracle pins
+      // them true. At real scale the same one-pass bounded-memory
+      // sketch degrades to guaranteed-error estimates instead of
+      // blowing up the aggregation hash map: heavy-hitter detection
+      // (the q120 skew diagnostic) without a corpus-sized groupBy.
+      // The sketch's top-50 over-fetch makes the top-10 containment
+      // check immune to count ties at the cut.
+      "q140_approx_topk_users",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sketch = ev
+          .agg(expr("approx_top_k(user_id, 50, 65536)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("user_id"), col("e.count").as("est"))
+        val exactTop = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id"))
+          .limit(10)
+        exactTop.join(sketch, Seq("user_id"), "left")
+          .select(
+            col("user_id"), col("cnt"),
+            col("est").isNotNull.as("in_sketch_topk"),
+            (col("est") === col("cnt")).as("est_exact"))
+          .orderBy(col("cnt").desc, col("user_id"))
+      },
+      Some(
+        "SELECT user_id, COUNT(*) AS cnt, true AS in_sketch_topk, true AS est_exact " +
+          "FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"),
+    ),
+    QuerySpec(
+      // Per-shard HLL sketches merged WITHOUT re-scanning: orders are
+      // sharded by month, each shard folds its customers into one
+      // hll_sketch_agg(lgConfigK=14) binary, and the corpus-wide
+      // distinct comes from hll_union_agg over the ~80 shard sketches
+      // alone — the pre-aggregated-rollup pattern that turns "distinct
+      // users this year" into a merge of daily sketches at 100 TB.
+      // Gate: per-shard estimate within 3% of the shard's exact
+      // distinct (lgK=14 ⇒ ~0.8% rse; shard cardinalities here are in
+      // sparse mode, near-exact), and the merged estimate within 3% of
+      // the global exact distinct. The output is the exact counts plus
+      // the two verdict flags the oracle pins true.
+      "q141_hll_shard_merge",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("shard", date_format(col("o_orderdate"), "yyyy-MM"))
+        val shards = o.groupBy("shard").agg(
+          expr("hll_sketch_agg(o_custkey, 14)").as("sk"),
+          countDistinct(col("o_custkey")).as("exact_d"))
+        val perShard = shards.select(
+          col("shard"), col("exact_d"),
+          expr("abs(CAST(hll_sketch_estimate(sk) AS DOUBLE) - exact_d) <= 0.03D * exact_d")
+            .as("within_tol"))
+        // single-row merged-estimate and global-exact frames combined by
+        // union + max-collapse, not a join — keeps the plan free of
+        // nested-loop shapes for a 1-row pairing
+        val mergedEst = shards
+          .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS DOUBLE)").as("est"))
+          .withColumn("exact_d", lit(null).cast("long"))
+          .select("est", "exact_d")
+        val globalExact = o
+          .agg(countDistinct(col("o_custkey")).as("exact_d"))
+          .withColumn("est", lit(null).cast("double"))
+          .select("est", "exact_d")
+        val merged = mergedEst.unionByName(globalExact)
+          .agg(max(col("est")).as("est"), max(col("exact_d")).as("exact_d"))
+          .select(
+            lit("ALL").as("shard"), col("exact_d"),
+            expr("abs(est - exact_d) <= 0.03D * exact_d").as("within_tol"))
+        perShard.unionByName(merged)
+      },
+      Some(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS shard, " +
+          "COUNT(DISTINCT o_custkey) AS exact_d, true AS within_tol " +
+          "FROM orders GROUP BY 1 " +
+          "UNION ALL " +
+          "SELECT 'ALL' AS shard, COUNT(DISTINCT o_custkey) AS exact_d, true AS within_tol " +
+          "FROM orders"),
+    ),
+  )
+}
