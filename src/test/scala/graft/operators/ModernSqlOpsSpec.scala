@@ -23,25 +23,34 @@ class ModernSqlOpsSpec extends SparkSpec {
   test("q138 recursion ≡ window-cumulative witness") {
     val li = Tables(spark, sfDir, "lineitem")
     val sup = Tables(spark, sfDir, "supplier")
+    val nat = Tables(spark, sfDir, "nation")
     val rev = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("nation"), col("l_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("n_regionkey").cast("long").as("region"),
+        col("s_nationkey").cast("long").as("nation"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
-    val wRank = Window.partitionBy("nation").orderBy(col("rev").desc, col("l_suppkey"))
+    val wRank = Window.partitionBy("region").orderBy(col("rev").desc, col("nation"))
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("nation")
-    // first rank whose running cumulative reaches 80% of the nation total
-    val witness = rev
+    val wAll = Window.partitionBy("region")
+    // the walk emits exactly the rank prefix up to (and including) the
+    // first rank whose running cumulative reaches 80% of region total
+    val cum = rev.select(
+      col("region"), col("nation"),
+      row_number().over(wRank).cast("long").as("rk"),
+      sum(col("rev")).over(wCum).as("cum"),
+      sum(col("rev")).over(wAll).as("total"))
+    val wPrior = Window.partitionBy("region").orderBy("rk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val witness = cum
+      .withColumn("prior_reached",
+        coalesce(max((col("cum") * 5 >= col("total") * 4).cast("int")).over(wPrior), lit(0)))
+      .filter(col("prior_reached") === 0)
       .select(
-        col("nation"),
-        row_number().over(wRank).cast("long").as("rk"),
-        sum(col("rev")).over(wCum).as("cum"),
-        sum(col("rev")).over(wAll).as("total"))
-      .filter(col("cum") * 5 >= col("total") * 4)
-      .groupBy("nation")
-      .agg(
-        min(col("rk")).as("suppliers_to_80"),
-        (min(struct(col("rk"), col("cum"))).getField("cum").cast("double")).as("covered_rev"),
-        max(col("total")).cast("double").as("nation_rev"))
+        col("region"), col("nation"), col("rk"),
+        col("cum").cast("double").as("cum_rev"),
+        col("total").cast("double").as("region_rev"),
+        (col("cum") * 5 >= col("total") * 4).as("reached_80"))
     val got = q("q138_recursive_pareto")
     assert(got.exceptAll(witness).count() == 0 && witness.exceptAll(got).count() == 0,
       "recursive walk disagrees with the window-cumulative witness")
