@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents`: exact (hash-groupBy),
@@ -770,5 +771,107 @@ object DedupOps {
           "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig FROM mh GROUP BY 1, 2) " +
           "SELECT doc_id, band, sig FROM bands"),
     ),
+    QuerySpec(
+      // Exact set-similarity join with PREFIX FILTERING (the
+      // PPJoin/AllPairs family: Bayardo et al. 2007, Xiao et al.
+      // 2008): all pairs with shingle-set Jaccard ≥ 0.7, found
+      // EXACTLY — no LSH false negatives — without the all-pairs
+      // inverted-index join. Tokens are globally ordered by
+      // (doc-frequency, token); a document's candidate-generating
+      // prefix is its n - ceil(τ·n) + 1 RAREST shingles (any
+      // qualifying pair must share a prefix token under that order),
+      // and a τ·max ≤ min length filter prunes size-incompatible
+      // pairs before verification. Candidates then verify with an
+      // exact intersection count. At 100 TB this is the exact-join
+      // complement to MinHash (q27): the prefix join touches only
+      // rare tokens, so candidate volume is bounded by rare-token
+      // co-occurrence, not corpus size² — and the spec asserts the
+      // pruning ratio on fixtures. The corpus carries no ≥0.7 pairs
+      // (max observed 0.022), so each doc is paired with a planted
+      // 85%-word-prefix mutation (q33d's synthesize-inside-the-query
+      // pattern); the oracle reproduces the derived corpus and brute-
+      // forces it. All mutation/prefix arithmetic is integer-exact
+      // ((17n+19) div 20, (7n+9) div 10) so both engines derive the
+      // same corpus without float-boundary risk.
+      "q142_ppjoin_exact",
+      (s, dir) => ppjoinFrames(s, dir)._3,
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
+          "WHERE len(string_split(text,' ')) >= 3), " +
+          "d AS (SELECT doc_id, toks FROM t " +
+          "UNION ALL SELECT doc_id + 1000000, " +
+          "toks[1:greatest(3, (17 * len(toks) + 19) // 20)] FROM t), " +
+          "s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh " +
+          "FROM d, unnest(range(1, len(toks)-1)) AS u(i)), " +
+          "sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1), " +
+          "p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter FROM s a " +
+          "JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.n + y.n - inter), 6) AS jaccard " +
+          "FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id " +
+          "WHERE CAST(inter AS DOUBLE)/(x.n + y.n - inter) >= 0.7"),
+    ),
   )
+
+  /** q142 internals, exposed so the spec can measure prefix pruning:
+    * returns (derived-corpus shingles, candidate pairs, final result).
+    */
+  private[operators] def ppjoinFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val derived = base.unionByName(
+      base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
+          .as("toks")))
+      // the ~30× shingle explode must not inherit the source file's
+      // task count (a single-row-group fixture scans in 1-2 tasks):
+      // spread the doc-sized rows BEFORE amplification
+      .repartition(col("doc_id"))
+    val sh = derived
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds df, sizes, prefix, and both verify branches
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ONE doc-keyed shuffle computes rarity rank AND set size (two
+    // Window operators, same partitioning — no second exchange)
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val wDoc = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfreq, "sh")
+      .select(
+        col("doc_id"), col("sh"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wDoc).as("n"))
+      // Jaccard prefix: a qualifying partner overlaps in ≥ ceil(τ·n)
+      // tokens, so the rarest n - ceil(τ·n) + 1 must hit
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    // sizes ride through the candidate join — no post-hoc size joins
+    val cand = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: τ·max ≤ min, exact integer form
+          col("b.n") * 10 >= col("a.n") * 7 && col("a.n") * 10 >= col("b.n") * 7)
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    // verification: per-doc shingle-set arrays (bounded by doc length),
+    // intersection counted per candidate ROW — no pair×token re-explode
+    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    val result = cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+    (sh, cand.select("da", "db"), result)
+  }
 }

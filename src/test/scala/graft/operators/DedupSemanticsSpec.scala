@@ -240,4 +240,36 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)),
       s"expected exactly the near-dup pair (0,1), got: $pairs")
   }
+
+  test("q142 ppjoin: prefix filter prunes hard AND loses nothing") {
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val (sh, cand, result) = DedupOps.ppjoinFrames(s, sfDir)
+    // no false negatives: the candidate set must contain every truly
+    // qualifying pair — result == brute-force verification of ALL
+    // shared-shingle pairs (what the DuckDB oracle also checks, but
+    // here against the in-engine brute force so the test stands alone)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val bruteResult = brute
+      .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+    assert(result.exceptAll(bruteResult).count() == 0 &&
+      bruteResult.exceptAll(result).count() == 0,
+      "ppjoin result diverges from brute-force verification")
+    // pruning: candidates must be a strict, substantial subset of the
+    // shared-shingle pair space the inverted-index join would verify
+    val bruteCand = brute.count()
+    val ppCand = cand.count()
+    assert(ppCand < bruteCand / 2,
+      s"prefix filter barely pruned: $ppCand candidates vs $bruteCand shared-shingle pairs")
+    // and every emitted pair came through the candidate set
+    assert(result.join(cand, Seq("da", "db"), "left_anti").count() == 0)
+  }
 }
