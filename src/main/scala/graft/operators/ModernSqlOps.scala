@@ -242,5 +242,64 @@ object ModernSqlOps {
           "SELECT 'ALL' AS shard, COUNT(DISTINCT o_custkey) AS exact_d, true AS within_tol " +
           "FROM orders"),
     ),
+    QuerySpec(
+      // Incremental rollup maintenance — the materialized-view update
+      // pattern: a stored per-month partial state (count/sum/min/max,
+      // all algebraic) is REFRESHED by merging the new shard's
+      // partials, never by rescanning history. Here the pre-cutoff
+      // partial frame is materialized once (localCheckpoint = the
+      // "stored state"; at scale, a parquet/Delta state table), the
+      // post-cutoff delta aggregates alone, and the merge is a
+      // re-aggregation over the two partial frames — months-sized, not
+      // corpus-sized. avg derives from merged sum/count (exact
+      // DECIMAL), never averaged-of-averages. The oracle aggregates
+      // the full table directly, so the gate IS the algebraic-merge
+      // equivalence: any partial the merge mishandles breaks the hash.
+      "q143_incremental_rollup",
+      (s, dir) => incrementalRollup(s, dir, "1999-01-01"),
+      Some(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+          "CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price, " +
+          "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price " +
+          "FROM orders GROUP BY 1"),
+    ),
   )
+
+  /** q143 body with the state/delta cutoff exposed — the spec proves
+    * the merged rollup is invariant to WHERE history was cut.
+    */
+  private[operators] def incrementalRollup(
+      s: SparkSession, dir: String, cutoff: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn(
+      "month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy("month")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(price).as("s"),
+        min(price).as("mn"),
+        max(price).as("mx"))
+    val stored = partials(o.filter(col("o_orderdate") < lit(cutoff)))
+      .localCheckpoint(true) // the persisted state table
+    val delta = partials(o.filter(col("o_orderdate") >= lit(cutoff)))
+    stored.unionByName(delta)
+      .groupBy("month")
+      .agg(
+        sum(col("n")).as("n_orders"),
+        sum(col("s")).as("sum_price_d"),
+        min(col("mn")).as("min_price_d"),
+        max(col("mx")).as("max_price_d"))
+      .select(
+        col("month"),
+        col("n_orders"),
+        col("sum_price_d").cast("double").as("sum_price"),
+        col("min_price_d").cast("double").as("min_price"),
+        col("max_price_d").cast("double").as("max_price"),
+        // double division of the EXACT decimal sum — decimal-division
+        // scale rules differ across engines; double/int64 does not
+        (col("sum_price_d").cast("double") / col("n_orders")).as("avg_price"))
+  }
 }

@@ -76,6 +76,18 @@ class ModernSqlOpsSpec extends SparkSpec {
     assert(mismatches == 0, "variant path lost or altered values")
   }
 
+  test("q143 merged rollup invariant to the state/delta cutoff") {
+    // the algebraic merge must give the same answer wherever history
+    // was cut — including cutoffs where one side is empty
+    val direct = ModernSqlOps.incrementalRollup(spark, sfDir, "1990-01-01")
+    for (cutoff <- Seq("1996-07-01", "1999-01-01", "2002-01-01")) {
+      val merged = ModernSqlOps.incrementalRollup(spark, sfDir, cutoff)
+      assert(merged.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(merged).count() == 0,
+        s"rollup merged at cutoff $cutoff diverges from direct aggregation")
+    }
+  }
+
   test("q140/q141 sketch verdicts all true in the exact regime") {
     val topk = q("q140_approx_topk_users")
     assert(topk.count() == 10)
