@@ -101,6 +101,18 @@ object DedupScale {
             .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 3)")).as("b"))
             .withColumn("bv", expr("shiftright(simhash64, 16 * b) & 65535"))
             .groupBy("b", "bv").agg(count(lit(1)).as("n")))
+
+        // q142 PPJoin: buckets are the inverted lists candidate
+        // generation joins on. `ppjoin_prefix` (rarest-prefix tokens
+        // only) vs `inverted_all` (every shingle — what a filterless
+        // inverted-index join pays): cand_pairs ratio IS the measured
+        // pruning factor, and its growth across scales is the claim
+        // under audit.
+        val (allSh, prefix, _, _) = graft.operators.DedupOps.ppjoinFrames(spark, dir)
+        report("ppjoin_prefix",
+          prefix.groupBy("sh").agg(count(lit(1)).as("n")))
+        report("inverted_all",
+          allSh.groupBy("sh").agg(count(lit(1)).as("n")))
       }
     } finally spark.stop()
   }

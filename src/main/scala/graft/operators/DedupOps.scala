@@ -794,7 +794,7 @@ object DedupOps {
       // ((17n+19) div 20, (7n+9) div 10) so both engines derive the
       // same corpus without float-boundary risk.
       "q142_ppjoin_exact",
-      (s, dir) => ppjoinFrames(s, dir)._3,
+      (s, dir) => ppjoinFrames(s, dir)._4,
       Some(
         "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
           "WHERE len(string_split(text,' ')) >= 3), " +
@@ -812,11 +812,12 @@ object DedupOps {
     ),
   )
 
-  /** q142 internals, exposed so the spec can measure prefix pruning:
-    * returns (derived-corpus shingles, candidate pairs, final result).
+  /** q142 internals, exposed so the spec and the DedupScale audit can
+    * measure prefix pruning: returns (derived-corpus shingles, prefix
+    * tokens, candidate pairs, final result).
     */
-  private[operators] def ppjoinFrames(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def ppjoinFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -872,6 +873,6 @@ object DedupOps {
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
       .filter(col("jaccard") >= 0.7)
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-    (sh, cand.select("da", "db"), result)
+    (sh, prefix, cand.select("da", "db"), result)
   }
 }

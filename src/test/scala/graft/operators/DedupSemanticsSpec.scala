@@ -244,7 +244,7 @@ class DedupSemanticsSpec extends SparkSpec {
   test("q142 ppjoin: prefix filter prunes hard AND loses nothing") {
     val s = spark
     val sfDir = "/root/testdata/sf0.001"
-    val (sh, cand, result) = DedupOps.ppjoinFrames(s, sfDir)
+    val (sh, _, cand, result) = DedupOps.ppjoinFrames(s, sfDir)
     // no false negatives: the candidate set must contain every truly
     // qualifying pair — result == brute-force verification of ALL
     // shared-shingle pairs (what the DuckDB oracle also checks, but
