@@ -243,6 +243,42 @@ object ModernSqlOps {
           "FROM orders"),
     ),
     QuerySpec(
+      // The frequent-items analogue of q141's HLL merge: each monthly
+      // shard folds its user activity into ONE approx_top_k_accumulate
+      // state, and corpus-wide heavy hitters come from
+      // approx_top_k_combine over the ~80 shard states — re-scanning
+      // nothing. This is the sketch-rollup service shape: daily shard
+      // states persist once, any date range's heavy hitters are a
+      // combine over its states. Gate = q140's: at fixture
+      // cardinalities (≤ 15k users ≪ 65536 tracked) accumulate,
+      // combine, and estimate are all provably eviction-free, so the
+      // merged counts must EQUAL the exact groupBy counts; the oracle
+      // pins the verdict flags true on the exact top-10.
+      "q144_topk_shard_merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("shard", date_format(col("ts"), "yyyy-MM"))
+        val shardStates = ev.groupBy("shard")
+          .agg(expr("approx_top_k_accumulate(user_id, 65536)").as("st"))
+        val merged = shardStates
+          .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 65536), 50)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("user_id"), col("e.count").as("est"))
+        val exactTop = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id"))
+          .limit(10)
+        exactTop.join(merged, Seq("user_id"), "left")
+          .select(
+            col("user_id"), col("cnt"),
+            col("est").isNotNull.as("in_merged_topk"),
+            (col("est") === col("cnt")).as("est_exact"))
+          .orderBy(col("cnt").desc, col("user_id"))
+      },
+      Some(
+        "SELECT user_id, COUNT(*) AS cnt, true AS in_merged_topk, true AS est_exact " +
+          "FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"),
+    ),
+    QuerySpec(
       // Incremental rollup maintenance — the materialized-view update
       // pattern: a stored per-month partial state (count/sum/min/max,
       // all algebraic) is REFRESHED by merging the new shard's

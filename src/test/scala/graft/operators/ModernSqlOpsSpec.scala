@@ -92,6 +92,9 @@ class ModernSqlOpsSpec extends SparkSpec {
     val topk = q("q140_approx_topk_users")
     assert(topk.count() == 10)
     assert(topk.filter(!col("in_sketch_topk") || !col("est_exact")).count() == 0)
+    val mergedTopk = q("q144_topk_shard_merge")
+    assert(mergedTopk.count() == 10)
+    assert(mergedTopk.filter(!col("in_merged_topk") || !col("est_exact")).count() == 0)
     val hll = q("q141_hll_shard_merge")
     assert(hll.filter(col("shard") === "ALL").count() == 1)
     assert(hll.filter(!col("within_tol")).count() == 0)
