@@ -272,4 +272,48 @@ class DedupSemanticsSpec extends SparkSpec {
     // and every emitted pair came through the candidate set
     assert(result.join(cand, Seq("da", "db"), "left_anti").count() == 0)
   }
+
+  test("q142 ppjoin: exact on adversarial random corpora (fuzz)") {
+    val s = spark
+    import s.implicits._
+    // corpora built to stress the prefix filter's edges: tiny docs at
+    // the 3-token shingle floor, exact copies (jaccard 1.0), heavy
+    // df ties (small vocab), and long docs sharing a common template
+    for (seed <- Seq(7, 23)) {
+      val rnd = new Random(seed)
+      val vocab = (0 until 12).map(i => s"w$i") // tiny vocab → df ties
+      def doc(n: Int): String =
+        (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docsSeq =
+        (0 until 20).map(i => (i.toLong, doc(3 + rnd.nextInt(6)))) ++ // tiny docs
+          (20 until 30).map(i => (i.toLong, doc(40))) ++ // template-length docs
+          Seq((30L, doc(15)), (31L, doc(15)))
+      val withCopies = docsSeq ++ Seq(
+        (40L, docsSeq(5)._2), // exact copy of a tiny doc
+        (41L, docsSeq(25)._2)) // exact copy of a long doc
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ppjoin_fuzz_$seed")
+      withCopies
+        .map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val (sh, _, _, result) = DedupOps.ppjoinFrames(s, dir.toString)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+      assert(result.exceptAll(brute).count() == 0 && brute.exceptAll(result).count() == 0,
+        s"seed $seed: ppjoin diverges from brute force on the random corpus")
+      // the exact copies must be found (their derived twins too)
+      val found = result.select("da", "db").as[(Long, Long)].collect().toSet
+      assert(found.contains((5L, 40L)) && found.contains((25L, 41L)),
+        s"seed $seed: planted exact copies not found: $found")
+    }
+  }
 }
