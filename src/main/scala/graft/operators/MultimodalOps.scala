@@ -414,5 +414,72 @@ object MultimodalOps {
           // empty payload must yield 0.0 here too, not NaN
           "CAST(bin1 AS DOUBLE) / GREATEST(n_bytes, 1) AS feat_bin1 FROM f"),
     ),
+    QuerySpec(
+      // File-per-record media ingest through Spark's `binaryFile`
+      // source — how images actually ENTER a lake (object-store
+      // listing → (path, length, content) rows), complementing q33d's
+      // already-in-parquet form. A bounded 600-file corpus of the same
+      // synthesized PNGs is materialized as individual .png files; the
+      // read path lists the directory, globs *.png, parses doc_id out
+      // of the file NAME, cross-checks the source's length metadata
+      // against the content it delivered (len_match, oracle-pinned
+      // true), and runs the same real `javax.imageio` decode. At scale
+      // the listing parallelizes over the store and decode stays a
+      // per-task mapPartitions — no shuffle anywhere in this plan.
+      "q33f_binaryfile_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val base = new java.io.File(dir).getName
+        val fdir = new java.io.File(s"$pngDir/${base}_files")
+        // (re)materialize the file corpus deterministically
+        if (fdir.exists()) fdir.listFiles().foreach(_.delete()) else fdir.mkdirs()
+        javax.imageio.ImageIO.setUseCache(false)
+        val fpath = fdir.getAbsolutePath
+        Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .filter(_ < 600L)
+          .foreachPartition { (it: Iterator[Long]) =>
+            // executor-side file materialization (single-node local FS
+            // here; the object store at scale) — fixture-lake
+            // scaffolding, not the measured operator
+            javax.imageio.ImageIO.setUseCache(false)
+            it.foreach { id =>
+              val w = (8 + id % 24).toInt
+              val h = (8 + (id * 7) % 16).toInt
+              val f = new java.io.FileOutputStream(new java.io.File(fpath, s"img_$id.png"))
+              try f.write(syntheticPng(id, w, h)) finally f.close()
+            }
+          }
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(fdir.getAbsolutePath)
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+            col("length"),
+            col("content").as("payload"))
+        decodeImageMedia(s, media.select("doc_id", "payload"))
+          .join(media.select(col("doc_id"), col("length"), octet_length(col("payload")).as("blen")), "doc_id")
+          .select(
+            col("doc_id"), col("width"), col("height"), col("channels"),
+            (col("length") === col("blen")).as("len_match"),
+            element_at(col("feat"), 1).as("feat_bin0"),
+            element_at(col("feat"), 4).as("feat_bin3"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, " +
+          "8 + (doc_id * 7) % 16 AS h FROM documents WHERE doc_id < 600), " +
+          "rows_ AS (SELECT doc_id, w, h, " +
+          "((doc_id + 17 * y) % 256) // 64 AS bin " +
+          "FROM d, unnest(range(0, h)) AS u(y)), " +
+          "c AS (SELECT doc_id, w, h, " +
+          "SUM(CASE WHEN bin = 0 THEN w ELSE 0 END) AS b0, " +
+          "SUM(CASE WHEN bin = 3 THEN w ELSE 0 END) AS b3 " +
+          "FROM rows_ GROUP BY doc_id, w, h) " +
+          "SELECT doc_id, CAST(w AS BIGINT) AS width, " +
+          "CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, " +
+          "true AS len_match, " +
+          "CAST(b0 AS DOUBLE) / (w * h) AS feat_bin0, " +
+          "CAST(b3 AS DOUBLE) / (w * h) AS feat_bin3 FROM c"),
+    ),
   )
 }
