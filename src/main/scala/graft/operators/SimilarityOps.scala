@@ -425,5 +425,88 @@ object SimilarityOps {
           "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i) " +
           "GROUP BY label, i"),
     ),
+    QuerySpec(
+      // Time-series similarity search (the EDBT'19 streaming-
+      // similarity / iSAX family): z-normalized 7-day activity
+      // subsequences, candidate pairs blocked on the subsequence's
+      // SIGN WORD (the 1-bit-per-point SAX word — same-shape curves
+      // share it), exact Euclidean distance verified inside blocks
+      // only. Pipeline: per-user daily value sums zero-filled over the
+      // corpus date spine (q104 shape: single-row bounds × tiny user
+      // set), 7-point sliding windows via an ordered frame
+      // collect_list (ONE user-keyed shuffle), z-normalize with
+      // higher-order array expressions (scan-stage), then a word-keyed
+      // self-join — the LSH-style candidate structure of q27/q29
+      // transplanted to time series: bucket sizes are bounded by shape
+      // diversity, never corpus size. Flat windows (sd≈0) drop — the
+      // zero-filled sparse grid would otherwise flood bucket '0000000'.
+      // The user<40 corpus bound keeps the demo fixed-size across SFs;
+      // the blocking is the scale path. Cross-engine float safety:
+      // boundary margins (min |dist-τ|, min |z|) are asserted in
+      // SimilarityRecallSpec; fold order is pinned by array order on
+      // both engines.
+      "q145_ts_similarity",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("user_id") < 40)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+        val bounds = ev.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+        val f = ev.crossJoin(broadcast(bounds)) // single-row bounds
+          .select(col("user_id"), datediff(col("d"), col("dmin")).cast("long").as("day"), col("value"))
+        val users = f.select("user_id").distinct()
+        val days = bounds
+          .select(explode(expr("sequence(0, CAST(datediff(dmax, dmin) AS INT))")).as("day"))
+          .select(col("day").cast("long").as("day"))
+        val spine = users.crossJoin(broadcast(days)) // users × days: both dimension-sized
+        val daily = spine
+          .join(f.groupBy("user_id", "day").agg(sum(col("value")).as("v")), Seq("user_id", "day"), "left")
+          .na.fill(0.0, Seq("v"))
+        val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(0, 6)
+        val z = daily
+          .select(col("user_id"), col("day").as("start"), collect_list(col("v")).over(w7).as("win"))
+          .filter(size(col("win")) === 7)
+          .withColumn("m", expr("aggregate(win, 0D, (a, x) -> a + x) / 7"))
+          .withColumn("sd", expr("sqrt(aggregate(win, 0D, (a, x) -> a + (x - m) * (x - m)) / 7)"))
+          .filter(col("sd") > 1e-9)
+          .withColumn("zw", expr("transform(win, x -> (x - m) / sd)"))
+          .withColumn("word", expr("concat_ws('', transform(zw, x -> IF(x > 0D, '1', '0')))"))
+          .select("user_id", "start", "zw", "word")
+        z.as("a")
+          .join(z.as("b"), col("a.word") === col("b.word") && col("a.user_id") < col("b.user_id"))
+          .withColumn("dist", expr(
+            "sqrt(aggregate(zip_with(a.zw, b.zw, (x, y) -> (x - y) * (x - y)), 0D, (ac, v) -> ac + v))"))
+          .filter(col("dist") <= 0.75)
+          .select(
+            col("a.user_id").as("ua"), col("a.start").as("sa"),
+            col("b.user_id").as("ub"), col("b.start").as("sb"),
+            round(col("dist"), 6).as("dist"))
+      },
+      Some(
+        "WITH f AS (SELECT user_id, CAST(date_diff('day', " +
+          "(SELECT MIN(CAST(ts AS DATE)) FROM events WHERE user_id < 40), " +
+          "CAST(ts AS DATE)) AS BIGINT) AS day, value FROM events WHERE user_id < 40), " +
+          "bounds AS (SELECT MAX(day) AS dmax FROM f), " +
+          "spine AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM f) u, " +
+          "(SELECT unnest(range(0, (SELECT dmax + 1 FROM bounds))) AS day) d), " +
+          "daily AS (SELECT s.user_id, s.day, COALESCE(SUM(f.value), 0.0) AS val " +
+          "FROM spine s LEFT JOIN f ON f.user_id = s.user_id AND f.day = s.day GROUP BY 1, 2), " +
+          "w AS (SELECT a.user_id, a.day AS start, list(b.val ORDER BY b.day) AS win " +
+          "FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.day BETWEEN a.day AND a.day + 6 " +
+          "GROUP BY 1, 2 HAVING COUNT(*) = 7), " +
+          "z AS (SELECT user_id, start, " +
+          "list_transform(win, x -> (x - list_sum(win)/7) / " +
+          "sqrt(list_sum(list_transform(win, v -> (v - list_sum(win)/7)*(v - list_sum(win)/7)))/7)) AS zw, " +
+          "sqrt(list_sum(list_transform(win, v -> (v - list_sum(win)/7)*(v - list_sum(win)/7)))/7) AS sd " +
+          "FROM w), " +
+          "k AS (SELECT user_id, start, zw, " +
+          "array_to_string(list_transform(zw, x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS word " +
+          "FROM z WHERE sd > 1e-9) " +
+          "SELECT a.user_id ua, a.start sa, b.user_id ub, b.start sb, " +
+          "round(SQRT((SELECT SUM((a.zw[i] - b.zw[i]) * (a.zw[i] - b.zw[i])) " +
+          "FROM unnest(range(1, 8)) AS u(i))), 6) AS dist " +
+          "FROM k a JOIN k b ON a.word = b.word AND a.user_id < b.user_id " +
+          "WHERE SQRT((SELECT SUM((a.zw[i] - b.zw[i]) * (a.zw[i] - b.zw[i])) " +
+          "FROM unnest(range(1, 8)) AS u(i))) <= 0.75"),
+    ),
   )
 }

@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSpec {
     "q129_rowwise_minhash",
     // q135: the q104 calendar-spine shape — single-row bounds feed the
     // spine, crossed with the tiny distinct type set
-    "q135_interpolate")
+    "q135_interpolate",
+    // q145: SINGLE-ROW date bounds broadcast + users × days spine —
+    // both sides dimension-sized by construction (q104 family)
+    "q145_ts_similarity")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>

@@ -101,4 +101,42 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(sse1 <= sse0 + 1e-9, s"Lloyd step raised SSE: $sse0 -> $sse1")
     assert(out.values.map(_._2).toSet.size > 1, "refined clustering must be non-trivial")
   }
+
+  test("q145 ts-similarity: float boundaries carry real margin (q103 pattern)") {
+    // the gate compares row SETS across engines, so no z-value may sit
+    // at the sign-word boundary and no pair distance at the τ=0.75 cut
+    // within cross-engine float noise; measured margins are ~1e-4+
+    // (recorded at all three SFs) — assert 1e-6 here so a fixture
+    // regeneration that lands a boundary case fails loudly, not flakily
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = graft.Tables.events(spark, sfDir)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      val bounds = ev.agg(min(col("d")).as("dmin"))
+      val f = ev.crossJoin(broadcast(bounds))
+        .select(col("user_id"), datediff(col("d"), col("dmin")).cast("long").as("day"), col("value"))
+      val daily = f.groupBy("user_id", "day").agg(sum(col("value")).as("v"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day").rowsBetween(0, 6)
+      // margin of the z sign decision over NON-zero-filled cells is a
+      // conservative subset; the full q145 zw margin is checked via the
+      // emitted distances below
+      val z = daily
+        .select(collect_list(col("v")).over(w7).as("win"))
+        .filter(size(col("win")) === 7)
+        .withColumn("m", expr("aggregate(win, 0D, (a, x) -> a + x) / 7"))
+        .withColumn("sd", expr("sqrt(aggregate(win, 0D, (a, x) -> a + (x - m) * (x - m)) / 7)"))
+        .filter(col("sd") > 1e-9)
+        .select(explode(expr("transform(win, x -> abs((x - m) / sd))")).as("az"))
+        .filter(col("az") > 0) // exact zeros only arise from identical values, not noise
+        .agg(min(col("az")))
+        .head().getDouble(0)
+      assert(z > 1e-6, s"$sfDir: a z-value sits within float noise of the sign boundary: $z")
+      val dists = SparkEntry.queries("q145_ts_similarity")(spark, sfDir)
+        .select(col("dist")).collect().map(_.getDouble(0))
+      assert(dists.nonEmpty)
+      assert(dists.forall(d => math.abs(d - 0.75) > 1e-6),
+        s"$sfDir: an emitted distance sits at the τ cut")
+    }
+  }
 }
