@@ -147,7 +147,13 @@ object DedupOps {
     */
   def minhashBands(s: SparkSession, dir: String): DataFrame =
     withRowwiseBands(
-      docs(s, dir).crossJoin(broadcast(stopShingleRow(s, dir))))
+      docs(s, dir)
+        // the kernel folds ~30× shingles per doc IN the scan stage —
+        // don't let that inherit the fixture's 1-2-task row-group
+        // parallelism (same lesson as q142's pre-explode repartition);
+        // shuffling the doc-sized rows is far cheaper than the fold
+        .repartition(col("doc_id"))
+        .crossJoin(broadcast(stopShingleRow(s, dir))))
       .select(col("doc_id"), explode(col("band_arr")).as("bs"))
       .select(
         col("doc_id"),
