@@ -29,9 +29,8 @@ object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Distinct word 3-gram shingles per document (doc_id, sh). */
-  private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame = {
-    val base = maxDocId.fold(docs(s, dir))(m => docs(s, dir).filter(col("doc_id") < m))
+  /** Distinct word 3-gram shingles per (doc_id, text) frame row. */
+  private def shinglesFrom(base: DataFrame): DataFrame =
     base
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -40,7 +39,10 @@ object DedupOps {
         explode(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .as("sh"))
       .distinct()
-  }
+
+  /** Distinct word 3-gram shingles per document (doc_id, sh). */
+  private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame =
+    shinglesFrom(maxDocId.fold(docs(s, dir))(m => docs(s, dir).filter(col("doc_id") < m)))
 
   private val shinglesSqlAll: String =
     "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
@@ -65,22 +67,32 @@ object DedupOps {
     sh.join(broadcast(frequentShingles(s, dir, sh)), Seq("sh"), "left_anti")
   }
 
-  /** Shingles with df > 50% of the corpus — the stop set itself. */
-  private def frequentShingles(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
-    val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))
+  /** Shingles with df > 50% of the given corpus frame — the stop set. */
+  private def frequentShinglesFrom(frame: DataFrame, sh: DataFrame): DataFrame = {
+    val nDocs = frame.select(count(lit(1)).as("n_docs"))
     sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > col("n_docs") * 0.5D)
       .select("sh")
   }
 
+  /** Shingles with df > 50% of the corpus — the stop set itself. */
+  private def frequentShingles(s: SparkSession, dir: String, sh: DataFrame): DataFrame =
+    frequentShinglesFrom(docs(s, dir), sh)
+
+  /** The stop-shingle set of an arbitrary (doc_id, text) frame, folded
+    * to a SINGLE row (`stop_arr` ARRAY<STRING>). Tiny by construction.
+    */
+  def stopShingleRowFrom(frame: DataFrame): DataFrame =
+    frequentShinglesFrom(frame, shinglesFrom(frame))
+      .agg(collect_list(col("sh")).as("stop_arr"))
+
   /** The corpus stop-shingle set folded to a SINGLE row (`stop_arr`
     * ARRAY<STRING>) — the static artifact the row-wise signature path
     * broadcasts. Tiny by construction (df > 50%).
     */
   def stopShingleRow(s: SparkSession, dir: String): DataFrame =
-    frequentShingles(s, dir, shingles(s, dir, None))
-      .agg(collect_list(col("sh")).as("stop_arr"))
+    stopShingleRowFrom(docs(s, dir))
 
   /** shinglesSqlAll + the same df > 50% stop-shingle filter (CTE `s2`). */
   private val contentShinglesSql: String =
@@ -146,14 +158,20 @@ object DedupOps {
     * the REAL band stream.
     */
   def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandsFrom(docs(s, dir))
+
+  /** [[minhashBands]] over an arbitrary (doc_id, text) frame — its own
+    * stop set, its own signatures.
+    */
+  private def bandsFrom(frame: DataFrame): DataFrame =
     withRowwiseBands(
-      docs(s, dir)
+      frame
         // the kernel folds ~30× shingles per doc IN the scan stage —
         // don't let that inherit the fixture's 1-2-task row-group
         // parallelism (same lesson as q142's pre-explode repartition);
         // shuffling the doc-sized rows is far cheaper than the fold
         .repartition(col("doc_id"))
-        .crossJoin(broadcast(stopShingleRow(s, dir))))
+        .crossJoin(broadcast(stopShingleRowFrom(frame))))
       .select(col("doc_id"), explode(col("band_arr")).as("bs"))
       .select(
         col("doc_id"),
@@ -815,6 +833,103 @@ object DedupOps {
           "SELECT da, db, round(CAST(inter AS DOUBLE)/(x.n + y.n - inter), 6) AS jaccard " +
           "FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id " +
           "WHERE CAST(inter AS DOUBLE)/(x.n + y.n - inter) >= 0.7"),
+    ),
+    QuerySpec(
+      // The COMPOSED dedup decision stack a curation pipeline actually
+      // runs, as one gated query: canonical normalization (q50's pass)
+      // → exact dedup on the normalized fingerprint (min-id keeper) →
+      // MinHash banding + connected components over the exact
+      // SURVIVORS (q127's decision, with the stop set and signatures
+      // derived from the survivor corpus itself) → one verdict row per
+      // document: kept / exact_dup / near_dup, with the keeper chain
+      // resolved through both stages (an exact-dup's final keeper is
+      // its fingerprint keeper's near-dup keeper). The fixture has no
+      // exact duplicates, so each doc_id < 100 gets a planted NOISY
+      // copy (upper-cased + trailing punctuation) that only
+      // normalization can unify — the stage order normalize-then-
+      // fingerprint is itself under test. Every stage is the already-
+      // gated operator's logic; what this query gates is their
+      // COMPOSITION (keeper chains, survivor scoping of the stop set,
+      // stage ordering), replicated end-to-end by the oracle with a
+      // recursive-CTE CC.
+      "q146_dedup_stack",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val derived = base.unionByName(
+          base.filter(col("doc_id") < 100)
+            .select(
+              (col("doc_id") + 1000000L).as("doc_id"),
+              concat(upper(col("text")), lit(" !!")).as("text")))
+        val norm = derived
+          .select(
+            col("doc_id"),
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), lit("[^a-z0-9 ]"), lit(" ")),
+              lit("  +"), lit(" "))).as("text"))
+          .localCheckpoint() // feeds fingerprints, survivors, and signatures
+        val withFp = norm.withColumn("fp", md5(col("text")))
+        val exactKeeper = withFp.groupBy("fp").agg(min(col("doc_id")).as("exact_keeper"))
+        val tagged = withFp.join(exactKeeper, "fp").select("doc_id", "text", "exact_keeper")
+        val survivors = tagged.filter(col("doc_id") === col("exact_keeper"))
+          .select("doc_id", "text")
+        val bands = bandsFrom(survivors).localCheckpoint()
+        val pairs = bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("pi"), col("b.doc_id").as("pj"))
+          .distinct()
+        val nearKeeper = graft.pipeline.Network.connectedComponents(s, pairs)
+          .select(col("probe").as("skid"), col("component").as("near_keeper"))
+        val survivorFinal = survivors.select(col("doc_id").as("skid"))
+          .join(nearKeeper, Seq("skid"), "left")
+          .select(col("skid"), coalesce(col("near_keeper"), col("skid")).as("fin"))
+        tagged
+          .join(survivorFinal, tagged("exact_keeper") === survivorFinal("skid"))
+          .select(
+            col("doc_id"), col("exact_keeper"), col("fin").as("final_keeper"),
+            expr("CASE WHEN doc_id = fin THEN 'kept' " +
+              "WHEN doc_id <> exact_keeper THEN 'exact_dup' " +
+              "ELSE 'near_dup' END").as("status"))
+      },
+      Some(
+        "WITH RECURSIVE derived AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 1000000, upper(text) || ' !!' " +
+          "FROM documents WHERE doc_id < 100), " +
+          "norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+          "lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS text FROM derived), " +
+          "fpt AS (SELECT doc_id, text, md5(text) AS fp FROM norm), " +
+          "ek AS (SELECT fp, MIN(doc_id) AS exact_keeper FROM fpt GROUP BY fp), " +
+          "tagged AS (SELECT f.doc_id, f.text, e.exact_keeper FROM fpt f JOIN ek e ON f.fp = e.fp), " +
+          "surv AS (SELECT doc_id, text FROM tagged WHERE doc_id = exact_keeper), " +
+          "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM surv " +
+          "WHERE len(string_split(text,' ')) >= 3), " +
+          "s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh " +
+          "FROM t, unnest(range(1, len(toks)-1)) AS u(i)), " +
+          "s2 AS (SELECT doc_id, sh FROM s WHERE sh IN " +
+          "(SELECT sh FROM s GROUP BY sh " +
+          "HAVING COUNT(*) <= 0.5 * (SELECT COUNT(*) FROM surv))), " +
+          "h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM s2), " +
+          "perms AS (SELECT * FROM (VALUES " +
+          minhashPerms.map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",") +
+          ") AS v(i, a, b)), " +
+          s"mh AS (SELECT doc_id, i, MIN((a * h0 + b) % $P) AS m FROM h, perms GROUP BY 1, 2), " +
+          "bands AS (SELECT doc_id, i // 2 AS band, " +
+          "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig FROM mh GROUP BY 1, 2), " +
+          "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b " +
+          "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+          "sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p), " +
+          "reach(id, comp) AS (SELECT src, src FROM sym UNION " +
+          "SELECT sym.dst, reach.comp FROM reach JOIN sym ON reach.id = sym.src), " +
+          "nk AS (SELECT id, MIN(comp) AS near_keeper FROM reach GROUP BY id), " +
+          "sk AS (SELECT sv.doc_id AS skid, COALESCE(nk.near_keeper, sv.doc_id) AS fin " +
+          "FROM surv sv LEFT JOIN nk ON nk.id = sv.doc_id) " +
+          "SELECT tg.doc_id, tg.exact_keeper, sk.fin AS final_keeper, " +
+          "CASE WHEN tg.doc_id = sk.fin THEN 'kept' " +
+          "WHEN tg.doc_id <> tg.exact_keeper THEN 'exact_dup' " +
+          "ELSE 'near_dup' END AS status " +
+          "FROM tagged tg JOIN sk ON tg.exact_keeper = sk.skid"),
     ),
   )
 
