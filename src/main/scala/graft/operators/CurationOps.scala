@@ -687,5 +687,43 @@ object CurationOps {
           "COALESCE(clean_text, '') AS clean_text " +
           "FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id"),
     ),
+    QuerySpec(
+      // Stratified sampling with EXACT per-stratum counts — q44's
+      // hash-threshold split only hits the target fraction in
+      // expectation; when the contract is "exactly ceil(20%) of every
+      // (lang, source) stratum" (balanced eval sets, per-language
+      // quotas), rank the stratum by a salted md5 and keep the first
+      // ceil(0.2·|stratum|). Deterministic (md5 order, doc_id
+      // tiebreak), and exact by construction. Scale shape: one shuffle
+      // by stratum key for the rank window; the per-stratum counts
+      // frame is strata-sized and broadcast back. Skewed strata
+      // parallelize no worse than any rank-per-group — and the rank
+      // window carries a WindowGroupLimit-free full pass only because
+      // the limit is data-dependent (ceil of the joined count), which
+      // is the price of exactness over q44's scan-only split.
+      "q148_stratified_sample",
+      (s, dir) => {
+        val d = docs(s, dir).select(
+          col("doc_id"), col("lang"), col("source"),
+          expr("md5(concat('strat:', CAST(doc_id AS STRING)))").as("h"))
+        val counts = d.groupBy("lang", "source").agg(count(lit(1)).as("n_stratum"))
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("h").asc, col("doc_id").asc)
+        d.withColumn("rn", row_number().over(w))
+          .join(broadcast(counts), Seq("lang", "source"))
+          .filter(col("rn") <= ceil(col("n_stratum") * 0.2d))
+          .select(
+            col("doc_id"), col("lang"), col("source"),
+            col("rn").cast("bigint").as("rn"), col("n_stratum"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, lang, source, " +
+          "md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+          "r AS (SELECT doc_id, lang, source, " +
+          "row_number() OVER (PARTITION BY lang, source ORDER BY h ASC, doc_id ASC) AS rn, " +
+          "COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum FROM d) " +
+          "SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn, n_stratum " +
+          "FROM r WHERE rn <= ceil(n_stratum * 0.2)"),
+    ),
   )
 }

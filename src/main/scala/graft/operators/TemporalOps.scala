@@ -600,5 +600,54 @@ object TemporalOps {
           "ELSE pv + (nv - pv) * CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE) END " +
           "AS v_filled, CAST(v IS NULL AS BIGINT) AS was_gap FROM w"),
     ),
+    QuerySpec(
+      // Max-concurrency sweep-line — "how many users were active at
+      // once, per hour" over per-(user, day) activity intervals
+      // [min ts, max ts]. The naive form is an interval-overlap
+      // self-join (O(n²) theta-join); the sweep turns it into +1/−1
+      // boundary events and ONE running sum. The running sum itself is
+      // computed as a DISTRIBUTED prefix sum — within-hour cumsum via
+      // a window partitioned BY hour, plus per-hour offsets from a
+      // tiny hours-sized frame cumsum'd unpartitioned and broadcast
+      // back — so no corpus-sized unpartitioned window ever exists:
+      // the 100 TB shape is (shuffle by hour) + (driver-tiny hours
+      // frame), never a single-task global sort. Tie rule: starts
+      // before ends at the same instant (delta DESC), user_id
+      // tiebreak → the total order is unique, so both engines'
+      // cumsums are identical row-for-row; the oracle computes the
+      // same sweep with a single global window, proving the
+      // partitioned+offset decomposition exact.
+      "q149_concurrency_sweep",
+      (s, dir) => {
+        val iv = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        val bounds = iv.select(col("user_id"), col("start_ts").as("ts"), lit(1).as("delta"))
+          .unionByName(iv.select(col("user_id"), col("end_ts").as("ts"), lit(-1).as("delta")))
+          .withColumn("hr", date_trunc("HOUR", col("ts")))
+        val wIn = Window.partitionBy("hr")
+          .orderBy(col("ts").asc, col("delta").desc, col("user_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = bounds.withColumn("local_cum", sum(col("delta")).over(wIn))
+        val wOff = Window.orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bounds.groupBy("hr").agg(sum(col("delta")).as("tot"))
+          .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+          .select("hr", "offset")
+        local.join(broadcast(offsets), Seq("hr"))
+          .withColumn("cum", col("local_cum") + col("offset"))
+          .groupBy("hr")
+          .agg(max(col("cum")).cast("bigint").as("max_concurrent"))
+      },
+      Some(
+        "WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d, " +
+          "MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT user_id, start_ts AS ts, 1 AS delta FROM iv " +
+          "UNION ALL SELECT user_id, end_ts AS ts, -1 AS delta FROM iv), " +
+          "sw AS (SELECT date_trunc('hour', ts) AS hr, " +
+          "SUM(delta) OVER (ORDER BY ts ASC, delta DESC, user_id ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) " +
+          "SELECT hr, CAST(MAX(cum) AS BIGINT) AS max_concurrent FROM sw GROUP BY hr"),
+    ),
   )
 }

@@ -429,5 +429,49 @@ object TextOps {
           "CAST(n_short / n_words <= 0.25 AS BIGINT) AS short_ok, " +
           "CAST(wc_ok + mwl_ok + stop_ok + short_ok = 4 AS BIGINT) AS pass FROM b"),
     ),
+    QuerySpec(
+      // Flesch reading-ease scoring — the classic readability quality
+      // signal for curriculum/quality bucketing. Sentences = [.!?]+
+      // runs (floored at 1), words = space-split size, syllables =
+      // [aeiouy]+ vowel groups over the lowercased text (the standard
+      // dictionary-free heuristic). All three are exact integer counts
+      // from the SAME RE2-compatible regexes in both engines, and the
+      // score is the identical IEEE double expression
+      // 206.835 - 1.015*(w/s) - 84.6*(syl/w), so cross-engine results
+      // are bit-identical and the band CASE cannot straddle a boundary.
+      // Zero shuffles — scan-speed, like the Gopher battery it
+      // complements (q126 gates structure, q147 grades difficulty).
+      "q147_readability",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+            expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT)")
+              .as("n_sents"),
+            expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)")
+              .as("n_syll"))
+          .withColumn("flesch",
+            expr("206.835D - 1.015D * (CAST(n_words AS DOUBLE) / n_sents) " +
+              "- 84.6D * (CAST(n_syll AS DOUBLE) / n_words)"))
+          .withColumn("band",
+            expr("CASE WHEN flesch >= 90.0D THEN 'very_easy' " +
+              "WHEN flesch >= 60.0D THEN 'standard' " +
+              "WHEN flesch >= 30.0D THEN 'difficult' ELSE 'very_confusing' END"))
+          .withColumn("flesch", round(col("flesch"), 4)),
+      Some(
+        "WITH b AS (SELECT doc_id, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+          "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents, " +
+          "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll " +
+          "FROM documents), " +
+          "sc AS (SELECT doc_id, n_words, n_sents, n_syll, " +
+          "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) " +
+          "- 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS flesch FROM b) " +
+          "SELECT doc_id, n_words, n_sents, n_syll, round(flesch, 4) AS flesch, " +
+          "CASE WHEN flesch >= 90.0 THEN 'very_easy' " +
+          "WHEN flesch >= 60.0 THEN 'standard' " +
+          "WHEN flesch >= 30.0 THEN 'difficult' ELSE 'very_confusing' END AS band FROM sc"),
+    ),
   )
 }
