@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Modern SQL-engine surface: recursive CTEs, VARIANT semi-structured
   * extraction, and mergeable sketches (frequent-items, HLL). These are
@@ -300,6 +301,63 @@ object ModernSqlOps {
           "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price, " +
           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price " +
           "FROM orders GROUP BY 1"),
+    ),
+    QuerySpec(
+      // Mergeable QUANTILE sketch across shards — the missing member
+      // of the q141 (HLL) / q144 (frequent-items) rollup family.
+      // Each monthly shard folds o_totalprice into a fixed-width
+      // histogram (bin = floor(price/5000)); bin counts are additive,
+      // so the corpus-wide histogram is a re-aggregation over the
+      // stored shard states (localCheckpoint = the state table) and
+      // p50/p90/p99 come from linear interpolation inside the bins-
+      // sized merged frame — never a corpus sort, never a re-scan.
+      // Cross-engine exactness: bins are floor() of identical IEEE
+      // doubles, the cumulative walk is over the unique-keyed tiny
+      // bin frame, and the interpolation is the same double
+      // arithmetic; the oracle histograms the table directly, so the
+      // gate proves shard-merge ≡ direct (count additivity) AND the
+      // interpolation arithmetic. Unlike q13c's exact percentiles
+      // (corpus sort-based at heart), this is the shape that survives
+      // 1000 executors: shard states are ~120 rows each.
+      "q150_quantile_shard_merge",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("shard"),
+          expr("CAST(floor(o_totalprice / 5000.0D) AS BIGINT)").as("bin"))
+        val shardStates = o.groupBy("shard", "bin")
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // the persisted per-shard sketch table
+        val merged = shardStates.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+        val wc = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = merged
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("cum_before", col("cum") - col("cnt"))
+          .withColumn("n_total", sum(col("cnt")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        cum
+          .withColumn("qv", explode(array(lit(0.5d), lit(0.9d), lit(0.99d))))
+          .filter(col("cum") >= col("qv") * col("n_total") &&
+            col("cum_before") < col("qv") * col("n_total"))
+          .select(
+            col("qv"),
+            round(col("bin") * 5000.0d +
+              lit(5000.0d) * (col("qv") * col("n_total") - col("cum_before")) / col("cnt"), 6)
+              .as("est"),
+            col("n_total"))
+      },
+      Some(
+        "WITH h AS (SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS bin, " +
+          "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1), " +
+          "c AS (SELECT bin, cnt, " +
+          "SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_before, " +
+          "SUM(cnt) OVER () AS n_total FROM h), " +
+          "q AS (SELECT c.*, qv FROM c CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), " +
+          "CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS qv) v) " +
+          "SELECT qv, round(bin * 5000.0 + 5000.0 * (qv * n_total - cum_before) / cnt, 6) AS est, " +
+          "CAST(n_total AS BIGINT) AS n_total FROM q " +
+          "WHERE cum >= qv * n_total AND cum_before < qv * n_total"),
     ),
   )
 

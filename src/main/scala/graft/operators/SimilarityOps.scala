@@ -508,5 +508,58 @@ object SimilarityOps {
           "WHERE SQRT((SELECT SUM((a.zw[i] - b.zw[i]) * (a.zw[i] - b.zw[i])) " +
           "FROM unnest(range(1, 8)) AS u(i))) <= 0.75"),
     ),
+    QuerySpec(
+      // Contrastive-pair mining (triplet mining for embedding
+      // training): for each query vector, the top-1 same-label
+      // neighbor (positive) and the top-1 different-label neighbor
+      // (hard negative) by cosine, plus the triplet margin. Same
+      // broadcast-query-set shape as q30 — the ≤8-row query side
+      // rides broadcast through one scan of the corpus; both ranks
+      // come from qid-partitioned row_number windows over the SAME
+      // scored frame, so the corpus is scored once, not twice. At
+      // 100 TB the scored frame comes from the IVF-probed candidate
+      // set (q31's cells) instead of the full scan; the mining logic
+      // downstream of scoring is unchanged.
+      "q151_hard_negatives",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("n", expr(norm))
+        val q = e.filter(col("vec_id") < 8).select(
+          col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("n").as("qn"), col("label").as("qlabel"))
+        val scored = e
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+          .withColumn("same", col("label") === col("qlabel"))
+        val wPos = Window.partitionBy("qid", "same")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val ranked = scored
+          .withColumn("rk", row_number().over(wPos))
+          .filter(col("rk") === 1)
+        val pos = ranked.filter(col("same"))
+          .select(col("qid"), col("vec_id").as("pos_id"), col("cosine").as("pos_cos"))
+        val neg = ranked.filter(!col("same"))
+          .select(col("qid"), col("vec_id").as("neg_id"), col("cosine").as("neg_cos"))
+        pos.join(neg, Seq("qid"))
+          .select(
+            col("qid"), col("pos_id"), round(col("pos_cos"), 6).as("pos_cos"),
+            col("neg_id"), round(col("neg_cos"), 6).as("neg_cos"),
+            round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, embedding, label, " + duckNorm("embedding") + " AS n FROM embeddings), " +
+          "q AS (SELECT vec_id AS qid, embedding AS qemb, n AS qn, label AS qlabel " +
+          "FROM e WHERE vec_id < 8), " +
+          "scored AS (SELECT q.qid, e.vec_id, e.label = q.qlabel AS same, " +
+          duckDot("e.embedding", "q.qemb") + " / (e.n * q.qn) AS cosine " +
+          "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+          "ranked AS (SELECT qid, vec_id, same, cosine, " +
+          "row_number() OVER (PARTITION BY qid, same ORDER BY cosine DESC, vec_id ASC) AS rk " +
+          "FROM scored), " +
+          "pos AS (SELECT qid, vec_id AS pos_id, cosine AS pos_cos FROM ranked WHERE rk = 1 AND same), " +
+          "neg AS (SELECT qid, vec_id AS neg_id, cosine AS neg_cos FROM ranked WHERE rk = 1 AND NOT same) " +
+          "SELECT qid, pos_id, round(pos_cos, 6) AS pos_cos, neg_id, round(neg_cos, 6) AS neg_cos, " +
+          "round(pos_cos - neg_cos, 6) AS margin FROM pos JOIN neg USING (qid)"),
+    ),
   )
 }

@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     "q135_interpolate",
     // q145: SINGLE-ROW date bounds broadcast + users × days spine —
     // both sides dimension-sized by construction (q104 family)
-    "q145_ts_similarity")
+    "q145_ts_similarity",
+    // q151: q30's deliberate shape — a ≤8-row broadcast query-vector
+    // set crossed into one corpus scan for triplet mining
+    "q151_hard_negatives")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
