@@ -396,4 +396,42 @@ object Streams {
     events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       sink(score(batch), id)
     }
+
+  /** One CDC-materialized row per key. */
+  final case class LatestRow(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** CDC keep-latest upsert — the streaming twin of batch q94: per
+    * key, retain the (ts, event_id)-max row across micro-batches and
+    * emit (Update mode) only when the winner CHANGES, so a sink
+    * applying the emissions as upserts materializes exactly the
+    * keep-latest table. Emissions are strictly monotone per key in
+    * (ts, event_id) — late/out-of-order rows that lose to the current
+    * state produce NO output — which makes the sink idempotent under
+    * replay: re-applying any emission suffix converges to the same
+    * table. State is one row per distinct key in the state store
+    * (RocksDB at scale), independent of stream length; with bounded
+    * key churn a TTL timeout would cap it, left NoTimeout here because
+    * the key domain (users) is the dimension being materialized.
+    */
+  def upsertStream(
+      events: DataFrame, // needs user_id, event_id, ts, event_type, value
+  ): org.apache.spark.sql.Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[LatestRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestRow, LatestRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[LatestRow]) =>
+          val prev = state.getOption
+          val key = (r: LatestRow) => (r.ts.getTime, r.event_id)
+          val best = (prev.iterator ++ rows).maxBy(key)
+          if (prev.exists(p => key(p) == key(best))) Iterator.empty
+          else { state.update(best); Iterator.single(best) }
+      }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+// Top-level for encoder codegen (see StreamsSpec note).
+case class UpEv(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
+/** upsertStream ≡ batch q94 keep-latest over the replayed history, with
+  * the CDC emission contract: no output for losing (stale) rows, and
+  * per-key emissions strictly monotone in (ts, event_id) — so the final
+  * materialized table is reconstructable order-independently as the
+  * per-key max emission.
+  */
+class StreamingUpsertSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    UpEv(1, 10, ts("2024-01-01 10:00:00"), "click", 1.0),
+    UpEv(2, 11, ts("2024-01-01 10:05:00"), "view", 2.0),
+    UpEv(1, 12, ts("2024-01-01 10:10:00"), "click", 3.0))
+  private val batch2 = Seq(
+    // stale for user 1 (older ts than event 12) — must NOT emit
+    UpEv(1, 13, ts("2024-01-01 09:00:00"), "error", 4.0),
+    // newer for user 2 — must emit
+    UpEv(2, 14, ts("2024-01-01 11:00:00"), "click", 5.0),
+    // new key
+    UpEv(3, 15, ts("2024-01-01 10:30:00"), "view", 6.0))
+  private val batch3 = Seq(
+    // ts tie with event 12, higher event_id wins (q94 tie rule)
+    UpEv(1, 16, ts("2024-01-01 10:10:00"), "view", 7.0),
+    // exact current winner replayed for user 3 — no change, no emit
+    UpEv(3, 15, ts("2024-01-01 10:30:00"), "view", 6.0))
+
+  test("upsertStream materializes batch q94 keep-latest; stale rows emit nothing") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[UpEv]
+    val q = Streams.upsertStream(input.toDF())
+      .writeStream.format("memory").queryName("upsert")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val afterB2 = s.table("upsert").collect().length
+      input.addData(batch3: _*); q.processAllAvailable()
+      val emitted = s.table("upsert")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .as[UpEv].collect().toSeq
+
+      // batch q94 over the full replayed history
+      val all = (batch1 ++ batch2 ++ batch3).toDS().toDF()
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val expected = all.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .as[UpEv].collect().map(e => e.user_id -> e).toMap
+
+      // final state = per-key max (ts, event_id) emission
+      val finalState = emitted.groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(r => (r.ts.getTime, r.event_id)) }
+      assert(finalState == expected)
+
+      // per-key emissions strictly monotone in (ts, event_id)
+      emitted.groupBy(_.user_id).values.foreach { rs =>
+        val keys = rs.map(r => (r.ts.getTime, r.event_id))
+        assert(keys.distinct.length == keys.length, s"duplicate emission keys: $rs")
+      }
+      // batch3: exactly ONE new emission (user 1's tie-break winner);
+      // user 3's identical replay and nothing else may emit
+      assert(s.table("upsert").collect().length == afterB2 + 1)
+      // user 1's winner is the tie-broken event 16, emitted in batch 3
+      assert(finalState(1L).event_id == 16L)
+    } finally q.stop()
+  }
+}
