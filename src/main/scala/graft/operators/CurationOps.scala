@@ -725,5 +725,48 @@ object CurationOps {
           "SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn, n_stratum " +
           "FROM r WHERE rn <= ceil(n_stratum * 0.2)"),
     ),
+    QuerySpec(
+      // k-anonymity generalization — privacy-preserving curation before
+      // a dataset leaves the pipeline: every row's quasi-identifier
+      // tuple (nation, segment) must be shared by ≥ k rows. The
+      // generalization ladder is per-ROW minimal: keep (nation,
+      // segment) if that group has ≥ k members, else suppress nation
+      // ('*', segment), else suppress both. Group sizes at both ladder
+      // levels come from two combinable groupBys whose results are
+      // dimension-sized (≤ nations×segments rows) and broadcast back —
+      // the corpus is scanned once and never shuffled on a row key, so
+      // the op runs at scan speed at 100 TB. Level counts are exact
+      // integers; the CASE cuts are integer comparisons — no float
+      // boundary can flip a row cross-engine.
+      "q152_k_anonymity",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        val g0 = c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n0"))
+        val g1 = c.groupBy("c_mktsegment").agg(count(lit(1)).as("n1"))
+        c.join(broadcast(g0), Seq("c_nationkey", "c_mktsegment"))
+          .join(broadcast(g1), Seq("c_mktsegment"))
+          .select(
+            col("c_custkey"),
+            expr("CAST(CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1 ELSE 2 END AS BIGINT)")
+              .as("gen_level"),
+            expr("CASE WHEN n0 >= 10 THEN CAST(c_nationkey AS STRING) ELSE '*' END")
+              .as("gen_nation"),
+            expr("CASE WHEN n0 >= 10 OR n1 >= 10 THEN c_mktsegment ELSE '*' END")
+              .as("gen_segment"),
+            expr("CAST(CASE WHEN n0 >= 10 THEN n0 WHEN n1 >= 10 THEN n1 ELSE NULL END AS BIGINT)")
+              .as("group_n"))
+      },
+      Some(
+        "WITH g0 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n0 " +
+          "FROM customer GROUP BY 1, 2), " +
+          "g1 AS (SELECT c_mktsegment, COUNT(*) AS n1 FROM customer GROUP BY 1) " +
+          "SELECT c_custkey, " +
+          "CAST(CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1 ELSE 2 END AS BIGINT) AS gen_level, " +
+          "CASE WHEN n0 >= 10 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS gen_nation, " +
+          "CASE WHEN n0 >= 10 OR n1 >= 10 THEN c_mktsegment ELSE '*' END AS gen_segment, " +
+          "CAST(CASE WHEN n0 >= 10 THEN n0 WHEN n1 >= 10 THEN n1 ELSE NULL END AS BIGINT) AS group_n " +
+          "FROM customer JOIN g0 USING (c_nationkey, c_mktsegment) JOIN g1 USING (c_mktsegment)"),
+    ),
   )
 }

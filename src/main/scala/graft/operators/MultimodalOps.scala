@@ -481,5 +481,128 @@ object MultimodalOps {
           "CAST(b0 AS DOUBLE) / (w * h) AS feat_bin0, " +
           "CAST(b3 AS DOUBLE) / (w * h) AS feat_bin3 FROM c"),
     ),
+    QuerySpec(
+      // REAL audio codec path — q33d's pattern for the audio modality:
+      // genuine RIFF/WAVE PCM16 bytes in a parquet BINARY column,
+      // decoded by an actual chunk-walking WAV parser (fmt /data
+      // chunks, word alignment, sign-extended little-endian samples),
+      // with per-clip features (peak, RMS, zero-crossing count) whose
+      // expected values an SQL oracle re-derives from the synthesis
+      // arithmetic. The clip is a square wave with even period
+      // p = 4 + 2·(doc_id mod 4) and amplitude 1000 + (doc_id mod
+      // 100)·10, so peak = rms = amp exactly (every sample is ±amp;
+      // amp² · n is exact in double) and zero crossings =
+      // ⌊(n−1)/(p/2)⌋ in closed form. Same mapPartitions shape as the
+      // image path — per-task decode, corrupt payloads drop the row.
+      "q33g_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
+        val path = s"$wavDir/${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select(col("doc_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) => decodeWav(id, bytes) })
+          .toDF()
+      },
+      Some(
+        "SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+          "CAST(64 + doc_id % 64 AS BIGINT) AS n_samples, " +
+          "CAST(1000 + (doc_id % 100) * 10 AS BIGINT) AS peak, " +
+          "CAST(1000 + (doc_id % 100) * 10 AS DOUBLE) AS rms, " +
+          "CAST((64 + doc_id % 64 - 1) // (2 + doc_id % 4) AS BIGINT) AS zero_crossings " +
+          "FROM documents"),
+    ),
   )
+
+  /** One decoded audio clip: header facts + scan features. */
+  final case class DecodedAudio(
+      doc_id: Long, sample_rate: Long, n_samples: Long,
+      peak: Long, rms: Double, zero_crossings: Long)
+
+  /** q33g's scratch dir (parquet with a real-WAV BINARY column). */
+  private[operators] lazy val wavDir: String = Relational.roundtripDir("wav_media")
+
+  /** Deterministic synthetic WAV for the q33g gate: PCM16 mono 8 kHz,
+    * n = 64 + (docId mod 64) samples of a ±amp square wave with even
+    * period p = 4 + 2·(docId mod 4), amp = 1000 + (docId mod 100)·10.
+    * The byte stream is a genuine RIFF container (fmt + data chunks,
+    * little-endian) — only a real parser can read it back.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 64).toInt
+    val p = (4 + 2 * (docId % 4)).toInt
+    val amp = (1000 + (docId % 100) * 10).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val sv = if (i % p < p / 2) amp else -amp
+      data(2 * i) = (sv & 0xff).toByte
+      data(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(8000); le32(8000 * 2); le16(2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(data.length)
+    bos.write(data, 0, data.length)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: RIFF sanity, chunk walk (word-aligned) for
+    * `fmt ` and `data`, then a single pass over the sign-extended
+    * int16 samples for peak / RMS / zero crossings. Any malformed
+    * payload (bad magic, non-PCM16-mono, truncated data) returns None
+    * — a corrupt blob drops its row, never the task.
+    */
+  def decodeWav(docId: Long, payload: Array[Byte]): Option[DecodedAudio] = {
+    try {
+      if (payload == null || payload.length < 12) return None
+      def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var rate = -1; var bits = -1; var ch = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= payload.length) {
+        val id = tag(off); val sz = le32(off + 4)
+        if (id == "fmt " && off + 24 <= payload.length) {
+          ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      if (rate <= 0 || bits != 16 || ch != 1 || dataOff < 0 ||
+        dataOff + dataLen > payload.length) return None
+      val n = dataLen / 2
+      if (n == 0) return None
+      var i = 0; var peak = 0L; var sumSq = 0.0; var zc = 0L; var prevSign = 0
+      while (i < n) {
+        val lo = payload(dataOff + 2 * i) & 0xff
+        val hi: Int = payload(dataOff + 2 * i + 1) // signed byte → sign-extends
+        val sv = (hi << 8) | lo
+        val a = math.abs(sv.toLong)
+        if (a > peak) peak = a
+        sumSq += sv.toDouble * sv
+        val sign = if (sv > 0) 1 else if (sv < 0) -1 else prevSign
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+        i += 1
+      }
+      Some(DecodedAudio(
+        doc_id = docId, sample_rate = rate.toLong, n_samples = n.toLong,
+        peak = peak, rms = math.sqrt(sumSq / n), zero_crossings = zc))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }
