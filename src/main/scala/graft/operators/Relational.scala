@@ -1512,5 +1512,69 @@ object Relational {
       },
       Some("SELECT * FROM orders"),
     ),
+    QuerySpec(
+      // Declarative data-contract validation (Deequ/dbt-test shape):
+      // a battery of expectations evaluated as ONE report frame —
+      // range checks, null checks, primary-key uniqueness, referential
+      // integrity — each row naming the expectation, its violation
+      // count, and the verdict. Execution shape: all lineitem COLUMN
+      // checks fold into a single scan (conditional aggregates are
+      // combinable); uniqueness is one distinct-aggregate; the FK
+      // check is a broadcast-eligible anti-join; the report is a union
+      // of six 1-row frames. At 100 TB this is the pre-ingest gate
+      // that runs BEFORE any expensive pass touches the corpus — and
+      // it costs ~1.5 scans total regardless of how many column
+      // expectations are declared.
+      "q154_expectations",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        def report(name: String, viol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          struct(lit(name).as("expectation"), viol.cast("long").as("n_violations"))
+        val colChecks = li
+          .agg(
+            sum(when(!col("l_quantity").between(1.0, 50.0), 1L).otherwise(0L)).as("qty"),
+            sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("disc"),
+            sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("shipnull"),
+            (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("pk"))
+          .select(explode(array(
+            report("l_quantity_in_[1,50]", col("qty")),
+            report("l_discount_in_[0,0.1]", col("disc")),
+            report("l_shipdate_not_null", col("shipnull")),
+            report("lineitem_pk_unique", col("pk")))).as("r"))
+          .select(col("r.expectation"), col("r.n_violations"))
+        val fk = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("l_orderkey_fk_orders").as("expectation"), col("n_violations"))
+        val priceNull = o
+          .agg(sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_violations"))
+          .select(lit("o_totalprice_not_null").as("expectation"), col("n_violations"))
+        colChecks.unionByName(fk).unionByName(priceNull)
+          .withColumn("pass", col("n_violations") === 0L)
+      },
+      Some(
+        "SELECT 'l_quantity_in_[1,50]' AS expectation, CAST(SUM(CASE WHEN " +
+          "l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, " +
+          "SUM(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) = 0 AS pass " +
+          "FROM lineitem " +
+          "UNION ALL SELECT 'l_discount_in_[0,0.1]', CAST(SUM(CASE WHEN " +
+          "l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT), " +
+          "SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) = 0 " +
+          "FROM lineitem " +
+          "UNION ALL SELECT 'l_shipdate_not_null', CAST(SUM(CASE WHEN " +
+          "l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+          "SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem " +
+          "UNION ALL SELECT 'lineitem_pk_unique', " +
+          "CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber " +
+          "FROM lineitem)) AS BIGINT), " +
+          "COUNT(*) = (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber " +
+          "FROM lineitem)) FROM lineitem " +
+          "UNION ALL SELECT 'l_orderkey_fk_orders', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0 " +
+          "FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey " +
+          "UNION ALL SELECT 'o_totalprice_not_null', CAST(SUM(CASE WHEN " +
+          "o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+          "SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0 FROM orders"),
+    ),
   )
 }

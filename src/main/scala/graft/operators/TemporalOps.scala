@@ -649,5 +649,71 @@ object TemporalOps {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) " +
           "SELECT hr, CAST(MAX(cum) AS BIGINT) AS max_concurrent FROM sw GROUP BY hr"),
     ),
+    QuerySpec(
+      // Point-in-time feature assembly (the feature-store join): for
+      // every `purchase` label event, three features computed ONLY
+      // from strictly-earlier history — the training-serving-skew
+      // guard. All three ride ONE shuffle on user_id over the unioned
+      // event stream (the q41 union-and-carry pattern, generalized to
+      // multiple features):
+      //   f_last_view   — latest prior `view` value (as-of, ignoreNulls
+      //                   carry over a ROWS frame ending 1 PRECEDING);
+      //   f_clicks_1h   — clicks in [t−1h, t) via a RANGE frame on
+      //                   epoch micros ending 1 μs before the label;
+      //   f_prior_buys  — running count of earlier purchases, same
+      //                   ROWS frame.
+      // Leakage is structurally impossible: both frames END before the
+      // current row (ties broken by event_id, mirrored in the oracle,
+      // so cross-engine order is identical). At 100 TB this replaces
+      // the per-feature-table as-of join loop: one sort per entity
+      // key serves every point-in-time feature.
+      "q153_pit_features",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(
+            col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("tm"))
+        val wRows = Window.partitionBy("user_id")
+          .orderBy(col("tm").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRange = Window.partitionBy("user_id")
+          .orderBy(col("tm").asc)
+          .rangeBetween(-3600L * 1000000L, -1L)
+        ev
+          .withColumn("f_last_view",
+            last(when(col("event_type") === "view", col("value")), ignoreNulls = true)
+              .over(wRows))
+          .withColumn("f_clicks_1h",
+            coalesce(
+              sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(wRange),
+              lit(0L)))
+          .withColumn("f_prior_buys",
+            coalesce(
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wRows),
+              lit(0L)))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"), col("event_id"), col("ts"),
+            col("f_last_view"), col("f_clicks_1h"), col("f_prior_buys"))
+      },
+      Some(
+        "WITH ev AS (SELECT user_id, event_id, ts, event_type, value, " +
+          "epoch_us(ts) AS tm FROM events), " +
+          "f AS (SELECT user_id, event_id, ts, event_type, " +
+          "last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER " +
+          "(PARTITION BY user_id ORDER BY tm ASC, event_id ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f_last_view, " +
+          "COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER " +
+          "(PARTITION BY user_id ORDER BY tm ASC " +
+          "RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0) AS f_clicks_1h, " +
+          "COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER " +
+          "(PARTITION BY user_id ORDER BY tm ASC, event_id ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f_prior_buys " +
+          "FROM ev) " +
+          "SELECT user_id, event_id, ts, f_last_view, " +
+          "CAST(f_clicks_1h AS BIGINT) AS f_clicks_1h, " +
+          "CAST(f_prior_buys AS BIGINT) AS f_prior_buys " +
+          "FROM f WHERE event_type = 'purchase'"),
+    ),
   )
 }
