@@ -622,9 +622,15 @@ object TemporalOps {
         val iv = Tables.events(s, dir)
           .groupBy(col("user_id"), to_date(col("ts")).as("d"))
           .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        // Materialize the boundary list once: both the within-hour
+        // window and the offsets branch consume it, and without the
+        // checkpoint each branch would re-run the corpus aggregation.
+        // The frame is 2 rows per interval — intervals-sized, far
+        // smaller than the events it summarizes.
         val bounds = iv.select(col("user_id"), col("start_ts").as("ts"), lit(1).as("delta"))
           .unionByName(iv.select(col("user_id"), col("end_ts").as("ts"), lit(-1).as("delta")))
           .withColumn("hr", date_trunc("HOUR", col("ts")))
+          .localCheckpoint(true)
         val wIn = Window.partitionBy("hr")
           .orderBy(col("ts").asc, col("delta").desc, col("user_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -447,9 +447,11 @@ object TextOps {
           .select(
             col("doc_id"),
             expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
-            expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT)")
+            // regexp_count, not size(regexp_extract_all(...)): counting
+            // must not materialize a match array per row
+            expr("CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT)")
               .as("n_sents"),
-            expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)")
+            expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
               .as("n_syll"))
           .withColumn("flesch",
             expr("206.835D - 1.015D * (CAST(n_words AS DOUBLE) / n_sents) " +
