@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Graph centrality over relational data: PageRank on the customer ↔
   * supplier trade graph (reference's network-analysis family,
@@ -223,6 +224,56 @@ object GraphOps {
           "SELECT p.a, p.b, w, CAST(w AS DOUBLE) / CAST(da.d + db.d - w AS DOUBLE) " +
           "AS jaccard FROM p JOIN deg da ON p.a = da.sk JOIN deg db ON p.b = db.sk " +
           "ORDER BY jaccard DESC, p.a, p.b LIMIT 100"),
+    ),
+    QuerySpec(
+      // Synchronous label propagation (community detection, Raghavan
+      // et al. 2007): every node starts as its own community; each of
+      // 3 fixed rounds reassigns it to the most frequent label among
+      // its neighbors (min label on ties — the determinism rule that
+      // makes synchronous LPA reproducible, where the classic
+      // random-order variant is not). Per round: ONE edges⋈labels
+      // join + ONE combinable (dst,label) count + ONE argmax — the
+      // same iterative-join shape as q91; the labels frame stays
+      // node-sized, edges are materialized once, and localCheckpoint
+      // per round truncates the plan. Fixed-round sync LPA is the
+      // 100 TB form: convergence-tested async LPA needs a driver loop
+      // (q38b's pattern) but the per-round dataflow is identical.
+      "q155_label_propagation",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir).localCheckpoint()
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id"))
+        // 3 fixed rounds: lineage stays shallow, so no per-round
+        // checkpoint (q91's reasoning); an unbounded-round variant
+        // would checkpoint like pipeline/Network.scala's CC loop
+        for (_ <- 1 to 3) {
+          labels = edges.join(labels, col("src") === col("id"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+            // lexicographic struct max = highest count, then (via the
+            // negated label) lowest label — the argmax without a window
+            .groupBy(col("dst"))
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+            .select(col("dst").as("id"), (-col("m.neg")).as("lbl"))
+        }
+        labels.select(
+          col("id").as("node_id"), col("lbl").as("community"),
+          count(lit(1)).over(Window.partitionBy("lbl")).cast("bigint")
+            .as("community_size"))
+      },
+      Some {
+        def iter(prev: String, c: String, l: String): String =
+          s"$c AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt " +
+            s"FROM edges e JOIN $prev l ON l.id = e.src GROUP BY 1, 2), " +
+            s"$l AS (SELECT id, lbl FROM $c QUALIFY " +
+            "row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) = 1)"
+        "WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+          "edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p), " +
+          "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges), " +
+          s"${iter("l0", "c1", "l1")}, ${iter("l1", "c2", "l2")}, ${iter("l2", "c3", "l3")} " +
+          "SELECT id AS node_id, lbl AS community, " +
+          "CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size FROM l3"
+      },
     ),
   )
 }

@@ -561,5 +561,41 @@ object SimilarityOps {
           "SELECT qid, pos_id, round(pos_cos, 6) AS pos_cos, neg_id, round(neg_cos, 6) AS neg_cos, " +
           "round(pos_cos - neg_cos, 6) AS margin FROM pos JOIN neg USING (qid)"),
     ),
+    QuerySpec(
+      // Per-class embedding distribution stats — the drift/collapse
+      // monitor a training pipeline runs over its vector columns:
+      // per label, the mean and the population covariance of the
+      // leading dimensions (means detect centroid drift, off-diagonal
+      // covariance detects representation collapse). Everything is ONE
+      // combinable aggregation — avg and covar_pop both merge
+      // algebraically, so the 100 TB shape is map-side partials +
+      // a labels-sized reduce, no second pass, no sort. Values are
+      // rounded to 6dp; partial-merge order perturbs them only at
+      // ~1e-12, far inside the gate's 1e-6 float tolerance (the q19
+      // precedent).
+      "q156_embedding_stats",
+      (s, dir) => {
+        val d = emb(s, dir).select(
+          col("label") +:
+            (0 to 3).map(i =>
+              element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+        val pairs = for { i <- 0 to 3; j <- i + 1 to 3 } yield
+          round(covar_pop(col(s"x$i"), col(s"x$j")), 6).as(s"cov_$i$j")
+        d.groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            (0 to 3).map(i => round(avg(col(s"x$i")), 6).as(s"mean_$i")) ++ pairs: _*)
+          .withColumn("label", col("label").cast("int"))
+      },
+      Some {
+        val means = (0 to 3).map(i =>
+          s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS mean_$i").mkString(", ")
+        val covs = (for { i <- 0 to 3; j <- i + 1 to 3 } yield
+          s"round(covar_pop(CAST(embedding[${i + 1}] AS DOUBLE), " +
+            s"CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS cov_$i$j").mkString(", ")
+        "SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n, " +
+          s"$means, $covs FROM embeddings GROUP BY label"
+      },
+    ),
   )
 }
