@@ -743,30 +743,37 @@ object CurationOps {
         val c = Tables(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
         val g0 = c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n0"))
-        val g1 = c.groupBy("c_mktsegment").agg(count(lit(1)).as("n1"))
+        // The level-1 group a row would PUBLISH into is ('*', segment),
+        // which contains only the rows from sub-k strata of that
+        // segment — so the k test must count THOSE rows (m1), not the
+        // whole segment: a segment can be huge while its small-strata
+        // remainder is still < k.
+        val m1 = g0.filter(col("n0") < 10)
+          .groupBy("c_mktsegment").agg(sum(col("n0")).as("m1"))
         c.join(broadcast(g0), Seq("c_nationkey", "c_mktsegment"))
-          .join(broadcast(g1), Seq("c_mktsegment"))
+          .join(broadcast(m1), Seq("c_mktsegment"), "left")
           .select(
             col("c_custkey"),
-            expr("CAST(CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1 ELSE 2 END AS BIGINT)")
+            expr("CAST(CASE WHEN n0 >= 10 THEN 0 WHEN m1 >= 10 THEN 1 ELSE 2 END AS BIGINT)")
               .as("gen_level"),
             expr("CASE WHEN n0 >= 10 THEN CAST(c_nationkey AS STRING) ELSE '*' END")
               .as("gen_nation"),
-            expr("CASE WHEN n0 >= 10 OR n1 >= 10 THEN c_mktsegment ELSE '*' END")
+            expr("CASE WHEN n0 >= 10 OR m1 >= 10 THEN c_mktsegment ELSE '*' END")
               .as("gen_segment"),
-            expr("CAST(CASE WHEN n0 >= 10 THEN n0 WHEN n1 >= 10 THEN n1 ELSE NULL END AS BIGINT)")
+            expr("CAST(CASE WHEN n0 >= 10 THEN n0 WHEN m1 >= 10 THEN m1 ELSE NULL END AS BIGINT)")
               .as("group_n"))
       },
       Some(
         "WITH g0 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n0 " +
           "FROM customer GROUP BY 1, 2), " +
-          "g1 AS (SELECT c_mktsegment, COUNT(*) AS n1 FROM customer GROUP BY 1) " +
+          "m1 AS (SELECT c_mktsegment, SUM(n0) AS m1 FROM g0 WHERE n0 < 10 GROUP BY 1) " +
           "SELECT c_custkey, " +
-          "CAST(CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1 ELSE 2 END AS BIGINT) AS gen_level, " +
+          "CAST(CASE WHEN n0 >= 10 THEN 0 WHEN m1 >= 10 THEN 1 ELSE 2 END AS BIGINT) AS gen_level, " +
           "CASE WHEN n0 >= 10 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS gen_nation, " +
-          "CASE WHEN n0 >= 10 OR n1 >= 10 THEN c_mktsegment ELSE '*' END AS gen_segment, " +
-          "CAST(CASE WHEN n0 >= 10 THEN n0 WHEN n1 >= 10 THEN n1 ELSE NULL END AS BIGINT) AS group_n " +
-          "FROM customer JOIN g0 USING (c_nationkey, c_mktsegment) JOIN g1 USING (c_mktsegment)"),
+          "CASE WHEN n0 >= 10 OR m1 >= 10 THEN c_mktsegment ELSE '*' END AS gen_segment, " +
+          "CAST(CASE WHEN n0 >= 10 THEN n0 WHEN m1 >= 10 THEN m1 ELSE NULL END AS BIGINT) AS group_n " +
+          "FROM customer JOIN g0 USING (c_nationkey, c_mktsegment) " +
+          "LEFT JOIN m1 USING (c_mktsegment)"),
     ),
   )
 }

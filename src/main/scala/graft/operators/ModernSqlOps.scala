@@ -320,32 +320,8 @@ object ModernSqlOps {
       // (corpus sort-based at heart), this is the shape that survives
       // 1000 executors: shard states are ~120 rows each.
       "q150_quantile_shard_merge",
-      (s, dir) => {
-        val o = t(s, dir, "orders").select(
-          date_format(col("o_orderdate"), "yyyy-MM").as("shard"),
-          expr("CAST(floor(o_totalprice / 5000.0D) AS BIGINT)").as("bin"))
-        val shardStates = o.groupBy("shard", "bin")
-          .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true) // the persisted per-shard sketch table
-        val merged = shardStates.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
-        val wc = Window.orderBy("bin")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = merged
-          .withColumn("cum", sum(col("cnt")).over(wc))
-          .withColumn("cum_before", col("cum") - col("cnt"))
-          .withColumn("n_total", sum(col("cnt")).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        cum
-          .withColumn("qv", explode(array(lit(0.5d), lit(0.9d), lit(0.99d))))
-          .filter(col("cum") >= col("qv") * col("n_total") &&
-            col("cum_before") < col("qv") * col("n_total"))
-          .select(
-            col("qv"),
-            round(col("bin") * 5000.0d +
-              lit(5000.0d) * (col("qv") * col("n_total") - col("cum_before")) / col("cnt"), 6)
-              .as("est"),
-            col("n_total"))
-      },
+      (s, dir) => quantileShardMerge(s, dir,
+        date_format(col("o_orderdate"), "yyyy-MM")),
       Some(
         "WITH h AS (SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS bin, " +
           "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1), " +
@@ -360,6 +336,39 @@ object ModernSqlOps {
           "WHERE cum >= qv * n_total AND cum_before < qv * n_total"),
     ),
   )
+
+  /** q150 body with the shard key exposed — bin counts are additive,
+    * so the merged histogram (hence every quantile estimate) must be
+    * IDENTICAL under any sharding; the spec proves it by re-running
+    * with an unrelated shard key.
+    */
+  private[operators] def quantileShardMerge(
+      s: SparkSession, dir: String, shardKey: org.apache.spark.sql.Column): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      shardKey.as("shard"),
+      expr("CAST(floor(o_totalprice / 5000.0D) AS BIGINT)").as("bin"))
+    val shardStates = o.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // the persisted per-shard sketch table
+    val merged = shardStates.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n_total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum
+      .withColumn("qv", explode(array(lit(0.5d), lit(0.9d), lit(0.99d))))
+      .filter(col("cum") >= col("qv") * col("n_total") &&
+        col("cum_before") < col("qv") * col("n_total"))
+      .select(
+        col("qv"),
+        round(col("bin") * 5000.0d +
+          lit(5000.0d) * (col("qv") * col("n_total") - col("cum_before")) / col("cnt"), 6)
+          .as("est"),
+        col("n_total"))
+  }
 
   /** q143 body with the state/delta cutoff exposed — the spec proves
     * the merged rollup is invariant to WHERE history was cut.
