@@ -482,6 +482,55 @@ object MultimodalOps {
           "CAST(b3 AS DOUBLE) / (w * h) AS feat_bin3 FROM c"),
     ),
     QuerySpec(
+      // REAL image resize — the decode → RESIZE → re-measure pipeline
+      // stage (thumbnailing / model-input normalization): q33d's
+      // genuine PNGs are decoded, nearest-neighbor-resampled to 8×8,
+      // and the luma histogram of the RESIZED pixels is gated. The
+      // oracle re-derives it in closed form: resized row y samples
+      // source row floor(y·h/8), whose gray is (doc_id + 17·sy) % 256,
+      // contributing 8 pixels to bin gray/64. Same mapPartitions
+      // shape; reuses q33d's written media parquet (scratch reuse, not
+      // a data dependency — the file is (re)written by this query too
+      // so it gates standalone).
+      "q33h_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val w = (8 + id % 24).toInt
+              val h = (8 + (id * 7) % 16).toInt
+              (id, syntheticPng(id, w, h))
+            }
+          }
+          .toDF("doc_id", "payload")
+        val path = s"$pngDir/resize_${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select(col("doc_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            javax.imageio.ImageIO.setUseCache(false)
+            rows.flatMap { case (id, bytes) => resizeImage(id, bytes, 8, 8) }
+          }
+          .toDF()
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, " +
+          "8 + (doc_id * 7) % 16 AS h FROM documents), " +
+          "rows_ AS (SELECT doc_id, ((doc_id + 17 * ((y * h) // 8)) % 256) // 64 AS bin " +
+          "FROM d, unnest(range(0, 8)) AS u(y)) " +
+          "SELECT doc_id, CAST(8 AS BIGINT) AS rw, CAST(8 AS BIGINT) AS rh, " +
+          "CAST(SUM(CASE WHEN bin = 0 THEN 8 ELSE 0 END) AS BIGINT) AS rbin0, " +
+          "CAST(SUM(CASE WHEN bin = 1 THEN 8 ELSE 0 END) AS BIGINT) AS rbin1, " +
+          "CAST(SUM(CASE WHEN bin = 2 THEN 8 ELSE 0 END) AS BIGINT) AS rbin2, " +
+          "CAST(SUM(CASE WHEN bin = 3 THEN 8 ELSE 0 END) AS BIGINT) AS rbin3 " +
+          "FROM rows_ GROUP BY doc_id"),
+    ),
+    QuerySpec(
       // REAL audio codec path — q33d's pattern for the audio modality:
       // genuine RIFF/WAVE PCM16 bytes in a parquet BINARY column,
       // decoded by an actual chunk-walking WAV parser (fmt /data
@@ -517,6 +566,48 @@ object MultimodalOps {
           "FROM documents"),
     ),
   )
+
+  /** One resized image: output dims + luma histogram of the RESIZED
+    * pixels (counts, not ratios — 64 pixels exactly).
+    */
+  final case class ResizedMedia(
+      doc_id: Long, rw: Long, rh: Long,
+      rbin0: Long, rbin1: Long, rbin2: Long, rbin3: Long)
+
+  /** Real decode → nearest-neighbor resize to `rw`×`rh` → luma
+    * histogram of the RESIZED image. Nearest-neighbor (src pixel
+    * (x·w/rw, y·h/rh), integer floor) is the deterministic kernel —
+    * bilinear would be real too but its blended pixels have no exact
+    * closed form for an SQL oracle; the resize loop itself is the same
+    * work either way. Corrupt payloads drop the row.
+    */
+  def resizeImage(docId: Long, payload: Array[Byte], rw: Int, rh: Int): Option[ResizedMedia] = {
+    val img =
+      if (payload == null) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](4)
+      var y = 0
+      while (y < rh) {
+        val sy = y * h / rh
+        var x = 0
+        while (x < rw) {
+          val sx = x * w / rw
+          val rgb = img.getRGB(sx, sy)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum / 64) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      Some(ResizedMedia(docId, rw.toLong, rh.toLong, hist(0), hist(1), hist(2), hist(3)))
+    }
+  }
 
   /** One decoded audio clip: header facts + scan features. */
   final case class DecodedAudio(
