@@ -531,6 +531,50 @@ object MultimodalOps {
           "FROM rows_ GROUP BY doc_id"),
     ),
     QuerySpec(
+      // REAL video-container path — completes the modality triple:
+      // genuine length-prefixed PNG frame streams in parquet BINARY,
+      // walked by an actual container parser that SEEKS past skipped
+      // frames (decode cost ∝ sampled frames, I/O ∝ container bytes —
+      // the frame-sampling economics q33c models now measured over
+      // real codec work). Every 2nd frame is ImageIO-decoded and its
+      // luma histogram gated against the construction arithmetic.
+      "q33i_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map(id => (id, syntheticVideo(id)))
+          }
+          .toDF("doc_id", "payload")
+        val path = s"$pngDir/video_${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select(col("doc_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            javax.imageio.ImageIO.setUseCache(false)
+            rows.flatMap { case (id, bytes) => sampleVideoFrames(id, bytes, 2) }
+          }
+          .toDF()
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n FROM documents), " +
+          "f AS (SELECT doc_id, n, fi FROM d, unnest(range(0, n)) AS u(fi) " +
+          "WHERE fi % 2 = 0), " +
+          "r AS (SELECT doc_id, n, fi, ((doc_id + fi + 17 * y) % 256) // 64 AS bin " +
+          "FROM f, unnest(range(0, 8)) AS v(y)) " +
+          "SELECT doc_id, CAST(fi AS BIGINT) AS fidx, CAST(n AS BIGINT) AS n_frames, " +
+          "CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height, " +
+          "CAST(SUM(CASE WHEN bin = 0 THEN 8 ELSE 0 END) AS BIGINT) AS vbin0, " +
+          "CAST(SUM(CASE WHEN bin = 1 THEN 8 ELSE 0 END) AS BIGINT) AS vbin1, " +
+          "CAST(SUM(CASE WHEN bin = 2 THEN 8 ELSE 0 END) AS BIGINT) AS vbin2, " +
+          "CAST(SUM(CASE WHEN bin = 3 THEN 8 ELSE 0 END) AS BIGINT) AS vbin3 " +
+          "FROM r GROUP BY doc_id, fi, n"),
+    ),
+    QuerySpec(
       // REAL audio codec path — q33d's pattern for the audio modality:
       // genuine RIFF/WAVE PCM16 bytes in a parquet BINARY column,
       // decoded by an actual chunk-walking WAV parser (fmt /data
@@ -607,6 +651,88 @@ object MultimodalOps {
       }
       Some(ResizedMedia(docId, rw.toLong, rh.toLong, hist(0), hist(1), hist(2), hist(3)))
     }
+  }
+
+  /** One sampled video frame: container facts + per-frame luma bins. */
+  final case class VideoFrame(
+      doc_id: Long, fidx: Long, n_frames: Long,
+      width: Long, height: Long,
+      vbin0: Long, vbin1: Long, vbin2: Long, vbin3: Long)
+
+  /** Deterministic synthetic video container for the q33i gate: magic
+    * "GVID", LE32 frame count, then length-prefixed REAL PNG frames —
+    * frame f is `syntheticPng(docId + f, 8, 8)`, so every sampled
+    * frame's luma histogram has a closed form. A real container in the
+    * only sense that matters for the pipeline: frame boundaries exist
+    * only in the byte stream and must be walked to be found.
+    */
+  def syntheticVideo(docId: Long): Array[Byte] = {
+    val n = (4 + docId % 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    bos.write("GVID".getBytes("US-ASCII")); le32(n)
+    var f = 0
+    while (f < n) {
+      val png = syntheticPng(docId + f, 8, 8)
+      le32(png.length); bos.write(png, 0, png.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Container walk + strided frame sampling + REAL per-frame decode:
+    * only every `stride`-th frame's bytes reach the codec — skipped
+    * frames are seeked past by their length prefix and never decoded,
+    * which is the point of frame sampling at 100 TB (decode cost
+    * scales with SAMPLED frames, I/O with container bytes). Malformed
+    * containers or frames yield no rows for the bad part, never throw.
+    */
+  def sampleVideoFrames(
+      docId: Long, payload: Array[Byte], stride: Int): Iterator[VideoFrame] = {
+    try {
+      if (payload == null || payload.length < 8) return Iterator.empty
+      def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      if (new String(payload, 0, 4, "US-ASCII") != "GVID") return Iterator.empty
+      val n = le32(4)
+      val out = Seq.newBuilder[VideoFrame]
+      var off = 8
+      var f = 0
+      while (f < n && off + 4 <= payload.length) {
+        val len = le32(off); off += 4
+        if (len < 0 || off + len > payload.length) return out.result().iterator
+        if (f % stride == 0) {
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, off, len))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null) {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Long](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                hist(lum / 64) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            out += VideoFrame(docId, f.toLong, n.toLong, w.toLong, h.toLong,
+              hist(0), hist(1), hist(2), hist(3))
+          }
+        }
+        off += len
+        f += 1
+      }
+      out.result().iterator
+    } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
   }
 
   /** One decoded audio clip: header facts + scan features. */
