@@ -23,6 +23,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object TemporalOps {
 
+  // Shared by q41 (union-and-carry composition) and q41b (native
+  // merge-walk operator): both must match DuckDB's ASOF LEFT JOIN.
+  private val asofOracle: String =
+    // row_number dedup (not arg_max: aggregate NULL-skipping could
+    // pair max event_id with another row's value when value is NULL)
+    "WITH r AS (SELECT user_id, ts, event_id, value FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY user_id, ts " +
+      "ORDER BY event_id DESC) AS rn FROM events " +
+      "WHERE event_type = 'error') WHERE rn = 1) " +
+      "SELECT l.user_id, l.event_id, l.ts, " +
+      "r.event_id AS asof_event_id, r.value AS asof_value " +
+      "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+      "ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q41_asof_join",
@@ -65,17 +79,36 @@ object TemporalOps {
             col("asof.r_event_id").as("asof_event_id"),
             col("asof.r_value").as("asof_value"))
       },
-      Some(
-        // row_number dedup (not arg_max: aggregate NULL-skipping could
-        // pair max event_id with another row's value when value is NULL)
-        "WITH r AS (SELECT user_id, ts, event_id, value FROM (" +
-          "SELECT *, row_number() OVER (PARTITION BY user_id, ts " +
-          "ORDER BY event_id DESC) AS rn FROM events " +
-          "WHERE event_type = 'error') WHERE rn = 1) " +
-          "SELECT l.user_id, l.event_id, l.ts, " +
-          "r.event_id AS asof_event_id, r.value AS asof_value " +
-          "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
-          "ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      Some(asofOracle),
+    ),
+    QuerySpec(
+      // The SAME as-of semantics through the native merge-walk
+      // operator (graft.plans.AsOfJoin — LogicalPlan + Strategy +
+      // SparkPlan, ladder rung (c)) instead of q41's union-and-carry
+      // composition. Both gate against the identical DuckDB ASOF
+      // oracle, so the custom operator's correctness rides the same
+      // contract as the composition it replaces; the plan-shape and
+      // head-to-head timing adjudication live in AsOfJoinSpec /
+      // BASELINE.md. Right side pre-deduped per (user, ts) exactly as
+      // q41 documents (tie winner = max event_id).
+      "q41b_asof_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val left = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val right = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(struct(col("event_id"), col("value"))).as("r"))
+          .select(
+            col("user_id").as("r_user"), col("ts").as("r_ts"),
+            col("r.event_id").as("r_event_id"), col("r.value").as("r_value"))
+        graft.plans.AsOfJoin.asof(left, right, "user_id", "r_user", "ts", "r_ts")
+          .select(
+            col("user_id"), col("event_id"), col("ts"),
+            col("r_event_id").as("asof_event_id"),
+            col("r_value").as("asof_value"))
+      },
+      Some(asofOracle),
     ),
     QuerySpec(
       "q42_range_join_banded",
