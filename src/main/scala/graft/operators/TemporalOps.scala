@@ -754,5 +754,71 @@ object TemporalOps {
           "CAST(f_prior_buys AS BIGINT) AS f_prior_buys " +
           "FROM f WHERE event_type = 'purchase'"),
     ),
+    QuerySpec(
+      // Time-weighted average (TWAP): per (user, day), each event's
+      // value weighted by how long it was current (until the next
+      // event that day) — the correct aggregate for sampled-state
+      // series where plain avg over-weights bursts. One lead() window
+      // + one combinable groupBy, both keyed (user, day) — a single
+      // shuffle. The last event of a day carries no duration (weight
+      // 0); single-event days have no weighted support → twap NULL,
+      // preserved as NULL rather than faked with the raw value.
+      "q157_twap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), to_date(col("ts")).as("d"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("dur",
+            (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+              .cast("double"))
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum(col("value") * col("dur")) / sum(col("dur")), 6).as("twap"))
+          // surface convention: DATE rides as yyyy-MM-dd string
+          .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
+      },
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value, " +
+          "CAST(epoch_us(lead(ts, 1) OVER (PARTITION BY user_id, CAST(ts AS DATE) " +
+          "ORDER BY ts ASC, event_id ASC)) - epoch_us(ts) AS DOUBLE) AS dur FROM events) " +
+          "SELECT user_id, strftime(d, '%Y-%m-%d') AS d, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+          "round(SUM(value * dur) / SUM(dur), 6) AS twap FROM e GROUP BY 1, 2"),
+    ),
+    QuerySpec(
+      // New-vs-returning daily actives — the product-analytics split
+      // every event pipeline reports: a user's first-ever day makes
+      // them `new`, later days `returning`; plus the running total of
+      // distinct users ever seen (exact, via cumsum of new — running
+      // COUNT(DISTINCT) without ever holding a distinct set). Shapes:
+      // first-day frame is one combinable min-agg (users-sized), daily
+      // actives one distinct-agg; the cumsum window runs on the
+      // days-sized frame only.
+      "q158_new_vs_returning",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+        val firstDay = ev.groupBy("user_id").agg(min(col("d")).as("fd"))
+        val newPerDay = firstDay.groupBy(col("fd").as("d"))
+          .agg(count(lit(1)).as("new_users"))
+        val active = ev.distinct().groupBy("d").agg(count(lit(1)).as("active"))
+        val wc = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        active.join(broadcast(newPerDay), Seq("d"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .withColumn("returning", col("active") - col("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(wc))
+          .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
+      },
+      Some(
+        "WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+          "fd AS (SELECT user_id, MIN(d) AS fd FROM ev GROUP BY 1), " +
+          "npd AS (SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM fd GROUP BY 1), " +
+          "act AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active FROM ev GROUP BY 1) " +
+          "SELECT strftime(d, '%Y-%m-%d') AS d, active, COALESCE(new_users, 0) AS new_users, " +
+          "active - COALESCE(new_users, 0) AS returning, " +
+          "SUM(COALESCE(new_users, 0)) OVER (ORDER BY d " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users " +
+          "FROM act LEFT JOIN npd USING (d)"),
+    ),
   )
 }
