@@ -91,4 +91,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(p, "BroadcastHashJoin") == 1, p.take(800))
     assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(800))
   }
+
+  test("q153 (PIT features): ONE user_id shuffle serves every feature window") {
+    // the feature-store claim: all three point-in-time features ride a
+    // single sort/exchange on the entity key — a second
+    // events-sized hashpartitioning exchange means a feature forked
+    // its own shuffle
+    val p = plan("q153_pit_features")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(1200))
+  }
+
+  test("q149 (sweep): the corpus-sized windows are hour-partitioned; only the tiny offsets frame is global") {
+    // the distributed-prefix-sum claim: exactly one single-partition
+    // exchange (the hours-sized offsets frame), never the boundary
+    // corpus
+    val p = plan("q149_concurrency_sweep")
+    assert(countOccurrences(p, "Exchange SinglePartition") == 1, p.take(1200))
+  }
+
+  test("q152 (k-anonymity): both ladder count frames broadcast back — rows never shuffle") {
+    val p = plan("q152_k_anonymity")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 2, p.take(1200))
+    assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(1200))
+  }
+
+  test("q41b (native as-of): merge walk over exchanged+sorted children") {
+    val p = plan("q41b_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(1200))
+    assert(!p.contains("Union") && !p.contains("Window"), p.take(1200))
+  }
 }
