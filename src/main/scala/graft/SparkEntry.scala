@@ -19,7 +19,8 @@ object SparkEntry {
       operators.CurationOps.specs ++
       operators.TypedOps.specs ++
       operators.GraphOps.specs ++
-      operators.ModernSqlOps.specs
+      operators.ModernSqlOps.specs ++
+      operators.GeoOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
