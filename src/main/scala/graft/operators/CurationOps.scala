@@ -775,5 +775,33 @@ object CurationOps {
           "FROM customer JOIN g0 USING (c_nationkey, c_mktsegment) " +
           "LEFT JOIN m1 USING (c_mktsegment)"),
     ),
+    QuerySpec(
+      // Deterministic weighted sampling without replacement
+      // (Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1) from the
+      // md5 of its key (reproducible — no RNG state, exactly the q44
+      // split discipline) and the top-k by key u^(1/w), weight = doc
+      // length, is the weighted sample. One pass, no corpus sort:
+      // Spark executes orderBy+limit as TakeOrderedAndProject
+      // (per-partition top-k heaps, merge at the driver) — the shape
+      // that picks 20 of 10¹¹ docs without shuffling the corpus. The
+      // oracle re-derives the same keys in DuckDB and must select the
+      // identical 20 docs.
+      "q163_weighted_sample",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("u",
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+              / lit(1152921504606846976.0)) // 2^60
+          .withColumn("es_key", pow(col("u"), lit(1.0) / col("n_chars")))
+          .orderBy(col("es_key").desc, col("doc_id").asc)
+          .limit(20)
+          .select(col("doc_id"), col("n_chars"), round(col("es_key"), 9).as("es_key")),
+      Some(
+        "WITH k AS (SELECT doc_id, n_chars, " +
+          "pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT " +
+          "/ 1152921504606846976.0), 1.0 / n_chars) AS es_key FROM documents) " +
+          "SELECT doc_id, n_chars, round(es_key, 9) AS es_key FROM k " +
+          "ORDER BY es_key DESC, doc_id ASC LIMIT 20"),
+    ),
   )
 }

@@ -335,6 +335,33 @@ object ModernSqlOps {
           "CAST(n_total AS BIGINT) AS n_total FROM q " +
           "WHERE cum >= qv * n_total AND cum_before < qv * n_total"),
     ),
+    QuerySpec(
+      // LATERAL correlated subquery — top-3 customers by balance per
+      // nation, written as the SQL-standard lateral join both engines
+      // support natively. Catalyst decorrelates the LIMIT+ORDER BY
+      // subquery into a partitioned rank window (WindowGroupLimit
+      // bounds it), so the physical plan is the same per-group top-k
+      // as q14 — no per-nation re-execution, no nested loop over the
+      // outer side. Tie-break on c_name keeps the rank-3 cut
+      // deterministic cross-engine.
+      "q161_lateral_topn",
+      (s, dir) => {
+        Seq("nation", "customer")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(s"graft_$n"))
+        s.sql(
+          "SELECT n.n_name, c.c_name, c.c_acctbal " +
+            "FROM graft_nation n " +
+            "JOIN LATERAL (SELECT c_name, c_acctbal FROM graft_customer " +
+            "WHERE c_nationkey = n.n_nationkey " +
+            "ORDER BY c_acctbal DESC, c_name LIMIT 3) c")
+      },
+      Some(
+        "SELECT n.n_name, c.c_name, c.c_acctbal " +
+          "FROM nation n " +
+          "JOIN LATERAL (SELECT c_name, c_acctbal FROM customer " +
+          "WHERE c_nationkey = n.n_nationkey " +
+          "ORDER BY c_acctbal DESC, c_name LIMIT 3) c ON true"),
+    ),
   )
 
   /** q150 body with the shard key exposed — bin counts are additive,

@@ -478,5 +478,50 @@ object TextOps {
           "WHEN flesch >= 60.0 THEN 'standard' " +
           "WHEN flesch >= 30.0 THEN 'difficult' ELSE 'very_confusing' END AS band FROM sc"),
     ),
+    QuerySpec(
+      // Bigram language-model scoring — the LM-perplexity quality
+      // signal pretraining pipelines use (here an exact corpus-trained
+      // bigram model with add-one smoothing rather than an external
+      // LM): each doc scores avg ln P(wᵢ | wᵢ₋₁) under counts trained
+      // on the whole corpus. Shapes: bigram generation is a
+      // zero-shuffle array transform in the scan stage; the model is
+      // two combinable groupBys (bigram- and unigram-keyed); scoring
+      // re-joins the doc bigrams to both count frames on their keys;
+      // the vocabulary size rides a count-over-window on the
+      // vocab-sized unigram frame (never corpus-sized, no single-row
+      // cross join). At 100 TB every stage is keyed or scan-local.
+      "q162_bigram_lm",
+      (s, dir) => {
+        val big = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("tok"))
+          .filter(size(col("tok")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tok) - 1), " +
+              "i -> struct(tok[i - 1] AS w1, tok[i] AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+          .withColumn("v", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        big.join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(avg(log((col("c12") + 1.0) / (col("c1") + col("v")))), 6)
+              .as("avg_lp"))
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+          "bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 " +
+          "FROM tok WHERE len(l) >= 2), " +
+          "c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2), " +
+          "c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1), " +
+          "v AS (SELECT COUNT(*) AS v FROM c1) " +
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+          "round(AVG(ln((c12.c12 + 1.0) / (c1.c1 + v.v))), 6) AS avg_lp " +
+          "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
+          "GROUP BY doc_id"),
+    ),
   )
 }
