@@ -609,6 +609,41 @@ object MultimodalOps {
           "CAST((64 + doc_id % 64 - 1) // (2 + doc_id % 4) AS BIGINT) AS zero_crossings " +
           "FROM documents"),
     ),
+    QuerySpec(
+      // Frame-level audio features — the windowed analysis shape
+      // (loudness/VAD frames) every audio pipeline runs after decode:
+      // REAL WAV bytes → chunk-walking decode → non-overlapping
+      // 16-sample frames → per-frame peak + RMS. The clip is a
+      // sawtooth (see syntheticWavRamp) so every frame's stats differ
+      // and the oracle re-derives them from the synthesis arithmetic
+      // per (doc, frame) — gating the framing boundaries AND the
+      // decode. Same mapPartitions shape as q33g; frames explode
+      // inside the task, so the exchange only ever carries frame rows.
+      "q33j_audio_frames",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.map(id => (id, syntheticWavRamp(id))).toDF("doc_id", "payload")
+        val path = s"$wavDir/ramp_${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select(col("doc_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) => audioFrames(id, bytes, 16) })
+          .toDF()
+          .withColumn("rms", round(col("rms"), 6))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents), " +
+          "s AS (SELECT doc_id, i, ((doc_id + 3 * i) % 2001) - 1000 AS sv " +
+          "FROM d, unnest(range(0, n)) AS u(i)) " +
+          "SELECT doc_id, CAST(i // 16 AS BIGINT) AS fidx, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_samples, " +
+          "CAST(MAX(ABS(sv)) AS BIGINT) AS peak, " +
+          "round(sqrt(SUM(CAST(sv * sv AS DOUBLE)) / COUNT(*)), 6) AS rms " +
+          "FROM s GROUP BY doc_id, i // 16"),
+    ),
   )
 
   /** One resized image: output dims + luma histogram of the RESIZED
@@ -782,7 +817,10 @@ object MultimodalOps {
     * payload (bad magic, non-PCM16-mono, truncated data) returns None
     * — a corrupt blob drops its row, never the task.
     */
-  def decodeWav(docId: Long, payload: Array[Byte]): Option[DecodedAudio] = {
+  /** RIFF/WAVE chunk walk → (sample_rate, PCM16 samples). None for
+    * anything that isn't well-formed PCM16 mono with a sane data chunk.
+    */
+  def wavSamples(payload: Array[Byte]): Option[(Int, Array[Int])] = {
     try {
       if (payload == null || payload.length < 12) return None
       def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
@@ -804,11 +842,24 @@ object MultimodalOps {
         dataOff + dataLen > payload.length) return None
       val n = dataLen / 2
       if (n == 0) return None
-      var i = 0; var peak = 0L; var sumSq = 0.0; var zc = 0L; var prevSign = 0
+      val samples = new Array[Int](n)
+      var i = 0
       while (i < n) {
         val lo = payload(dataOff + 2 * i) & 0xff
         val hi: Int = payload(dataOff + 2 * i + 1) // signed byte → sign-extends
-        val sv = (hi << 8) | lo
+        samples(i) = (hi << 8) | lo
+        i += 1
+      }
+      Some((rate, samples))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def decodeWav(docId: Long, payload: Array[Byte]): Option[DecodedAudio] =
+    wavSamples(payload).map { case (rate, samples) =>
+      val n = samples.length
+      var i = 0; var peak = 0L; var sumSq = 0.0; var zc = 0L; var prevSign = 0
+      while (i < n) {
+        val sv = samples(i)
         val a = math.abs(sv.toLong)
         if (a > peak) peak = a
         sumSq += sv.toDouble * sv
@@ -817,9 +868,65 @@ object MultimodalOps {
         prevSign = sign
         i += 1
       }
-      Some(DecodedAudio(
+      DecodedAudio(
         doc_id = docId, sample_rate = rate.toLong, n_samples = n.toLong,
-        peak = peak, rms = math.sqrt(sumSq / n), zero_crossings = zc))
-    } catch { case scala.util.control.NonFatal(_) => None }
+        peak = peak, rms = math.sqrt(sumSq / n), zero_crossings = zc)
+    }
+
+  /** One fixed-width analysis frame of a decoded clip. */
+  final case class AudioFrame(
+      doc_id: Long, fidx: Long, n_samples: Long, peak: Long, rms: Double)
+
+  /** Deterministic ramp-signal WAV for the q33j frame gate: same
+    * PCM16 mono 8 kHz container as `syntheticWav`, but sample i is
+    * ((docId + 3i) mod 2001) − 1000 — a sawtooth whose per-frame RMS
+    * and peak genuinely vary frame to frame, so the windowing (not
+    * just the decode) is what the oracle checks. The square wave
+    * would give every frame the same RMS and gate nothing.
+    */
+  def syntheticWavRamp(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 64).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val sv = ((docId + 3L * i) % 2001L - 1000L).toInt
+      data(2 * i) = (sv & 0xff).toByte
+      data(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(8000); le32(8000 * 2); le16(2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(data.length)
+    bos.write(data, 0, data.length)
+    bos.toByteArray
   }
+
+  /** Decode + fixed-width framing: peak and RMS per `frame`-sample
+    * window (last frame partial). Malformed payloads yield no rows.
+    */
+  def audioFrames(docId: Long, payload: Array[Byte], frame: Int): Iterator[AudioFrame] =
+    wavSamples(payload) match {
+      case None => Iterator.empty
+      case Some((_, samples)) =>
+        samples.grouped(frame).zipWithIndex.map { case (w, fi) =>
+          var peak = 0L; var sumSq = 0.0
+          var i = 0
+          while (i < w.length) {
+            val a = math.abs(w(i).toLong)
+            if (a > peak) peak = a
+            sumSq += w(i).toDouble * w(i)
+            i += 1
+          }
+          AudioFrame(docId, fi.toLong, w.length.toLong, peak,
+            math.sqrt(sumSq / w.length))
+        }
+    }
 }

@@ -35,6 +35,25 @@ class WavDecodeSpec extends SparkSpec {
       assert(MultimodalOps.decodeWav(1L, bytes).isEmpty, s"case '$label' should drop")
   }
 
+  test("audio framing: per-frame stats match a direct recount, partial tail kept") {
+    for (id <- Seq(0L, 3L, 42L, 127L)) {
+      val n = (64 + id % 64).toInt
+      val samples = Array.tabulate(n)(i => ((id + 3L * i) % 2001L - 1000L).toInt)
+      val frames = MultimodalOps
+        .audioFrames(id, MultimodalOps.syntheticWavRamp(id), 16).toSeq
+      assert(frames.length == (n + 15) / 16)
+      for (f <- frames) {
+        val w = samples.slice(f.fidx.toInt * 16, f.fidx.toInt * 16 + 16)
+        assert(f.n_samples == w.length)
+        assert(f.peak == w.map(v => math.abs(v.toLong)).max)
+        assert(math.abs(f.rms -
+          math.sqrt(w.map(v => v.toDouble * v).sum / w.length)) < 1e-9)
+      }
+      assert(frames.last.n_samples == (if (n % 16 == 0) 16 else n % 16))
+    }
+    assert(MultimodalOps.audioFrames(1L, Array.fill[Byte](64)(0x42), 16).isEmpty)
+  }
+
   test("stereo / non-16-bit fmt is rejected (decoder only claims PCM16 mono)") {
     val good = MultimodalOps.syntheticWav(9L)
     val stereo = good.clone(); stereo(22) = 2 // channels field
