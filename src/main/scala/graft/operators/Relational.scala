@@ -1576,5 +1576,51 @@ object Relational {
           "o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
           "SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0 FROM orders"),
     ),
+    QuerySpec(
+      // Skyline (Pareto-frontier) operator — docs non-dominated in
+      // (length, vocabulary size), the multi-objective "best" set no
+      // single ORDER BY can express. Distributive two-phase plan:
+      // phase 1 prunes per hash-bucket with two partitioned range
+      // windows (max y over strictly-greater x, and vice versa —
+      // integer dims make RANGE … 1 PRECEDING mean "strictly
+      // greater"), which is exact within the bucket and keeps every
+      // global-skyline point (local non-domination is necessary for
+      // global); phase 2 re-runs the same dominance test
+      // partition-less on the few survivors. The corpus is never
+      // globally sorted — the unpartitioned window touches only the
+      // frontier-sized survivor frame (the q124-adjudicated shape).
+      // The oracle is the quadratic NOT EXISTS dominance definition.
+      "q166_skyline",
+      (s, dir) => {
+        val pts = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          col("n_chars").as("x"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").as("y"))
+        def survivors(df: DataFrame, part: Seq[String]): DataFrame = {
+          def w(order: String) = {
+            val base = if (part.isEmpty) Window.partitionBy()
+              else Window.partitionBy(part.map(col): _*)
+            base.orderBy(col(order).desc)
+              .rangeBetween(Window.unboundedPreceding, -1)
+          }
+          df.withColumn("max_y_gt_x", max(col("y")).over(w("x")))
+            .withColumn("max_x_gt_y", max(col("x")).over(w("y")))
+            .filter(
+              (col("max_y_gt_x").isNull || col("max_y_gt_x") < col("y")) &&
+                (col("max_x_gt_y").isNull || col("max_x_gt_y") < col("x")))
+            .drop("max_y_gt_x", "max_x_gt_y")
+        }
+        val local = survivors(
+          pts.withColumn("b", pmod(col("doc_id"), lit(16))), Seq("b")).drop("b")
+        survivors(local, Nil)
+      },
+      Some(
+        "WITH pts AS (SELECT doc_id, n_chars AS x, " +
+          "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y " +
+          "FROM documents) " +
+          "SELECT p.doc_id, p.x, p.y FROM pts p WHERE NOT EXISTS " +
+          "(SELECT 1 FROM pts q WHERE (q.x > p.x AND q.y >= p.y) " +
+          "OR (q.x >= p.x AND q.y > p.y))"),
+    ),
   )
 }

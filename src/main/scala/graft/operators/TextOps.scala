@@ -523,5 +523,43 @@ object TextOps {
           "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
           "GROUP BY doc_id"),
     ),
+    QuerySpec(
+      // Inverted-index construction — the search-engine build step:
+      // per term, document frequency over the whole corpus plus the
+      // FIRST 32 postings (doc ids ascending) as a bounded sample.
+      // Scale shapes: distinct (term, doc) pairs are one combinable
+      // shuffle; df is a counting agg on that frame; the postings
+      // sample is rank-window + collect of ≤ 32 ids — WindowGroupLimit
+      // prunes before the list ever materializes, so no posting list
+      // is corpus-sized in memory even for a stopword. (A full
+      // posting-list export would be the q73 sorted-write path; the
+      // capped sample is what fits a row.)
+      "q164_inverted_index",
+      (s, dir) => {
+        val pairs = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .distinct()
+        val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(col("doc_id").asc)
+        val sample = pairs
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 32)
+          .groupBy("term")
+          .agg(concat_ws(",",
+            expr("transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))"))
+            .as("postings"))
+        dfCounts.join(sample, Seq("term"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+          "d AS (SELECT DISTINCT doc_id, term FROM t), " +
+          "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM d GROUP BY 1), " +
+          "r AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term " +
+          "ORDER BY doc_id ASC) AS rk FROM d), " +
+          "p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id ASC) " +
+          "AS postings FROM r WHERE rk <= 32 GROUP BY 1) " +
+          "SELECT term, df, postings FROM df JOIN p USING (term)"),
+    ),
   )
 }
