@@ -275,5 +275,43 @@ object GraphOps {
           "CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size FROM l3"
       },
     ),
+    QuerySpec(
+      // Multi-source BFS hop distance — "everything within 3 hops of
+      // the seed set", the reachability/ego-network query (fraud
+      // rings, influence radius). Level-synchronous frontier
+      // expansion: each round joins the PREVIOUS frontier only (not
+      // the whole dist frame) against the once-materialized edge
+      // list, then folds new nodes in with a combinable min-agg; a
+      // node reached twice keeps its earliest hop. 3 keyed
+      // join+agg rounds, checkpointed like q91/q155 — the frontier
+      // frame is nodes-sized, edges never move after round 0. The
+      // oracle walks the same graph with a recursive CTE.
+      "q169_bfs_hops",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir).localCheckpoint()
+        val seeds = Seq(2L, 4L, 6L, 8L, 10L)
+        var dist = edges.select(col("src").as("id")).distinct()
+          .filter(col("id").isin(seeds: _*))
+          .withColumn("d", lit(0L))
+          .localCheckpoint(true)
+        for (round <- 1 to 3) {
+          val next = edges
+            .join(dist.filter(col("d") === (round - 1)), col("src") === col("id"))
+            .select(col("dst").as("id")).distinct()
+            .withColumn("d", lit(round.toLong))
+          dist = dist.unionByName(next)
+            .groupBy("id").agg(min(col("d")).as("d"))
+            .localCheckpoint(true)
+        }
+        dist.select(col("id"), col("d").as("hops"))
+      },
+      Some(
+        "WITH RECURSIVE p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+          "edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p), " +
+          "bfs(id, d) AS (SELECT DISTINCT src, 0 FROM edges WHERE src IN (2, 4, 6, 8, 10) " +
+          "UNION SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.id WHERE b.d < 3) " +
+          "SELECT id, CAST(MIN(d) AS BIGINT) AS hops FROM bfs GROUP BY 1"),
+    ),
   )
 }

@@ -362,6 +362,56 @@ object ModernSqlOps {
           "WHERE c_nationkey = n.n_nationkey " +
           "ORDER BY c_acctbal DESC, c_name LIMIT 3) c ON true"),
     ),
+    QuerySpec(
+      // Incremental JOIN maintenance — q143's IVM discipline extended
+      // from aggregates to joins. The stored state is the aggregated
+      // old⋈old join (localCheckpoint = the state table); a batch of
+      // new rows on EITHER side updates it with the three delta terms
+      // Δo⋈l_old ∪ o_old⋈Δl ∪ Δo⋈Δl — never re-joining the old
+      // corpus against itself. The date splits partition each side,
+      // so the four terms partition the join's row set exactly; the
+      // oracle joins the full tables directly, making the gate the
+      // delta-algebra equivalence (a missed or double-counted term
+      // breaks the hash). Revenue stays exact DECIMAL through every
+      // partial (q55's discipline) so the merged sums are
+      // order-independent.
+      "q167_incremental_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderdate"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        val l = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_shipdate"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))").as("rev"))
+        val cutoff = "1998-06-01"
+        val (oOld, oNew) =
+          (o.filter(col("o_orderdate") < lit(cutoff)),
+            o.filter(col("o_orderdate") >= lit(cutoff)))
+        val (lOld, lNew) =
+          (l.filter(col("l_shipdate") < lit(cutoff)),
+            l.filter(col("l_shipdate") >= lit(cutoff)))
+        def part(a: DataFrame, b: DataFrame): DataFrame = a
+          .join(b, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("month")
+          .agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
+        val stored = part(oOld, lOld).localCheckpoint(true)
+        stored
+          .unionByName(part(oNew, lOld))
+          .unionByName(part(oOld, lNew))
+          .unionByName(part(oNew, lNew))
+          .groupBy("month")
+          .agg(
+            sum(col("s")).cast("double").as("revenue"),
+            sum(col("n")).as("n_items"))
+      },
+      Some(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
+          "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_items " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1"),
+    ),
   )
 
   /** q150 body with the shard key exposed — bin counts are additive,

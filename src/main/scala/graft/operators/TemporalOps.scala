@@ -820,5 +820,50 @@ object TemporalOps {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users " +
           "FROM act LEFT JOIN npd USING (d)"),
     ),
+    QuerySpec(
+      // A/B experiment readout with Welch's t — the product-analytics
+      // significance report. Arm assignment is deterministic
+      // (user_id mod 2 — in production it'd be the q44 md5-bucket
+      // split); per event type the two arms' count/mean/sample-
+      // variance fold in ONE combinable conditional aggregation (no
+      // per-arm scans, no join), and the Welch statistic
+      // (mB−mA)/√(vA/nA+vB/nB) is row-local arithmetic on the tiny
+      // per-type frame. Scan-speed at any scale: one pass, one
+      // event_type-keyed shuffle of partial moments.
+      "q168_ab_test",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("arm", pmod(col("user_id"), lit(2)))
+        val a = col("arm") === 0
+        ev.groupBy("event_type")
+          .agg(
+            count(when(a, 1)).as("n_a"),
+            count(when(!a, 1)).as("n_b"),
+            avg(when(a, col("value"))).as("m_a"),
+            avg(when(!a, col("value"))).as("m_b"),
+            var_samp(when(a, col("value"))).as("v_a"),
+            var_samp(when(!a, col("value"))).as("v_b"))
+          .withColumn("t_welch",
+            round((col("m_b") - col("m_a")) /
+              sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4))
+          .select(
+            col("event_type"), col("n_a"), col("n_b"),
+            round(col("m_a"), 6).as("m_a"), round(col("m_b"), 6).as("m_b"),
+            col("t_welch"))
+      },
+      Some(
+        "WITH g AS (SELECT event_type, " +
+          "COUNT(*) FILTER (user_id % 2 = 0) AS n_a, " +
+          "COUNT(*) FILTER (user_id % 2 = 1) AS n_b, " +
+          "AVG(value) FILTER (user_id % 2 = 0) AS m_a, " +
+          "AVG(value) FILTER (user_id % 2 = 1) AS m_b, " +
+          "VAR_SAMP(value) FILTER (user_id % 2 = 0) AS v_a, " +
+          "VAR_SAMP(value) FILTER (user_id % 2 = 1) AS v_b " +
+          "FROM events GROUP BY 1) " +
+          "SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+          "round(m_a, 6) AS m_a, round(m_b, 6) AS m_b, " +
+          "round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_welch " +
+          "FROM g"),
+    ),
   )
 }
