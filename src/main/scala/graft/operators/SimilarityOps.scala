@@ -597,5 +597,73 @@ object SimilarityOps {
           s"$means, $covs FROM embeddings GROUP BY label"
       },
     ),
+    QuerySpec(
+      // Classifier evaluation — confusion-derived per-class
+      // precision/recall/F1 for the nearest-centroid classifier the
+      // q96 centroids induce (resubstitution readout). Every stage is
+      // keyed: vectors and centroids meet on the DIM key (explode ×
+      // k-labels fan-out, the NLJ-free form of "score against every
+      // centroid"), per-(vec, centroid) distances fold in a
+      // combinable sum, argmin is a WindowGroupLimit-bounded rank,
+      // and the confusion matrix plus its row/column marginals live
+      // on k²-sized frames. Distances are ranking-only (never
+      // output), so cross-engine float fold order can't touch the
+      // gate; only counts and their exact ratios are emitted.
+      "q170_classifier_metrics",
+      (s, dir) => {
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("v").cast("double").as("v"))
+        val cent = e.groupBy(col("label").as("clabel"), col("dim"))
+          .agg(avg(col("v")).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2").asc, col("clabel").asc)
+        val pred = e.join(cent, Seq("dim"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("clabel").as("pred"))
+        val act = pred.groupBy("label").agg(count(lit(1)).as("n_true"))
+        val predc = pred.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+        val diag = pred.filter(col("label") === col("pred"))
+          .groupBy("label").agg(count(lit(1)).as("tp"))
+        act
+          .join(diag, Seq("label"), "left")
+          .join(predc, col("label") === col("pred"), "left")
+          .withColumn("tp", coalesce(col("tp"), lit(0L)))
+          .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+          .select(
+            col("label").cast("int").as("label"),
+            col("n_true"), col("n_pred"), col("tp"),
+            when(col("n_pred") > 0,
+              round(col("tp") / col("n_pred").cast("double"), 6)).as("prec"),
+            round(col("tp") / col("n_true").cast("double"), 6).as("recall"),
+            round(lit(2.0) * col("tp") / (col("n_true") + col("n_pred")), 6).as("f1"))
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, label, i - 1 AS dim, " +
+          "CAST(embedding[i] AS DOUBLE) AS v " +
+          "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), " +
+          "cent AS (SELECT label AS clabel, dim, AVG(v) AS c FROM e GROUP BY 1, 2), " +
+          "d2 AS (SELECT e.vec_id, e.label, cent.clabel, " +
+          "SUM((e.v - cent.c) ^ 2) AS d2 FROM e JOIN cent USING (dim) GROUP BY 1, 2, 3), " +
+          "p AS (SELECT vec_id, label, clabel AS pred FROM d2 " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) = 1), " +
+          "act AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_true FROM p GROUP BY 1), " +
+          "predc AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pred FROM p GROUP BY 1), " +
+          "diag AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS tp FROM p " +
+          "WHERE label = pred GROUP BY 1) " +
+          "SELECT CAST(a.label AS INT) AS label, a.n_true, " +
+          "COALESCE(pc.n_pred, 0) AS n_pred, COALESCE(d.tp, 0) AS tp, " +
+          "CASE WHEN COALESCE(pc.n_pred, 0) > 0 THEN " +
+          "round(COALESCE(d.tp, 0) / CAST(pc.n_pred AS DOUBLE), 6) END AS prec, " +
+          "round(COALESCE(d.tp, 0) / CAST(a.n_true AS DOUBLE), 6) AS recall, " +
+          "round(2.0 * COALESCE(d.tp, 0) / (a.n_true + COALESCE(pc.n_pred, 0)), 6) AS f1 " +
+          "FROM act a LEFT JOIN diag d USING (label) " +
+          "LEFT JOIN predc pc ON a.label = pc.pred"),
+    ),
   )
 }
