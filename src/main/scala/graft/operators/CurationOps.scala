@@ -803,5 +803,51 @@ object CurationOps {
           "SELECT doc_id, n_chars, round(es_key, 9) AS es_key FROM k " +
           "ORDER BY es_key DESC, doc_id ASC LIMIT 20"),
     ),
+    QuerySpec(
+      // Cross-source score calibration — before mixing sources by a
+      // quality cut, put their scores on a common scale: each doc gets
+      // its WITHIN-SOURCE percentile (explicit (rk−1)/max(n−1,1) —
+      // pinned identically on both engines, including the 1-doc
+      // source edge) and its GLOBAL CDF position. The global CDF is
+      // the scale-path formulation: cumulative counts over the
+      // DISTINCT-lengths frame (lengths-sized window), joined back by
+      // length — the corpus itself is never globally sorted, unlike a
+      // naive global percent_rank. Per-source windows partition-
+      // parallelize; ties break on doc_id so ranks are deterministic.
+      "q173_score_calibration",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        val wSrc = W.partitionBy("source")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        val ranked = d
+          .withColumn("rk", row_number().over(wSrc))
+          .withColumn("cnt", count(lit(1)).over(W.partitionBy("source")))
+          .withColumn("pct_src",
+            round((col("rk") - 1) / greatest(col("cnt") - 1, lit(1)).cast("double"), 6))
+        val lens = d.groupBy("n_chars").agg(count(lit(1)).as("ln"))
+          .withColumn("cum", sum(col("ln")).over(
+            W.orderBy(col("n_chars").asc)
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("cdf_global",
+            round(col("cum") / sum(col("ln")).over(W.partitionBy()).cast("double"), 6))
+          .select(col("n_chars"), col("cdf_global"))
+        ranked.join(lens, Seq("n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("pct_src"), col("cdf_global"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, source, n_chars FROM documents), " +
+          "r AS (SELECT doc_id, source, n_chars, " +
+          "row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rk, " +
+          "COUNT(*) OVER (PARTITION BY source) AS cnt FROM d), " +
+          "lens AS (SELECT n_chars, COUNT(*) AS ln FROM d GROUP BY 1), " +
+          "c AS (SELECT n_chars, round(SUM(ln) OVER (ORDER BY n_chars ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "/ CAST(SUM(ln) OVER () AS DOUBLE), 6) AS cdf_global FROM lens) " +
+          "SELECT doc_id, source, r.n_chars, " +
+          "round((rk - 1) / CAST(greatest(cnt - 1, 1) AS DOUBLE), 6) AS pct_src, " +
+          "cdf_global FROM r JOIN c ON r.n_chars = c.n_chars"),
+    ),
   )
 }

@@ -1622,5 +1622,84 @@ object Relational {
           "(SELECT 1 FROM pts q WHERE (q.x > p.x AND q.y >= p.y) " +
           "OR (q.x >= p.x AND q.y > p.y))"),
     ),
+    QuerySpec(
+      // Benford first-digit forensics — the fraud/data-quality screen
+      // for "does this amount column look organic". First significant
+      // digit extracted EXACTLY (string head of the floored integer
+      // part — no log10 whose cross-engine rounding could flip a
+      // power-of-ten boundary), one combinable 9-key count, then
+      // share vs the Benford expectation log10(1+1/d) and the χ²
+      // contribution, all row-local on the 9-row frame (the share
+      // window runs on those 9 rows only). One scan at any scale.
+      "q171_benford",
+      (s, dir) => {
+        val digits = Tables(s, dir, "orders")
+          .filter(col("o_totalprice") >= 1.0)
+          .select(substring(
+            floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        digits
+          .withColumn("share", col("n") / sum(col("n")).over(wAll).cast("double"))
+          .withColumn("expected", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+          .select(
+            col("digit"), col("n"),
+            round(col("share"), 6).as("share"),
+            round(col("expected"), 6).as("expected"),
+            round(pow(col("share") - col("expected"), 2) / col("expected"), 6)
+              .as("chi2_contrib"))
+      },
+      Some(
+        "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) " +
+          "AS VARCHAR), 1, 1) AS INT) AS digit FROM orders WHERE o_totalprice >= 1.0), " +
+          "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1) " +
+          "SELECT digit, n, round(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share, " +
+          "round(log10(1.0 + 1.0 / digit), 6) AS expected, " +
+          "round(pow(n / CAST(SUM(n) OVER () AS DOUBLE) - log10(1.0 + 1.0 / digit), 2) " +
+          "/ log10(1.0 + 1.0 / digit), 6) AS chi2_contrib FROM c"),
+    ),
+    QuerySpec(
+      // χ² test of independence (market segment × region) — the
+      // categorical-association screen. Observed counts are one
+      // combinable groupBy over the broadcast-joined dims; marginals
+      // and the expectation n_row·n_col/N come from windows over the
+      // segments×regions contingency frame (≤ 25 rows) — the corpus
+      // is touched once, everything after is cell-local arithmetic.
+      "q172_chi2_independence",
+      (s, dir) => {
+        val obs = Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("c_mktsegment"), col("r_name"))
+          .agg(count(lit(1)).as("n"))
+        val W = org.apache.spark.sql.expressions.Window
+        obs
+          .withColumn("n_seg", sum(col("n")).over(W.partitionBy("c_mktsegment")))
+          .withColumn("n_reg", sum(col("n")).over(W.partitionBy("r_name")))
+          .withColumn("n_tot", sum(col("n")).over(W.partitionBy()))
+          .withColumn("expected",
+            col("n_seg") * col("n_reg") / col("n_tot").cast("double"))
+          .select(
+            col("c_mktsegment"), col("r_name"), col("n"),
+            round(col("expected"), 6).as("expected"),
+            round(pow(col("n") - col("expected"), 2) / col("expected"), 6)
+              .as("chi2_contrib"))
+      },
+      Some(
+        "WITH o AS (SELECT c_mktsegment, r_name, CAST(COUNT(*) AS BIGINT) AS n " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2), " +
+          "m AS (SELECT c_mktsegment, r_name, n, " +
+          "SUM(n) OVER (PARTITION BY c_mktsegment) AS n_seg, " +
+          "SUM(n) OVER (PARTITION BY r_name) AS n_reg, " +
+          "SUM(n) OVER () AS n_tot FROM o) " +
+          "SELECT c_mktsegment, r_name, n, " +
+          "round(n_seg * n_reg / CAST(n_tot AS DOUBLE), 6) AS expected, " +
+          "round(pow(n - n_seg * n_reg / CAST(n_tot AS DOUBLE), 2) " +
+          "/ (n_seg * n_reg / CAST(n_tot AS DOUBLE)), 6) AS chi2_contrib FROM m"),
+    ),
   )
 }
