@@ -1595,7 +1595,11 @@ object Relational {
         val pts = Tables(s, dir, "documents").select(
           col("doc_id"),
           col("n_chars").as("x"),
-          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").as("y"))
+          // lexical diversity (scaled type-token ratio) — anti-
+          // correlated with length, so the frontier is a real tradeoff
+          // curve rather than the single longest doc
+          expr("CAST(floor(100000.0 * size(array_distinct(split(text, ' '))) " +
+            "/ size(split(text, ' '))) AS BIGINT)").as("y"))
         def survivors(df: DataFrame, part: Seq[String]): DataFrame = {
           def w(order: String) = {
             val base = if (part.isEmpty) Window.partitionBy()
@@ -1615,8 +1619,11 @@ object Relational {
         survivors(local, Nil)
       },
       Some(
-        "WITH pts AS (SELECT doc_id, n_chars AS x, " +
-          "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y " +
+        // MATERIALIZED: DuckDB inlines plain CTEs, which would re-split
+        // the text per PAIR inside the quadratic NOT EXISTS
+        "WITH pts AS MATERIALIZED (SELECT doc_id, n_chars AS x, " +
+          "CAST(floor(100000.0 * len(list_distinct(string_split(text, ' '))) " +
+          "/ len(string_split(text, ' '))) AS BIGINT) AS y " +
           "FROM documents) " +
           "SELECT p.doc_id, p.x, p.y FROM pts p WHERE NOT EXISTS " +
           "(SELECT 1 FROM pts q WHERE (q.x > p.x AND q.y >= p.y) " +
