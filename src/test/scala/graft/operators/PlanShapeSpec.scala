@@ -120,4 +120,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("AsOfJoin"), p.take(1200))
     assert(!p.contains("Union") && !p.contains("Window"), p.take(1200))
   }
+
+  test("q159 (geo distance join): blocked equi-join on cells, never a nested loop") {
+    val p = plan("q159_geo_distance_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"geo blocking fell back to all-pairs: ${p.take(800)}")
+  }
+
+  test("q160/q164 (geo kNN, inverted index): WindowGroupLimit bounds the rank cut") {
+    for (q <- Seq("q160_geo_knn", "q164_inverted_index"))
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q rank filter not pushed into the window: ${plan(q).take(800)}")
+  }
+
+  test("q163 (weighted sample): global top-20 is TakeOrderedAndProject, not a sort") {
+    val p = plan("q163_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"E-S top-k became a global sort: ${p.take(800)}")
+  }
+
+  test("q166 (skyline): phase-1 windows are bucket-partitioned — the corpus never single-partitions") {
+    // two partitioned phase-1 windows (by bucket) + two phase-2
+    // windows on the frontier-sized survivors; the assert is that
+    // SOME window carries the bucket partition key, i.e. the local
+    // pruning phase didn't collapse into the global pass
+    val p = plan("q166_skyline")
+    assert(p.contains("windowspecdefinition(b"),
+      s"phase-1 skyline window lost its bucket partitioning: ${p.take(1200)}")
+  }
 }
