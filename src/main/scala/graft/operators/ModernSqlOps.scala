@@ -376,35 +376,7 @@ object ModernSqlOps {
       // partial (q55's discipline) so the merged sums are
       // order-independent.
       "q167_incremental_join",
-      (s, dir) => {
-        val o = t(s, dir, "orders").select(
-          col("o_orderkey"), col("o_orderdate"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-        val l = t(s, dir, "lineitem").select(
-          col("l_orderkey"), col("l_shipdate"),
-          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-            "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))").as("rev"))
-        val cutoff = "1998-06-01"
-        val (oOld, oNew) =
-          (o.filter(col("o_orderdate") < lit(cutoff)),
-            o.filter(col("o_orderdate") >= lit(cutoff)))
-        val (lOld, lNew) =
-          (l.filter(col("l_shipdate") < lit(cutoff)),
-            l.filter(col("l_shipdate") >= lit(cutoff)))
-        def part(a: DataFrame, b: DataFrame): DataFrame = a
-          .join(b, col("o_orderkey") === col("l_orderkey"))
-          .groupBy("month")
-          .agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
-        val stored = part(oOld, lOld).localCheckpoint(true)
-        stored
-          .unionByName(part(oNew, lOld))
-          .unionByName(part(oOld, lNew))
-          .unionByName(part(oNew, lNew))
-          .groupBy("month")
-          .agg(
-            sum(col("s")).cast("double").as("revenue"),
-            sum(col("n")).as("n_items"))
-      },
+      (s, dir) => incrementalJoin(s, dir, "1998-06-01"),
       Some(
         "SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
           "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -481,5 +453,39 @@ object ModernSqlOps {
         // double division of the EXACT decimal sum — decimal-division
         // scale rules differ across engines; double/int64 does not
         (col("sum_price_d").cast("double") / col("n_orders")).as("avg_price"))
+  }
+
+  /** q167's delta-join maintenance, parameterized by the batch cutoff
+    * so NewOpsPropertySpec can prove the decomposition is
+    * cutoff-invariant (all-old, mid, all-new give the direct join).
+    */
+  private[operators] def incrementalJoin(
+      s: SparkSession, dir: String, cutoff: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderdate"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val l = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_shipdate"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))").as("rev"))
+    val (oOld, oNew) =
+      (o.filter(col("o_orderdate") < lit(cutoff)),
+        o.filter(col("o_orderdate") >= lit(cutoff)))
+    val (lOld, lNew) =
+      (l.filter(col("l_shipdate") < lit(cutoff)),
+        l.filter(col("l_shipdate") >= lit(cutoff)))
+    def part(a: DataFrame, b: DataFrame): DataFrame = a
+      .join(b, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("month")
+      .agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
+    val stored = part(oOld, lOld).localCheckpoint(true)
+    stored
+      .unionByName(part(oNew, lOld))
+      .unionByName(part(oOld, lNew))
+      .unionByName(part(oNew, lNew))
+      .groupBy("month")
+      .agg(
+        sum(col("s")).cast("double").as("revenue"),
+        sum(col("n")).as("n_items"))
   }
 }

@@ -92,4 +92,98 @@ class NewOpsPropertySpec extends SparkSpec {
       assert(out(eid) == ((lastView, clicks1h, priorBuys)), s"purchase $eid of user $u")
     }
   }
+
+  test("q167: delta-join maintenance is cutoff-invariant (all-old, mid, all-new agree)") {
+    def result(cutoff: String): Map[String, (Double, Long)] =
+      ModernSqlOps.incrementalJoin(spark, sfDir, cutoff)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val mid = result("1998-06-01")
+    // degenerate cutoffs make three of the four terms empty — any
+    // double-count or dropped term in the delta algebra shows up as a
+    // disagreement between the three decompositions
+    assert(result("1900-01-01") == mid, "all-new decomposition diverged")
+    assert(result("2100-01-01") == mid, "all-old decomposition diverged")
+  }
+
+  /** The q165 cut rule, reimplemented directly (MessageDigest, no SQL). */
+  private def cdcChunks(text: String): Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isBoundary(i: Int): Boolean = { // i = 1-based end of the 4-gram
+      val gram = text.substring(i - 4, i)
+      val h = md.digest(gram.getBytes("UTF-8"))
+      // first 2 hex chars of md5 = unsigned byte 0; % 16 = low nibble
+      (h(0) & 0x0f) == 0
+    }
+    val cuts = 0 +: (4 until text.length).filter(isBoundary) :+ text.length
+    cuts.sliding(2).collect { case Seq(a, b) => text.substring(a, b) }.toSeq
+  }
+
+  test("q165: content-defined boundaries are edit-local — a prefix edit preserves the tail chunks") {
+    val texts = Tables(spark, sfDir, "documents")
+      .select("text").limit(10).collect().map(_.getString(0))
+    for (t <- texts if t.length > 20) {
+      val orig = cdcChunks(t)
+      val edited = cdcChunks("zq9x " + t)
+      // every chunk after the FIRST original boundary must reappear
+      // verbatim — that locality is the entire point of CDC (a
+      // fixed-width chunker shifts every downstream boundary instead)
+      val tail = orig.drop(1)
+      val editedSet = edited.groupBy(identity).view.mapValues(_.size)
+      val tailCounts = tail.groupBy(identity).view.mapValues(_.size)
+      for ((c, n) <- tailCounts)
+        assert(editedSet.getOrElse(c, 0) >= n,
+          s"chunk '${c.take(30)}…' lost after a prefix edit")
+    }
+    // and the Spark query agrees with this direct reimplementation on
+    // total chunk count
+    val sparkChunks = SparkEntry.queries("q165_cdc_chunks")(spark, sfDir)
+      .agg(sum(col("n_chunks"))).collect()(0).getLong(0)
+    val direct = Tables(spark, sfDir, "documents")
+      .select("text").collect().map(r => cdcChunks(r.getString(0)).size.toLong).sum
+    assert(sparkChunks == direct)
+  }
+
+  test("q166: skyline is union-distributive — merge of partial skylines equals the direct skyline") {
+    val pts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        col("n_chars").cast("long"),
+        expr("CAST(floor(100000.0 * size(array_distinct(split(text, ' '))) " +
+          "/ size(split(text, ' '))) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long), qs: Seq[(Long, Long, Long)]): Boolean =
+      qs.exists(q => (q._2 > p._2 && q._3 >= p._3) || (q._2 >= p._2 && q._3 > p._3))
+    def skyline(s: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+      s.filterNot(p => dominated(p, s)).toSet
+    val direct = skyline(pts.toSeq)
+    val (a, b) = pts.toSeq.partition(_._1 % 2 == 0)
+    val merged = skyline((skyline(a) ++ skyline(b)).toSeq)
+    assert(merged == direct, "two-phase merge lost or invented a frontier point")
+    // and the Spark operator returns exactly this frontier
+    val got = SparkEntry.queries("q166_skyline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct)
+  }
+
+  test("q169: BFS hop distances equal GraphX ShortestPaths over the same graph") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = spark.sparkContext.parallelize(
+      pairs.flatMap { case (c, s) => Seq(Edge(c, s, 1), Edge(s, c, 1)) }.toSeq)
+    val graph = Graph.fromEdges(edges, 0)
+    val seeds = Seq(2L, 4L, 6L, 8L, 10L)
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(graph, seeds)
+    val expected = sp.vertices.collect().flatMap { case (id, m) =>
+      val ds = m.values
+      if (ds.isEmpty) None
+      else Some(id -> ds.min.toLong)
+    }.filter(_._2 <= 3).toMap
+    val got = SparkEntry.queries("q169_bfs_hops")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"sizes: got=${got.size} expected=${expected.size}")
+  }
 }
