@@ -98,6 +98,8 @@ object GraftFunctions {
       exprs => BpeTokenCount(exprs(0))),
     ("minhash_mins", classOf[MinhashMins].getName,
       exprs => MinhashMins(exprs(0), exprs(1))),
+    ("cdc_chunks", classOf[CdcChunks].getName,
+      exprs => CdcChunks(exprs(0))),
     // Catalyst's runtime-filter bloom pair, surfaced as session
     // functions: `bloom_filter_agg(xxhash64(k), n)` builds the sketch
     // as a BINARY aggregate and `might_contain(sketch, xxhash64(k))`

