@@ -156,6 +156,38 @@ object Streams {
       .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: same predicate as
+    * `intervalJoin`, but a left row with no right match within its
+    * window EMITS with nulls once the watermark passes the window's
+    * end — the "order that never got a payment" alert shape, which an
+    * inner join can only ever silently drop. The time-bound join
+    * condition + both-side watermarks are what make the state and the
+    * null decision finite: Spark holds a left row only until watermark
+    * > l_ts + window, then either it matched or it emits null-padded.
+    * StreamsSpec proves both the match rows (≡ the inner join) and the
+    * watermark-forced null emission on a gap fixture.
+    */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      window: String = "5 minutes",
+      lateness: String = "10 minutes",
+  ): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", lateness)
+    val r = right
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"), col("value"))
+      .withWatermark("r_ts", lateness)
+    l.join(
+      r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $window"),
+      "leftOuter")
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("value"))
+  }
+
   /** Streaming anomaly detection: per-key running mean/variance via
     * Welford's online update inside flatMapGroupsWithState, flagging
     * each event whose value is > 3σ from the running per-key mean AT

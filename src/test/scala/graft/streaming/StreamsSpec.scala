@@ -383,6 +383,47 @@ class StreamsSpec extends SparkSpec {
       assert(got == batch, s"stream=$got batch=$batch")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER interval join: matches join, the unmatched row null-emits after watermark") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val lIn = MemoryStream[IjEv]
+    val rIn = MemoryStream[IjRv]
+    val q = Streams.intervalJoinOuter(lIn.toDF(), rIn.toDF())
+      .writeStream.format("memory").queryName("ojoin")
+      .outputMode("append").start()
+    try {
+      // user 1 gets a payment in-window; user 3 never does
+      lIn.addData(
+        IjEv(ts("2024-01-01 10:00:00"), "order", 1),
+        IjEv(ts("2024-01-01 10:00:00"), "order", 3))
+      rIn.addData(IjRv(ts("2024-01-01 10:03:00"), 1, 1.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 10:05 (window end) + lateness
+      lIn.addData(IjEv(ts("2024-01-01 11:00:00"), "order", 9))
+      rIn.addData(IjRv(ts("2024-01-01 11:00:00"), 9, 9.9))
+      q.processAllAvailable()
+      // outer-null eviction fires on a subsequent trigger after the
+      // watermark moves — drive one more micro-batch
+      lIn.addData(IjEv(ts("2024-01-01 11:30:00"), "order", 10))
+      rIn.addData(IjRv(ts("2024-01-01 11:30:00"), 10, 1.1))
+      q.processAllAvailable()
+      val rows = s.table("ojoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(3)) null else r.getTimestamp(3),
+          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
+        .toSet
+      // the match emitted…
+      assert(rows.contains((1L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:03:00"), java.lang.Double.valueOf(1.0))))
+      // …and the order that never saw a payment emitted null-padded —
+      // the row an inner join can only silently drop
+      assert(rows.contains((3L, ts("2024-01-01 10:00:00"), null, null)),
+        s"unmatched left row not null-emitted: $rows")
+      // no spurious nulls for rows that DID match in-window
+      assert(!rows.contains((1L, ts("2024-01-01 10:00:00"), null, null)))
+    } finally q.stop()
+  }
 }
 
 // Top-level (not spec-inner) row types: Seq.toDF for the batch twin
