@@ -849,5 +849,39 @@ object CurationOps {
           "round((rk - 1) / CAST(greatest(cnt - 1, 1) AS DOUBLE), 6) AS pct_src, " +
           "cdf_global FROM r JOIN c ON r.n_chars = c.n_chars"),
     ),
+    QuerySpec(
+      // URL decomposition — the domain-level curation primitive (crawl
+      // pipelines count, cap, and blocklist by host/registrable
+      // domain, never by raw URL). URLs are synthesized
+      // deterministically from doc fields, then decomposed with
+      // Spark's NATIVE parse_url (HOST / PATH / keyed QUERY) plus a
+      // site-level substring_index label cut; the oracle re-derives
+      // every component from the construction, so the gate is
+      // parse_url's extraction semantics. Zero shuffles — the whole
+      // thing is scan-stage string expressions; the per-host rollup
+      // rides one combinable groupBy.
+      "q174_url_parse",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("url", concat(
+            lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"),
+            lit("?ref=r"), pmod(col("doc_id"), lit(7)).cast("string")))
+          .select(col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+          .withColumn("domain", expr("substring_index(host, '.', 2)"))
+        d.groupBy("host", "domain", "ref")
+          .agg(count(lit(1)).as("n_docs"), min(col("path")).as("first_path"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, source || '.example.com' AS host, " +
+          "source || '.example' AS domain, " +
+          "'/docs/' || CAST(doc_id AS VARCHAR) AS path, " +
+          "'r' || CAST(doc_id % 7 AS VARCHAR) AS ref FROM documents) " +
+          "SELECT host, domain, ref, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "MIN(path) AS first_path FROM d GROUP BY 1, 2, 3"),
+    ),
   )
 }
