@@ -978,6 +978,51 @@ object DedupOps {
           "round(AVG(CAST(length(chunk) AS DOUBLE)), 6) AS mean_chunk_len " +
           "FROM c GROUP BY 1"),
     ),
+    QuerySpec(
+      // Source novelty attribution — "what does each source actually
+      // ADD?": every distinct 5-gram is attributed to the source of
+      // the lowest-doc_id document containing it (the greedy corpus-
+      // build order), so per source the report splits its gram volume
+      // into first-seen (novel contribution) vs already-covered. The
+      // deduped-pretraining diagnostic for dropping a redundant crawl.
+      // Shapes: gram explode + distinct is the q112 frame; first-seen
+      // is one min-agg keyed by fingerprint; attribution joins
+      // fingerprint-keyed frames; everything combinable, nothing
+      // corpus-quadratic.
+      "q175_source_novelty",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 5)
+          .select(
+            col("doc_id"), col("source"),
+            explode(expr(
+              "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
+          .distinct()
+        val firstSeen = g.groupBy("fp").agg(min(col("doc_id")).as("first_doc"))
+        g.join(firstSeen, Seq("fp"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            count(when(col("doc_id") === col("first_doc"), 1)).as("n_first_seen"),
+            round(count(when(col("doc_id") === col("first_doc"), 1)) /
+              count(lit(1)).cast("double"), 6).as("novelty_share"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents " +
+          "WHERE len(string_split(text, ' ')) >= 5), " +
+          "g AS (SELECT DISTINCT doc_id, source, ('0x' || substr(md5(" +
+          "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]" +
+          "), 1, 15))::BIGINT AS fp FROM d, unnest(range(1, len(ws) - 3)) AS u(i)), " +
+          "fs AS (SELECT fp, MIN(doc_id) AS first_doc FROM g GROUP BY 1) " +
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+          "CAST(COUNT(*) FILTER (doc_id = first_doc) AS BIGINT) AS n_first_seen, " +
+          "round(COUNT(*) FILTER (doc_id = first_doc) / CAST(COUNT(*) AS DOUBLE), 6) " +
+          "AS novelty_share " +
+          "FROM g JOIN fs USING (fp) GROUP BY 1"),
+    ),
   )
 
   /** q142 internals, exposed so the spec and the DedupScale audit can
