@@ -82,21 +82,33 @@ object GeoOps {
     derivedPoint(Tables(s, dir, "supplier"), "s_suppkey", "s_nationkey")
       .select("s_suppkey", "lat", "lon")
 
-  /** Blocked candidate pairs with exact distance, for radius `rKm` and
-    * the given (provably radius-covering) cell sizes.
+  /** Generic grid-blocked distance join — the reusable operator the
+    * q159/q160 specs instantiate. Inputs carry `lat`/`lon` columns
+    * (lon already normalized to [-180, 180)) plus any payload columns;
+    * output is every cross-side pair within `rKm`, with `dist_km`,
+    * left lat/lon as clat/clon and right as slat/slon. Cell sizes must
+    * satisfy the radius-cover bound from the object doc — the caller
+    * asserts the |lat| domain; GeoBlockingSpec fuzzes the guarantee on
+    * random points including the antimeridian band and |lat| near 73°.
     */
-  private def blockedPairs(
-      s: SparkSession, dir: String,
+  def blockedDistanceJoin(
+      left: DataFrame, right: DataFrame,
       rKm: Double, latCellDeg: Double, lonCellDeg: Double): DataFrame = {
-    val cust = withCell(customerPoints(s, dir), latCellDeg, lonCellDeg)
+    val l = withCell(left, latCellDeg, lonCellDeg)
       .withColumnRenamed("lat", "clat").withColumnRenamed("lon", "clon")
-    val supp = withNeighborCells(supplierPoints(s, dir), latCellDeg, lonCellDeg)
+    val r = withNeighborCells(right, latCellDeg, lonCellDeg)
       .withColumnRenamed("lat", "slat").withColumnRenamed("lon", "slon")
-    cust.join(supp, Seq("latc", "lonc"))
+    l.join(r, Seq("latc", "lonc"))
       .withColumn("dist_km",
         haversineKm(col("clat"), col("clon"), col("slat"), col("slon")))
       .filter(col("dist_km") < rKm)
   }
+
+  private def blockedPairs(
+      s: SparkSession, dir: String,
+      rKm: Double, latCellDeg: Double, lonCellDeg: Double): DataFrame =
+    blockedDistanceJoin(
+      customerPoints(s, dir), supplierPoints(s, dir), rKm, latCellDeg, lonCellDeg)
 
   /** Shared oracle CTE: the derived points, verbatim arithmetic. */
   private val oraclePoints =

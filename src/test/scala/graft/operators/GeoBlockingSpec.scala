@@ -44,6 +44,42 @@ class GeoBlockingSpec extends SparkSpec {
     assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
   }
 
+  test("fuzz: blocking is lossless on adversarial random points (antimeridian band, |lat| near 73)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    // half the points cluster in the danger zones: lon within 2° of
+    // ±180 (wrap adjacency) and |lat| within 2° of 73 (widest lon
+    // window the cell bound must still cover)
+    def point(i: Int): (Long, Double, Double) = {
+      val lat =
+        if (i % 4 == 0) (71.0 + rnd.nextDouble() * 2.0) * (if (i % 8 == 0) 1 else -1)
+        else rnd.nextDouble() * 146.0 - 73.0
+      val lon =
+        if (i % 2 == 0) 178.0 + rnd.nextDouble() * 4.0 // straddles ±180 pre-wrap
+        else rnd.nextDouble() * 360.0 - 180.0
+      val lonN = lon - 360.0 * math.floor((lon + 180.0) / 360.0)
+      (i.toLong, lat, lonN)
+    }
+    val pts = (0 until 300).map(point)
+    val l = pts.toDF("lid", "lat", "lon")
+    val r = pts.map { case (id, la, lo) => (id + 1000L, la, lo) }.toDF("rid", "lat", "lon")
+    for ((rKm, latC, lonC) <- Seq((300.0, 3.0, 10.0), (1000.0, 10.0, 36.0))) {
+      val blocked = GeoOps.blockedDistanceJoin(l, r, rKm, latC, lonC)
+        .select(col("lid"), col("slat"), col("slon"))
+      val brute = l.toDF("lid", "clat", "clon")
+        .crossJoin(r.toDF("rid", "slat", "slon"))
+        .withColumn("d", lit(2.0 * 6371.0) * asin(sqrt(
+          pow(sin(radians(col("slat") - col("clat")) / 2), 2) +
+            cos(radians(col("clat"))) * cos(radians(col("slat"))) *
+              pow(sin(radians(col("slon") - col("clon")) / 2), 2))))
+        .filter(col("d") < rKm)
+        .select(col("lid"), col("slat"), col("slon"))
+      assert(brute.count() > 0, s"fuzz fixture generated no in-radius pairs at $rKm km")
+      assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty,
+        s"blocking lost or invented pairs at r=$rKm cells=${latC}x$lonC")
+    }
+  }
+
   test("blocked kNN equals brute-force top-3 within 1000 km") {
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("c_custkey").orderBy(col("dist_km").asc, col("s_suppkey").asc)
