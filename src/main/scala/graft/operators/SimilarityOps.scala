@@ -665,5 +665,69 @@ object SimilarityOps {
           "FROM act a LEFT JOIN diag d USING (label) " +
           "LEFT JOIN predc pc ON a.label = pc.pred"),
     ),
+    QuerySpec(
+      // PCA leading component by power iteration — linear algebra as
+      // relational algebra, the dimensionality-reduction step run
+      // before clustering/ANN. Covariance E[xᵢxⱼ]−μᵢμⱼ is ONE
+      // combinable aggregation over the per-vector (dim, dim) outer
+      // products (n·k² rows keyed by the 4096 (i,j) pairs — the
+      // map-side-combine shape that scales to any n); three C·v
+      // multiplies are each a k²-frame join + k-key sum; norms ride
+      // windows over the 64-row vector frame. Start vector is uniform
+      // (all-positive), so the converged SIGN is deterministic and
+      // cross-engine stable. The oracle unrolls the same three
+      // iterations in SQL. Output: per-dim loading + the Rayleigh
+      // eigenvalue estimate (‖Cv‖ after the last multiply).
+      "q176_pca_power",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+        // one bounded count job for the scalar divisor (the k-means
+        // centroid-collect discipline: a single long to the driver)
+        val n = e.select(col("vec_id")).distinct().count().toDouble
+        val mu = e.groupBy("dim").agg((sum(col("v")) / n).as("mu"))
+        val cov = e.as("a").join(e.as("b"), "vec_id")
+          .groupBy(col("a.dim").as("di"), col("b.dim").as("dj"))
+          .agg((sum(col("a.v") * col("b.v")) / n).as("exy"))
+          .join(mu.select(col("dim").as("di"), col("mu").as("mui")), Seq("di"))
+          .join(mu.select(col("dim").as("dj"), col("mu").as("muj")), Seq("dj"))
+          .select(col("di"), col("dj"), (col("exy") - col("mui") * col("muj")).as("c"))
+          .localCheckpoint(true)
+        def mult(v: DataFrame): DataFrame = cov
+          .join(v.select(col("dim").as("dj"), col("w")), Seq("dj"))
+          .groupBy(col("di").as("dim")).agg(sum(col("c") * col("w")).as("cw"))
+        def normalize(cw: DataFrame): DataFrame = cw
+          .withColumn("nrm", sqrt(sum(col("cw") * col("cw")).over(W.partitionBy())))
+          .select(col("dim"), (col("cw") / col("nrm")).as("w"), col("nrm"))
+        val v0 = mu.select(col("dim")).withColumn("w", lit(1.0 / 8.0))
+        val v3 = normalize(mult(normalize(mult(normalize(mult(v0)).drop("nrm")))
+          .drop("nrm")))
+        v3.select(col("dim").cast("bigint").as("dim"),
+          round(col("w"), 6).as("loading"),
+          round(col("nrm"), 6).as("eigenvalue"))
+      },
+      Some {
+        def iter(prev: String, cw: String, v: String): String =
+          s"$cw AS (SELECT di AS dim, SUM(c * w) AS cw FROM cov " +
+            s"JOIN $prev ON $prev.dim = cov.dj GROUP BY 1), " +
+            s"$v AS (SELECT dim, cw / sqrt(SUM(cw * cw) OVER ()) AS w, " +
+            s"sqrt(SUM(cw * cw) OVER ()) AS nrm FROM $cw)"
+        "WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v " +
+          "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), " +
+          "n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM e), " +
+          "mu AS (SELECT dim, SUM(v) / (SELECT n FROM n) AS mu FROM e GROUP BY 1), " +
+          "cov AS MATERIALIZED (SELECT a.dim AS di, b.dim AS dj, " +
+          "SUM(a.v * b.v) / (SELECT n FROM n) - m1.mu * m2.mu AS c " +
+          "FROM e a JOIN e b USING (vec_id) " +
+          "JOIN mu m1 ON m1.dim = a.dim JOIN mu m2 ON m2.dim = b.dim " +
+          "GROUP BY 1, 2, m1.mu, m2.mu), " +
+          "v0 AS (SELECT DISTINCT dim, 1.0 / 8.0 AS w FROM e), " +
+          s"${iter("v0", "cw1", "v1")}, ${iter("v1", "cw2", "v2")}, " +
+          s"${iter("v2", "cw3", "v3")} " +
+          "SELECT dim, round(w, 6) AS loading, round(nrm, 6) AS eigenvalue FROM v3"
+      },
+    ),
   )
 }
