@@ -282,6 +282,73 @@ object Streams {
       }
   }
 
+  /** One finalized (user, day) time-weighted average. */
+  final case class TwapRow(user_id: Long, d: String, n_events: Long, twap: Option[Double])
+
+  /** Per-(user, day) TWAP fold state: last event seen + accumulators. */
+  final case class TwapState(
+      prevTsUs: Long, prevV: Double, accW: Double, accDurUs: Double, n: Long)
+
+  /** Streaming TWAP — batch q157 as keyed event-time state: each
+    * arriving event closes the previous event's "current" interval
+    * (weight = duration to the next observation), and the (user, day)
+    * aggregate emits ONCE, when the watermark passes the end of the
+    * day (EventTimeTimeout) — the finalize-on-watermark discipline a
+    * stream needs because "the last event of the day carries no
+    * weight" is only decidable once the day can no longer receive
+    * events. State per key is four numbers + a count; single-event
+    * days finalize with twap = None exactly like the batch NULL. Rows
+    * fold in (ts, event_id) order within each micro-batch, so
+    * chronological replay reproduces q157 (StreamingTwapSpec proves
+    * it on the fixture against the oracle-gated batch query).
+    */
+  def twapStream(
+      events: DataFrame, // needs ts TIMESTAMP, user_id LONG, event_id LONG, value DOUBLE
+      lateness: String = "1 hour",
+  ): org.apache.spark.sql.Dataset[TwapRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // `ts` itself must survive the projection — the watermark tag
+    // rides the column, and EventTimeTimeout refuses to run without it
+    events
+      .withWatermark("ts", lateness)
+      .selectExpr("user_id", "date_format(ts, 'yyyy-MM-dd') AS d",
+        "ts", "event_id", "value")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[TwapState, TwapRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((uid, d), rows, state: GroupState[TwapState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val twap =
+              if (st.accDurUs > 0) Some(math.rint(st.accW / st.accDurUs * 1e6) / 1e6)
+              else None
+            Iterator.single(TwapRow(uid, d, st.n, twap))
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+            var st = state.getOption.getOrElse(TwapState(-1L, 0.0, 0.0, 0.0, 0L))
+            rows.toSeq.sortBy(r => (micros(r._3), r._4)).foreach { case (_, _, t, _, v) =>
+              val tsUs = micros(t)
+              if (st.prevTsUs >= 0) {
+                val dur = (tsUs - st.prevTsUs).toDouble
+                st = st.copy(accW = st.accW + st.prevV * dur,
+                  accDurUs = st.accDurUs + dur)
+              }
+              st = st.copy(prevTsUs = tsUs, prevV = v, n = st.n + 1)
+            }
+            state.update(st)
+            // finalize when the watermark passes the END of this day
+            val dayEndMs =
+              (java.time.LocalDate.parse(d).toEpochDay + 1) * 86400000L
+            state.setTimeoutTimestamp(dayEndMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming near-dup candidate pairs: q29's banded-SimHash machinery
     * as watermark-bounded keyed state. The incoming stream carries
     * per-document 32-bit SimHash signatures (computed upstream by the
