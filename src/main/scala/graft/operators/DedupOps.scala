@@ -1023,6 +1023,74 @@ object DedupOps {
           "AS novelty_share " +
           "FROM g JOIN fs USING (fp) GROUP BY 1"),
     ),
+    QuerySpec(
+      // Asymmetric set-CONTAINMENT join (|A∩B|/|A| ≥ 0.8, A ≠ B) —
+      // the subset-duplicate detector q142's symmetric Jaccard
+      // misses: a snippet quoted inside a long doc scores near-zero
+      // Jaccard but full containment. Same exact-join family as
+      // q142: candidates via the containment prefix filter (if B
+      // shares NONE of A's L = n−⌈0.8n⌉+1 rarest shingles, then
+      // |A∩B| ≤ n−L < 0.8n — so A's prefix joined against B's FULL
+      // shingle list is a lossless candidate set), verification by
+      // per-pair array intersection, thresholds in exact integer
+      // form (inter·10 ≥ 8·n — 0.8·n in doubles is not exact).
+      // Corpus is the q142 derived one (base + 85%-prefix twin), so
+      // true containments exist by construction. The oracle
+      // recomputes intersections over co-shingled pairs only — the
+      // q142 oracle's no-all-pairs shape.
+      "q177_containment_join",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val derived = base.unionByName(
+          base.select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
+              .as("toks")))
+          .repartition(col("doc_id"))
+        val sh = derived
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+            .as("sh"))
+          .distinct()
+          .localCheckpoint()
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+        val wDoc = Window.partitionBy("doc_id")
+        val prefix = sh.join(dfreq, "sh")
+          .select(col("doc_id"), col("sh"),
+            row_number().over(wPos).as("pos"),
+            count(lit(1)).over(wDoc).as("n"))
+          .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
+          .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+        val cand = prefix
+          .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
+          .filter(col("da") =!= col("db"))
+          .select("da", "db", "na").distinct()
+        val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+        cand
+          .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+          .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+          .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+          .filter(col("inter") * 10 >= col("na") * 8)
+          .select(col("da"), col("db"),
+            round(col("inter") / col("na").cast("double"), 6).as("containment"))
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
+          "WHERE len(string_split(text,' ')) >= 3), " +
+          "d AS (SELECT doc_id, toks FROM t " +
+          "UNION ALL SELECT doc_id + 1000000, " +
+          "toks[1:greatest(3, (17 * len(toks) + 19) // 20)] FROM t), " +
+          "s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh " +
+          "FROM d, unnest(range(1, len(toks)-1)) AS u(i)), " +
+          "sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1), " +
+          "p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS inter FROM s a " +
+          "JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+          "SELECT da, db, round(CAST(inter AS DOUBLE) / x.n, 6) AS containment " +
+          "FROM p JOIN sz x ON p.da = x.doc_id WHERE inter * 10 >= 8 * x.n"),
+    ),
   )
 
   /** q142 internals, exposed so the spec and the DedupScale audit can
