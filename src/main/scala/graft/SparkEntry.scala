@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TypedOps.specs ++
       operators.GraphOps.specs ++
       operators.ModernSqlOps.specs ++
-      operators.GeoOps.specs
+      operators.GeoOps.specs ++
+      operators.StatsOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1708,5 +1708,33 @@ object Relational {
           "round(pow(n - n_seg * n_reg / CAST(n_tot AS DOUBLE), 2) " +
           "/ (n_seg * n_reg / CAST(n_tot AS DOUBLE)), 6) AS chi2_contrib FROM m"),
     ),
+    QuerySpec(
+      // UNPIVOT / melt — wide-to-long reshape, the inverse of q36b's
+      // pivot. Spark's native `Dataset.unpivot` is a zero-shuffle
+      // narrow transform (each input row emits its 4 measure rows in
+      // place; no exchange appears in the plan), which is exactly how
+      // a reshape must behave at 100 TB — melting must never cost a
+      // shuffle. Sampled to 1-in-10 orders by key arithmetic (pushed
+      // to the scan) to keep the verify frame bounded.
+      "q181_unpivot",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+        li.unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric",
+          "val")
+      },
+      Some(
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val " +
+          "FROM lineitem WHERE l_orderkey % 10 = 0 " +
+          "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice " +
+          "FROM lineitem WHERE l_orderkey % 10 = 0 " +
+          "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount " +
+          "FROM lineitem WHERE l_orderkey % 10 = 0 " +
+          "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax " +
+          "FROM lineitem WHERE l_orderkey % 10 = 0"),
+    ),
   )
 }

@@ -234,5 +234,97 @@ object ScaleJoins {
           "SUM(l_quantity) AS sum_qty " +
           "FROM b JOIN supplier ON sk = s_suppkey GROUP BY s_name"),
     ),
+    QuerySpec(
+      // Z-order (Morton) clustering key — the data-layout move behind
+      // Delta/Iceberg OPTIMIZE ZORDER: interleaving the bits of two
+      // quantized dimensions gives ONE sort key under which any
+      // contiguous key range touches a bounded rectangle of BOTH
+      // dimensions, so min/max file statistics prune scans on either
+      // predicate. The gated output is the locality contract itself:
+      // per 64-wide z-range, the spanned (x, y) rectangle — bounded
+      // spans are what make multi-dim pruning work. All-integer bit
+      // arithmetic (shift/and/add), bit-identical cross-engine; the
+      // interleave is a zero-shuffle narrow expression at any scale.
+      "q182_zorder_locality",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(
+            floor(col("l_quantity")).cast("long").as("x"),
+            floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("y"))
+        li.withColumn("z", expr(zInterleaveSql("x", "y", spark = true)))
+          .withColumn("zbucket", expr("shiftright(z, 6)"))
+          .groupBy("zbucket")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .withColumn("x_span", col("max_x") - col("min_x"))
+          .withColumn("y_span", col("max_y") - col("min_y"))
+      },
+      Some(
+        "WITH d AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x, " +
+          "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y FROM lineitem), " +
+          s"z AS (SELECT x, y, ${zInterleaveSql("x", "y", spark = false)} AS z FROM d) " +
+          "SELECT z >> 6 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+          "MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y, " +
+          "MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span " +
+          "FROM z GROUP BY 1"),
+    ),
+    QuerySpec(
+      // Compaction planner — the small-file answer at 100 TB: roll the
+      // per-source file inventory (metadata-sized, like every real
+      // table-format manifest) into target-sized compaction bins by
+      // cumulative-sum next-fit: files ordered largest-first within
+      // their source, bin = (running total − own size) div target.
+      // Deterministic (size-then-id ordering), all-integer, and the
+      // only window runs PER SOURCE over the inventory frame — never
+      // over data rows; the data move it plans is a file-granular
+      // rewrite downstream. Output is the plan summary a compactor
+      // would execute: per (source, bin) file count, bytes, fill.
+      "q183_compaction_plan",
+      (s, dir) => {
+        val files = Tables(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id div 50").as("fgrp"))
+          .agg(sum(col("n_chars")).as("sz"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("sz").desc, col("fgrp"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        files
+          .withColumn("cum", sum(col("sz")).over(w))
+          .withColumn("bin", expr("(cum - sz) div 2000"))
+          .groupBy("source", "bin")
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("sz")).as("bytes"),
+            min(col("sz")).as("min_file"),
+            max(col("sz")).as("max_file"))
+          .withColumn("fill", round(col("bytes") / lit(2000.0), 4))
+      },
+      Some(
+        "WITH f AS (SELECT source, doc_id // 50 AS fgrp, " +
+          "CAST(SUM(n_chars) AS BIGINT) AS sz FROM documents GROUP BY 1, 2), " +
+          "c AS (SELECT source, fgrp, sz, " +
+          "SUM(sz) OVER (PARTITION BY source ORDER BY sz DESC, fgrp " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM f) " +
+          "SELECT source, CAST((cum - sz) // 2000 AS BIGINT) AS bin, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes, " +
+          "MIN(sz) AS min_file, MAX(sz) AS max_file, " +
+          "round(SUM(sz) / 2000.0, 4) AS fill " +
+          "FROM c GROUP BY 1, 2"),
+    ),
   )
+
+  /** Morton bit-interleave of the low 6 bits of `x` and `y`, emitted in
+    * the target dialect (Spark uses shiftleft/shiftright functions,
+    * DuckDB the << / >> operators; `&` parses in both). Pure integer
+    * arithmetic — bit-identical across engines by construction.
+    */
+  private def zInterleaveSql(x: String, y: String, spark: Boolean): String = {
+    def shr(e: String, k: Int) = if (spark) s"shiftright($e, $k)" else s"($e >> $k)"
+    def shl(e: String, k: Int) = if (spark) s"shiftleft($e, $k)" else s"($e << $k)"
+    (0 until 6).map { k =>
+      s"${shl(s"(${shr(x, k)} & 1)", 2 * k)} + ${shl(s"(${shr(y, k)} & 1)", 2 * k + 1)}"
+    }.mkString("(", " + ", ")")
+  }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical-inference surface: the readouts an experimentation /
+  * data-quality stack computes over event logs at corpus scale.
+  *
+  *  - q178: per-group OLS regression via the SQL-standard `regr_*`
+  *    aggregate family — slope/intercept/R² fold as ONE combinable
+  *    moment aggregation (sums of x, y, x², xy per group), so the
+  *    whole fit is map-side-combinable scan arithmetic: no second
+  *    pass, no residual join, no driver math.
+  *  - q179: Mann-Whitney U (the rank test behind every non-parametric
+  *    A/B readout). Naively this needs a GLOBAL rank over the pooled
+  *    sample — a single-partition window at corpus scale. Here the
+  *    sample is first compressed to a value-binned frame (0.1-wide
+  *    floor bins: a combinable groupBy), and midranks are reconstructed
+  *    EXACTLY on that bins-sized frame from cumulative counts:
+  *    midrank(v) = cum_before(v) + (cnt(v)+1)/2. The only window runs
+  *    over the bins frame, bounded by the value domain, not the
+  *    corpus. Rank sums stay in BIGINT (doubled-midrank trick:
+  *    2·midrank is integral) so U is exact cross-engine; ties are
+  *    handled by construction (binning makes the tie correction the
+  *    point, not a nuisance).
+  *  - q180: robust outlier detection via MAD (median absolute
+  *    deviation) — the data-quality screen that survives the heavy
+  *    tails that break z-scores (q103's z-path flags nothing when the
+  *    outliers inflate σ themselves). Two exact interpolated-
+  *    percentile aggregations (median, then median of |x−med|) with
+  *    the group medians broadcast back; the outlier predicate
+  *    `dev > mad·4.4478` (= 3·1.4826·mad, the normal-consistency
+  *    scaling) is written with the same literal product order in both
+  *    engines so the boundary is bit-identical.
+  */
+object StatsOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      // Per-nation price~quantity fit over the supplier dimension:
+      // lineitem joins the 100-row supplier dim and the 25-row nation
+      // dim (both broadcast), then ONE moment aggregation per nation.
+      // At 100 TB this is scan-speed: the fact table never shuffles
+      // on anything but the 25-key group.
+      "q178_group_regression",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(
+            regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+            round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+      },
+      Some(
+        "SELECT n.n_name AS nation, " +
+          "CAST(regr_count(l.l_extendedprice, l.l_quantity) AS BIGINT) AS n, " +
+          "round(regr_slope(l.l_extendedprice, l.l_quantity), 4) AS slope, " +
+          "round(regr_intercept(l.l_extendedprice, l.l_quantity), 4) AS intercept, " +
+          "round(regr_r2(l.l_extendedprice, l.l_quantity), 6) AS r2 " +
+          "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+          "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY 1"),
+    ),
+    QuerySpec(
+      // Binned Mann-Whitney U: does `click` revenue stochastically
+      // dominate `purchase` revenue? The pooled sample is compressed
+      // to 0.1-wide value bins FIRST (combinable groupBy — the 100 TB
+      // move), midranks are rebuilt exactly on the bins frame, and
+      // every rank-sum stays integral: 2·midrank(v) =
+      // 2·cum_before(v) + cnt(v) + 1 is a BIGINT, so
+      // 2·R_A = Σ ca·(2·midrank) and 2·U = 2·R_A − n_a(n_a+1) are
+      // exact on both engines; doubles appear only in the final
+      // z-statistic (with the standard tie correction, which the
+      // binning makes material and the formula handles exactly).
+      "q179_mann_whitney",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            // floor(value·10), not round(value,1): floor of one IEEE
+            // multiply is bit-identical cross-engine; round() rounding
+            // modes (HALF_UP BigDecimal vs half-away) can disagree on
+            // boundary doubles and shift a row across bins.
+            floor(col("value") * lit(10.0)).cast("long").as("v"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+        val bins = ev.groupBy("v")
+          .agg(count(lit(1)).as("cnt"), sum(col("is_a")).as("ca"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = bins
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+        val agg = ranked.agg(
+          sum(col("ca")).as("n_a"),
+          sum(col("cnt") - col("ca")).as("n_b"),
+          sum(col("ca") * col("r2")).as("ra2"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+        agg
+          .withColumn("u2", col("ra2") - col("n_a") * (col("n_a") + lit(1L)))
+          .withColumn("nn", col("n_a") + col("n_b"))
+          .withColumn("u_stat", col("u2").cast("double") / lit(2.0))
+          .withColumn("sigma2",
+            col("n_a").cast("double") * col("n_b") / lit(12.0) *
+              ((col("nn") + lit(1L)).cast("double") -
+                col("ties").cast("double") / (col("nn").cast("double") * (col("nn") - lit(1L)))))
+          .withColumn("z",
+            round((col("u_stat") - col("n_a").cast("double") * col("n_b") / lit(2.0)) /
+              sqrt(col("sigma2")), 4))
+          .select(col("n_a"), col("n_b"), col("u_stat"), col("z"))
+      },
+      Some(
+        "WITH ev AS (SELECT CAST(floor(value * 10.0) AS BIGINT) AS v, " +
+          "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a " +
+          "FROM events WHERE event_type IN ('click', 'purchase')), " +
+          "bins AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS ca " +
+          "FROM ev GROUP BY 1), " +
+          "ranked AS (SELECT v, cnt, ca, " +
+          "SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+          "FROM bins), " +
+          "agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cnt - ca) AS BIGINT) AS n_b, " +
+          "CAST(SUM(ca * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS ra2, " +
+          "CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties FROM ranked) " +
+          "SELECT n_a, n_b, " +
+          "CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat, " +
+          "round((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0) / " +
+          "sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - " +
+          "CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS z " +
+          "FROM agg"),
+    ),
+    QuerySpec(
+      // MAD robust outliers per event type: median via exact
+      // interpolated percentile (cross-engine parity established by
+      // q13c), deviations against the broadcast-back medians, second
+      // exact median for the MAD, then one conditional count. Three
+      // scan passes, all combinable aggregations on a 5-key group —
+      // scan-speed at any scale. The 4.4478 multiplier is written as
+      // one literal product on both sides so the cut boundary is
+      // bit-identical.
+      "q180_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(first(col("med")), 6).as("med"),
+            round(first(col("mad")), 6).as("mad"),
+            sum(when(col("dev") > col("mad") * lit(4.4478), 1L).otherwise(0L)).as("n_outliers"))
+      },
+      Some(
+        "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+          "FROM events GROUP BY 1), " +
+          "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med " +
+          "FROM events e JOIN med m USING (event_type)), " +
+          "mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1) " +
+          "SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+          "round(MIN(d.med), 6) AS med, round(MIN(a.mad), 6) AS mad, " +
+          "CAST(SUM(CASE WHEN d.dev > a.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+          "FROM dev d JOIN mad a USING (event_type) GROUP BY 1"),
+    ),
+  )
+}
