@@ -313,5 +313,68 @@ object GraphOps {
           "UNION SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.id WHERE b.d < 3) " +
           "SELECT id, CAST(MIN(d) AS BIGINT) AS hops FROM bfs GROUP BY 1"),
     ),
+    QuerySpec(
+      // Bounded-hop weighted shortest path (Bellman-Ford, 4 relaxation
+      // rounds) — q169's BFS generalized to weighted edges: edge cost
+      // = the (cust, supp) lineitem count, path cost = sum along the
+      // path, a node keeps its cheapest ≤4-edge path from the seed
+      // set. Each round is ONE keyed join of the once-materialized
+      // edge list against the nodes-sized dist frame plus a
+      // combinable min-agg, checkpointed per round so lineage stays
+      // flat — the level-synchronous Bellman-Ford shape that scales
+      // (Pregel does exactly this with incremental frontiers; the
+      // fixed round count keeps the oracle expressible as chained
+      // CTEs rather than an exploding path enumeration). Costs stay
+      // BIGINT end-to-end, so relaxation is exact on both engines and
+      // min() needs no float tolerance.
+      "q184_weighted_sssp",
+      (s, dir) => {
+        val edges = weightedTradeEdges(s, dir).localCheckpoint()
+        val seeds = Seq(2L, 4L, 6L, 8L, 10L)
+        var dist = edges.select(col("src").as("id")).distinct()
+          .filter(col("id").isin(seeds: _*))
+          .withColumn("d", lit(0L))
+          .localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val relaxed = edges
+            .join(dist, col("src") === col("id"))
+            .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+          dist = dist.unionByName(relaxed)
+            .groupBy("id").agg(min(col("d")).as("d"))
+            .localCheckpoint(true)
+        }
+        dist.select(col("id"), col("d").as("cost"))
+      },
+      Some {
+        def iter(prev: String, nm: String): String =
+          s"$nm AS (SELECT id, MIN(d) AS d FROM (" +
+            s"SELECT id, d FROM $prev UNION ALL " +
+            s"SELECT e.dst, p.d + e.w FROM $prev p JOIN edges e ON e.src = p.id" +
+            ") GROUP BY 1)"
+        "WITH p AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, " +
+          "CAST(COUNT(*) AS BIGINT) AS w " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+          "edges AS (SELECT c AS src, s AS dst, w FROM p UNION ALL SELECT s, c, w FROM p), " +
+          "d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS d FROM edges " +
+          "WHERE src IN (2, 4, 6, 8, 10)), " +
+          s"${iter("d0", "d1")}, ${iter("d1", "d2")}, ${iter("d2", "d3")}, ${iter("d3", "d4")} " +
+          "SELECT id, CAST(d AS BIGINT) AS cost FROM d4"
+      },
+    ),
   )
+
+  /** [[tradeEdges]] with an integral weight: the lineitem count behind
+    * each (customer, supplier) pair, symmetrized. One groupBy replaces
+    * the distinct — same single shuffle.
+    */
+  private def weightedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst"), col("w")))
+  }
 }

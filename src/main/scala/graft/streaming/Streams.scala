@@ -514,6 +514,26 @@ object Streams {
     * key churn a TTL timeout would cap it, left NoTimeout here because
     * the key domain (users) is the dimension being materialized.
     */
+  /** First-seen detection — the streaming half of batch q158's
+    * new-vs-returning split: emit each user's FIRST-ever event, exactly
+    * once, the moment it arrives; every later event of that user is
+    * swallowed. Built entirely from the engine's streaming dedup
+    * (`dropDuplicates` on the key alone — no watermark column, so
+    * state is retained forever): first-ever semantics genuinely
+    * requires remembering every user id seen, and that is the honest
+    * minimum state — DISTINCT-users-sized, not events-sized (per-key
+    * bytes: just the key). On a chronologically replayed log the
+    * emitted rows are exactly batch q158's (user → first day)
+    * attribution; StreamingFirstSeenSpec proves it, plus the
+    * exactly-once-per-user contract under re-appearances across
+    * micro-batches.
+    */
+  def firstSeenStream(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id")
+      .select(col("user_id"), col("ts").as("first_ts"),
+        to_date(col("ts")).as("first_day"))
+
   def upsertStream(
       events: DataFrame, // needs user_id, event_id, ts, event_type, value
   ): org.apache.spark.sql.Dataset[LatestRow] = {

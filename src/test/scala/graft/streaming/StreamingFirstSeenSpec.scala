@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+// Top-level for encoder codegen (see StreamsSpec note).
+case class FsEv(user_id: Long, ts: Timestamp, event_type: String)
+
+/** firstSeenStream ≡ batch q158's new-user attribution on a
+  * chronologically replayed log: one emission per user ever (even when
+  * the user re-appears in later micro-batches), carrying the user's
+  * true first event, and the per-day rollup of emissions equals the
+  * batch new_users-per-day frame.
+  */
+class StreamingFirstSeenSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    FsEv(1, ts("2024-01-01 09:00:00"), "view"),
+    FsEv(1, ts("2024-01-01 09:05:00"), "click"), // same batch repeat — swallowed
+    FsEv(2, ts("2024-01-01 10:00:00"), "view"))
+  private val batch2 = Seq(
+    FsEv(1, ts("2024-01-02 08:00:00"), "view"), // returning — swallowed
+    FsEv(3, ts("2024-01-02 09:00:00"), "signup"))
+  private val batch3 = Seq(
+    FsEv(2, ts("2024-01-03 11:00:00"), "purchase"), // returning — swallowed
+    FsEv(4, ts("2024-01-03 12:00:00"), "view"),
+    FsEv(4, ts("2024-01-03 12:30:00"), "view")) // same batch repeat
+
+  test("firstSeenStream emits each user once with the true first event; day rollup = batch new_users") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[FsEv]
+    val q = Streams.firstSeenStream(input.toDF())
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
+      val emitted = s.table("first_seen")
+        .select(col("user_id"), col("first_ts"), col("first_day").cast("string"))
+        .as[(Long, Timestamp, String)].collect().toSeq
+
+      // exactly once per user
+      assert(emitted.map(_._1).sorted == Seq(1L, 2L, 3L, 4L))
+
+      // each emission is the user's true earliest event of the history
+      val all = batch1 ++ batch2 ++ batch3
+      val expectedFirst = all.groupBy(_.user_id)
+        .map { case (u, es) => u -> es.minBy(_.ts.getTime).ts }
+      emitted.foreach { case (u, t, _) => assert(t == expectedFirst(u), s"user $u") }
+
+      // per-day rollup of emissions = batch q158 new_users frame
+      val got = emitted.groupBy(_._3).map { case (d, rs) => d -> rs.size.toLong }
+      val expected = all.toDS().toDF()
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("fd"))
+        .groupBy(col("fd").cast("string")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+}
