@@ -148,4 +148,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(b"),
       s"phase-1 skyline window lost its bucket partitioning: ${p.take(1200)}")
   }
+
+  test("q181 (unpivot): melting is a zero-shuffle narrow transform") {
+    val p = plan("q181_unpivot")
+    assert(countOccurrences(p, "Exchange") == 0,
+      s"unpivot plan shuffles: ${p.take(800)}")
+    // the 1-in-10 sample predicate reaches the scan
+    assert(p.contains("PushedFilters:"), p.take(800))
+  }
+
+  test("q182 (z-order): interleave is in-scan arithmetic — one exchange for the final agg") {
+    val p = plan("q182_zorder_locality")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("ScalaUDF"), s"interleave fell out of codegen: ${p.take(800)}")
+  }
+
+  test("q178 (group regression): both dims broadcast — the fact table shuffles only on the group key") {
+    val p = plan("q178_group_regression")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 2, p.take(800))
+    assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(800))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+  }
 }
