@@ -883,5 +883,64 @@ object CurationOps {
           "SELECT host, domain, ref, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
           "MIN(path) AS first_path FROM d GROUP BY 1, 2, 3"),
     ),
+    QuerySpec(
+      // Per-source quantile normalization — make quality scores
+      // comparable ACROSS sources before q45's mixture sampling:
+      // a raw score cut keeps the verbose source's junk and drops the
+      // terse source's gems; rank-normalizing within source first
+      // makes one global threshold mean the same thing everywhere.
+      // ONE source-partitioned window (deterministic (score, doc_id)
+      // ordering makes ranks unique, so percent_rank is the same
+      // exact rational on both engines — no tie ambiguity), then the
+      // decile from integer-exact floor arithmetic. Source partitions
+      // shard the window at scale; no global pass anywhere.
+      "q187_quantile_normalize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("pr", percent_rank().over(win))
+          .withColumn("decile", least(floor(col("pr") * 10), lit(9L)).cast("long"))
+          .withColumn("pr", round(col("pr"), 6))
+      },
+      Some(
+        "SELECT doc_id, source, n_chars, " +
+          "round(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr, " +
+          "CAST(LEAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) " +
+          "* 10), 9) AS BIGINT) AS decile " +
+          "FROM documents"),
+    ),
+    QuerySpec(
+      // l-diversity — the check k-anonymity (q152) misses: a cell can
+      // hold ≥k rows that all share ONE sensitive value, so membership
+      // still leaks the attribute. Per quasi-identifier cell
+      // (nation × account-balance band): row count, distinct sensitive
+      // values (market segment), and the l≥3 verdict. Computed as two
+      // stacked combinable groupBys (cell+segment counts, then cell
+      // rollup) — the exact-distinct-without-a-distinct shape that
+      // survives any scale.
+      "q188_l_diversity",
+      (s, dir) => {
+        val cells = Tables(s, dir, "customer")
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+          .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+          .agg(count(lit(1)).as("n_seg"))
+        cells.groupBy("c_nationkey", "bal_band")
+          .agg(
+            sum(col("n_seg")).as("n"),
+            count(lit(1)).as("l_distinct"))
+          .withColumn("diverse", col("l_distinct") >= 3)
+      },
+      Some(
+        "WITH cells AS (SELECT c_nationkey, " +
+          "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band, c_mktsegment, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_seg FROM customer GROUP BY 1, 2, 3) " +
+          "SELECT c_nationkey, bal_band, CAST(SUM(n_seg) AS BIGINT) AS n, " +
+          "CAST(COUNT(*) AS BIGINT) AS l_distinct, COUNT(*) >= 3 AS diverse " +
+          "FROM cells GROUP BY 1, 2"),
+    ),
   )
 }

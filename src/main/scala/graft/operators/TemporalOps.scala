@@ -865,5 +865,43 @@ object TemporalOps {
           "round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_welch " +
           "FROM g"),
     ),
+    QuerySpec(
+      // Last-touch attribution — which channel gets credit for each
+      // purchase: the most recent preceding non-purchase, non-error
+      // event of the same user (or 'direct' if none). ONE per-user
+      // window pass with LAST_VALUE(tag IGNORE NULLS) over the
+      // everything-before-me frame — the carry-forward idiom (q123's
+      // SCD-2 lookup, gap-fill) applied to attribution; no self-join,
+      // no per-purchase scan. Then a 4-key combinable rollup. The
+      // window is user-partitioned, so the corpus never
+      // single-partitions; (ts, event_id) ordering pins ties.
+      "q186_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+          .withColumn("tag",
+            when(!col("event_type").isin("purchase", "error"), col("event_type")))
+        ev.withColumn("channel", coalesce(last(col("tag"), ignoreNulls = true).over(win),
+            lit("direct")))
+          .filter(col("event_type") === "purchase")
+          .groupBy("channel")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            round(sum(col("value")), 4).as("revenue"))
+      },
+      Some(
+        "WITH t AS (SELECT user_id, ts, event_id, event_type, value, " +
+          "CASE WHEN event_type NOT IN ('purchase', 'error') THEN event_type END AS tag " +
+          "FROM events), " +
+          "a AS (SELECT event_type, value, COALESCE(LAST_VALUE(tag IGNORE NULLS) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS channel FROM t) " +
+          "SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+          "round(SUM(value), 4) AS revenue " +
+          "FROM a WHERE event_type = 'purchase' GROUP BY 1"),
+    ),
   )
 }

@@ -391,5 +391,53 @@ object WindowOps {
           "CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_total " +
           "FROM m"),
     ),
+    QuerySpec(
+      // EWMA smoothing (α = 0.25, 16-lag truncation) — the trend line
+      // every metrics pipeline draws. EWMA is inherently recursive
+      // (y_i = αx_i + (1−α)y_{i−1}), which doesn't parallelize; the
+      // engine shape is the TRUNCATED closed form: y_i ≈
+      // Σ_k w_k·x_{i−k} / Σ_k w_k over the last 16 lags (the dropped
+      // tail weighs (1−α)^16 ≈ 1%), computed as ONE per-user window
+      // pass over 16 LAG columns — no self-join, no state, and the
+      // partial-window head normalizes by the weights actually
+      // present. Weights (3/4)^k are binary-exact doubles emitted as
+      // exact decimal literals, and both engines fold the identical
+      // left-associated expression tree, so the result is
+      // bit-identical before the display rounding. Sampled 1-in-50
+      // users to bound the verify frame.
+      "q185_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // (3/4)^k by repeated multiplication: every step is exact in
+        // binary (3^k < 2^53), so these literals are the true weights
+        val w16 = Iterator.iterate(1.0)(_ * 0.75).take(16).toSeq
+        val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .filter(pmod(col("user_id"), lit(50)) === 0)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val num = w16.zipWithIndex.map { case (w, k) =>
+          lit(w) * coalesce(lag(col("value"), k).over(win), lit(0.0))
+        }.reduce(_ + _)
+        val den = w16.zipWithIndex.map { case (w, k) =>
+          lit(w) * when(lag(col("value"), k).over(win).isNotNull, 1.0).otherwise(0.0)
+        }.reduce(_ + _)
+        ev.withColumn("ewma", round(num / den, 6))
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
+      },
+      Some {
+        val w16 = Iterator.iterate(java.math.BigDecimal.ONE)(
+          _.multiply(new java.math.BigDecimal("0.75"))).take(16).toSeq
+        val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        val num = w16.zipWithIndex.map { case (w, k) =>
+          s"${w.toPlainString} * COALESCE(LAG(value, $k) $over, 0.0)"
+        }.mkString(" + ")
+        val den = w16.zipWithIndex.map { case (w, k) =>
+          s"${w.toPlainString} * (CASE WHEN LAG(value, $k) $over IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        }.mkString(" + ")
+        "SELECT user_id, event_id, ts, value, " +
+          s"round(($num) / ($den), 6) AS ewma " +
+          "FROM events WHERE user_id % 50 = 0"
+      },
+    ),
   )
 }
