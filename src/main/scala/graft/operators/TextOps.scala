@@ -561,5 +561,37 @@ object TextOps {
           "AS postings FROM r WHERE rk <= 32 GROUP BY 1) " +
           "SELECT term, df, postings FROM df JOIN p USING (term)"),
     ),
+    QuerySpec(
+      // Sliding-window chunking with overlap — the standard LLM
+      // context-window prep (window 64 tokens, stride 48, 16-token
+      // overlap so no boundary context is lost; contrast q165's CDC
+      // chunking, which cuts content-defined instead of fixed-stride).
+      // Pure per-row arithmetic: token count → explode one
+      // chunk-index sequence per doc — a zero-shuffle narrow
+      // transform whose fan-out is n_tokens/stride, never
+      // corpus-shaped. Chunk boundaries are integer token offsets;
+      // the materialized slice stays in the engine's explode, so the
+      // text itself is never copied per chunk here.
+      "q189_overlap_chunks",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+        d.withColumn("chunk_id",
+            explode(expr("sequence(0L, (n_tok - 1) div 48)")))
+          .select(
+            col("doc_id"), col("n_tok"), col("chunk_id"),
+            (col("chunk_id") * 48).as("start_tok"),
+            least(col("chunk_id") * 48 + 64, col("n_tok")).as("end_tok"))
+          .withColumn("n_tok_chunk", col("end_tok") - col("start_tok"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+          "FROM documents) " +
+          "SELECT doc_id, n_tok, k AS chunk_id, k * 48 AS start_tok, " +
+          "LEAST(k * 48 + 64, n_tok) AS end_tok, " +
+          "LEAST(k * 48 + 64, n_tok) - k * 48 AS n_tok_chunk " +
+          "FROM d, LATERAL (SELECT CAST(unnest(generate_series(0, (n_tok - 1) // 48)) AS BIGINT) AS k)"),
+    ),
   )
 }

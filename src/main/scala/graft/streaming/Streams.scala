@@ -514,6 +514,47 @@ object Streams {
     * key churn a TTL timeout would cap it, left NoTimeout here because
     * the key domain (users) is the dimension being materialized.
     */
+  /** One attributed purchase emission. */
+  final case class AttributedPurchase(
+      user_id: Long, event_id: Long, channel: String, value: Double)
+
+  /** Real-time last-touch attribution — the streaming twin of batch
+    * q186: per user, carry the most recent non-purchase/non-error
+    * event type as the live "channel" state; each arriving purchase
+    * emits immediately, credited to that channel ('direct' when the
+    * purchase is the user's first touch). Per-key state is ONE small
+    * string + timestamp — users-sized, independent of stream length.
+    * Rows within a micro-batch are processed in (ts, event_id) order
+    * (the iterator order is not guaranteed), so on a chronologically
+    * replayed log the emissions are exactly batch q186's per-purchase
+    * attribution — StreamingAttributionSpec proves it, including a
+    * purchase and its touch arriving in the same batch, and state
+    * carrying across batches.
+    */
+  def attributionStream(
+      events: DataFrame, // needs user_id, event_id, ts, event_type, value
+  ): org.apache.spark.sql.Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[LatestRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[String]) =>
+          var channel = state.getOption.getOrElse("direct")
+          val out = Seq.newBuilder[AttributedPurchase]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            if (r.event_type == "purchase")
+              out += AttributedPurchase(user, r.event_id, channel, r.value)
+            else if (r.event_type != "error") channel = r.event_type
+          }
+          if (channel != "direct") state.update(channel)
+          out.result().iterator
+      }
+  }
+
   /** First-seen detection — the streaming half of batch q158's
     * new-vs-returning split: emit each user's FIRST-ever event, exactly
     * once, the moment it arrives; every later event of that user is

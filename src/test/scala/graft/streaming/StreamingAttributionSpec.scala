@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** attributionStream ≡ batch q186 last-touch attribution on a
+  * chronologically replayed log: every purchase emits exactly once, in
+  * the batch it arrives, credited to the user's most recent preceding
+  * non-purchase/non-error touch — across micro-batch boundaries, within
+  * a single batch (unsorted iterator), and 'direct' for first-touch
+  * purchases.
+  */
+class StreamingAttributionSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Streams.LatestRow(1, 10, ts("2024-01-01 09:00:00"), "click", 0.0),
+    // same-batch purchase AFTER the click (delivered out of order below)
+    Streams.LatestRow(1, 12, ts("2024-01-01 09:30:00"), "purchase", 50.0),
+    Streams.LatestRow(2, 11, ts("2024-01-01 09:10:00"), "purchase", 20.0)) // first touch → direct
+  private val batch2 = Seq(
+    Streams.LatestRow(1, 13, ts("2024-01-01 10:00:00"), "view", 0.0),
+    Streams.LatestRow(1, 14, ts("2024-01-01 10:05:00"), "error", 0.0), // must NOT become the channel
+    Streams.LatestRow(2, 15, ts("2024-01-01 10:10:00"), "signup", 0.0))
+  private val batch3 = Seq(
+    Streams.LatestRow(1, 16, ts("2024-01-01 11:00:00"), "purchase", 30.0), // view (carried from b2)
+    Streams.LatestRow(2, 17, ts("2024-01-01 11:05:00"), "purchase", 40.0)) // signup
+
+  test("attributionStream ≡ batch q186 attribution on chronological replay") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Streams.LatestRow]
+    // deliver batch1 deliberately out of (ts, event_id) order: the
+    // handler must sort within the batch
+    val q = Streams.attributionStream(input.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1.reverse: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
+      val emitted = s.table("attr")
+        .select("user_id", "event_id", "channel", "value")
+        .as[(Long, Long, String, Double)].collect().toSeq.sortBy(_._2)
+
+      // batch q186 over the full replayed history
+      val all = (batch1 ++ batch2 ++ batch3).toDS().toDF()
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val expected = all
+        .withColumn("tag",
+          when(!col("event_type").isin("purchase", "error"), col("event_type")))
+        .withColumn("channel",
+          coalesce(last(col("tag"), ignoreNulls = true).over(win), lit("direct")))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "channel", "value")
+        .as[(Long, Long, String, Double)].collect().toSeq.sortBy(_._2)
+
+      assert(emitted == expected)
+      // and the concrete credits are what the scenario says they are
+      assert(emitted.map(e => e._2 -> e._3).toMap ==
+        Map(12L -> "click", 11L -> "direct", 16L -> "view", 17L -> "signup"))
+    } finally q.stop()
+  }
+}
