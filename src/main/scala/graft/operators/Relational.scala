@@ -1736,5 +1736,55 @@ object Relational {
           "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax " +
           "FROM lineitem WHERE l_orderkey % 10 = 0"),
     ),
+    QuerySpec(
+      // Referential-integrity audit — the FK health check a warehouse
+      // runs before trusting joins: for every FK edge of the star
+      // schema, total rows vs orphans (child keys with no parent).
+      // Each edge is one broadcast LEFT ANTI join against the parent's
+      // key column only (pruned scan) + a count — at 100 TB the fact
+      // tables stream once per edge and nothing shuffles; dims stay
+      // broadcast. A clean audit (0 orphans everywhere) is the
+      // contract the fixtures must satisfy; the gate pins the exact
+      // row totals so a short scan can't fake it.
+      "q192_ri_audit",
+      (s, dir) => {
+        def edge(name: String, child: DataFrame, childKey: String,
+            parent: DataFrame, parentKey: String): DataFrame =
+          // one pass: broadcast left join against the parent's
+          // DISTINCT keys (robust even if a parent key duplicated),
+          // then rows and orphans fold in the same aggregation
+          child.select(col(childKey))
+            .join(broadcast(parent.select(col(parentKey)).distinct()),
+              col(childKey) === col(parentKey), "left")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+              (col("n_orphans") === 0).as("ok"))
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        edge("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey")
+          .unionByName(edge("lineitem.partkey", li, "l_partkey", t(s, dir, "part"), "p_partkey"))
+          .unionByName(edge("lineitem.suppkey", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+          .unionByName(edge("orders.custkey", ord, "o_custkey", cust, "c_custkey"))
+          .unionByName(edge("customer.nationkey", cust, "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+      },
+      Some {
+        def edge(name: String, child: String, ck: String, parent: String, pk: String) =
+          s"SELECT '$name' AS fk_edge, " +
+            s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_rows, " +
+            s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $child WHERE $ck NOT IN " +
+            s"(SELECT $pk FROM $parent)) AS n_orphans, " +
+            s"(SELECT COUNT(*) FROM $child WHERE $ck NOT IN (SELECT $pk FROM $parent)) = 0 AS ok"
+        Seq(
+          edge("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+          edge("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ).mkString(" UNION ALL ")
+      },
+    ),
   )
 }

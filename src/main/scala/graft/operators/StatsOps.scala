@@ -172,5 +172,45 @@ object StatsOps {
           "CAST(SUM(CASE WHEN d.dev > a.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
           "FROM dev d JOIN mad a USING (event_type) GROUP BY 1"),
     ),
+    QuerySpec(
+      // Exact weighted median (quantity weighted by revenue) — the
+      // "half the DOLLARS ship at or below this quantity" statistic.
+      // Same compression move as q179: the corpus folds to a
+      // (flag × quantity)-keyed frame first (combinable groupBy over
+      // ≤ 3×50 cells), cumulative weights run over that tiny frame,
+      // and the median is the least value whose doubled cumulative
+      // weight reaches the total. Weights are DECIMAL(18,2)
+      // end-to-end, so the cumw·2 ≥ total boundary is EXACT on both
+      // engines — a double-summed weight could flip the selected cell
+      // by one ULP; exact money math cannot.
+      "q191_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+          .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("w"))
+        val win = Window.partitionBy("l_returnflag").orderBy("qty")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("l_returnflag")
+        cells
+          .withColumn("cumw", sum(col("w")).over(win))
+          .withColumn("total", sum(col("w")).over(tot))
+          .filter(col("cumw") * 2 >= col("total"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(col("qty")).as("w_median_qty"),
+            first(col("total")).cast("double").as("total_weight"))
+      },
+      Some(
+        "WITH cells AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, " +
+          "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w FROM lineitem GROUP BY 1, 2), " +
+          "c AS (SELECT l_returnflag, qty, " +
+          "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, " +
+          "SUM(w) OVER (PARTITION BY l_returnflag) AS total FROM cells) " +
+          "SELECT l_returnflag, MIN(qty) AS w_median_qty, " +
+          "CAST(MIN(total) AS DOUBLE) AS total_weight " +
+          "FROM c WHERE cumw * 2 >= total GROUP BY 1"),
+    ),
   )
 }

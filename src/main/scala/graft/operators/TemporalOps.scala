@@ -332,6 +332,37 @@ object TemporalOps {
           "WHERE next_type IS NOT NULL GROUP BY 1, 2"),
     ),
     QuerySpec(
+      // Top event-path trigrams — q107's Markov transitions extended
+      // one step: the 3-step user journeys product analytics actually
+      // reads (view→click→purchase vs view→click→error). Two LEADs
+      // over the SAME user window (one shuffle, one sort — Spark
+      // collapses same-spec window functions into one Window node),
+      // combinable trigram count, then a deterministic top-20
+      // (count desc, path asc) that plans as TakeOrderedAndProject,
+      // not a global sort.
+      "q190_path_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+          .limit(20)
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, " +
+          "date_trunc('microseconds', ts) AS ts FROM events), " +
+          "l AS (SELECT event_type AS e1, " +
+          "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
+          "LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 FROM e) " +
+          "SELECT e1, e2, e3, COUNT(*) AS n FROM l WHERE e3 IS NOT NULL " +
+          "GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20"),
+    ),
+    QuerySpec(
       // Last-touch attribution: each purchase credits the most recent
       // preceding click by the same user within 24 h — q41's
       // union-and-carry-forward as-of pattern applied to marketing
