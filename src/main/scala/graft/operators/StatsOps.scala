@@ -212,5 +212,76 @@ object StatsOps {
           "CAST(MIN(total) AS DOUBLE) AS total_weight " +
           "FROM c WHERE cumw * 2 >= total GROUP BY 1"),
     ),
+    QuerySpec(
+      // Metric correlation matrix — which event streams move together
+      // day to day (the ops dashboard's "are errors tracking
+      // traffic?"). Daily per-type totals fold combinably; the
+      // days-sized frame then self-joins on the day key (type-pair ×
+      // days rows, bounded by 5²·days — never corpus-shaped) and each
+      // pair folds through the corr() moment aggregate in one pass.
+      // Deterministic pair orientation (ta < tb) halves the matrix.
+      "q193_metric_corr",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).cast("double").as("v"))
+        val a = daily.select(col("d"), col("event_type").as("ta"), col("v").as("va"))
+        val b = daily.select(col("d"), col("event_type").as("tb"), col("v").as("vb"))
+        a.join(b, Seq("d"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(
+            count(lit(1)).as("n_days"),
+            round(corr(col("va"), col("vb")), 4).as("r"))
+      },
+      Some(
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, " +
+          "CAST(COUNT(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2) " +
+          "SELECT a.event_type AS ta, b.event_type AS tb, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_days, round(corr(a.v, b.v), 4) AS r " +
+          "FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type " +
+          "GROUP BY 1, 2"),
+    ),
+    QuerySpec(
+      // Distribution drift monitor — compare the live half of the log
+      // against the reference half, per event type: count ratio, mean
+      // shift in MAD-robust units (q180's scale), and the
+      // rate-of-change verdict a pipeline alerts on. Deterministic
+      // halves (day-of-month split), everything combinable, the
+      // comparison row-local on the 5-type frame. This is the
+      // training-data freshness check run before every corpus refresh.
+      "q194_drift_monitor",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("half",
+            when(dayofmonth(col("ts")) <= 15, "ref").otherwise("live"))
+        val stats = ev.groupBy("event_type", "half")
+          .agg(
+            count(lit(1)).as("n"),
+            avg(col("value")).as("mean"),
+            stddev_samp(col("value")).as("sd"))
+        val ref = stats.filter(col("half") === "ref")
+          .select(col("event_type"), col("n").as("n_ref"),
+            col("mean").as("m_ref"), col("sd").as("sd_ref"))
+        val live = stats.filter(col("half") === "live")
+          .select(col("event_type"), col("n").as("n_live"), col("mean").as("m_live"))
+        ref.join(live, Seq("event_type"))
+          .select(
+            col("event_type"),
+            col("n_ref"), col("n_live"),
+            round(col("n_live") / col("n_ref").cast("double"), 4).as("count_ratio"),
+            round((col("m_live") - col("m_ref")) / col("sd_ref"), 4).as("mean_shift_sd"))
+      },
+      Some(
+        "WITH st AS (SELECT event_type, " +
+          "CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'ref' ELSE 'live' END AS half, " +
+          "CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS mean, STDDEV_SAMP(value) AS sd " +
+          "FROM events GROUP BY 1, 2) " +
+          "SELECT r.event_type, r.n AS n_ref, l.n AS n_live, " +
+          "round(l.n / CAST(r.n AS DOUBLE), 4) AS count_ratio, " +
+          "round((l.mean - r.mean) / r.sd, 4) AS mean_shift_sd " +
+          "FROM st r JOIN st l ON r.event_type = l.event_type " +
+          "AND r.half = 'ref' AND l.half = 'live'"),
+    ),
   )
 }
