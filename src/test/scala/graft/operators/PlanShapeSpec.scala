@@ -169,4 +169,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(800))
     assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
   }
+
+  test("q190 (path trigrams): top-20 is TakeOrderedAndProject; both LEADs share one Window node") {
+    val p = plan("q190_path_trigrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(countOccurrences(p, "Window") == 1,
+      s"same-spec LEADs split into multiple window passes: ${p.take(800)}")
+  }
+
+  test("q192 (RI audit): every FK edge joins broadcast — fact tables never shuffle") {
+    val p = plan("q192_ri_audit")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 5, p.take(1200))
+    assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(1200))
+  }
 }
