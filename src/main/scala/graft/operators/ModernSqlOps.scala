@@ -384,6 +384,77 @@ object ModernSqlOps {
           "CAST(COUNT(*) AS BIGINT) AS n_items " +
           "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1"),
     ),
+    QuerySpec(
+      // KMV (k-minimum-values) distinct-INTERSECTION sketch — the set
+      // operation HLL cannot do: estimate |users(A) ∩ users(B)| for
+      // every event-type pair from 64-hash sketches instead of
+      // corpus-sized distincts. Everything is relational and
+      // bounded: per-type sketches are WindowGroupLimit top-64 by
+      // hash (64 rows/type of state, mergeable by construction — the
+      // union of two sketches re-cut to 64 IS the union sketch); the
+      // pair frame is 64 rows/pair; ρ = |U_k ∩ S_A ∩ S_B|/k and
+      // n̂_∩ = ρ·(k−1)/u_(k) are row-local arithmetic. When a pair's
+      // union has < k distinct hashes the sketch IS the set and the
+      // estimate is exact (the small-side degenerate case, handled
+      // explicitly). Gated q12b-style: the sketch estimate must land
+      // within 35% of the exactly-computed intersection (deterministic
+      // xxhash64 — one fixed draw, no flake), and the exact counts
+      // ride along as fully-checked columns.
+      "q195_kmv_intersect",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val du = Tables.events(s, dir)
+          .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+          .withColumn("h", xxhash64(col("u")))
+          .localCheckpoint(true)
+        val wt = Window.partitionBy("t").orderBy("h")
+        val sk = du.withColumn("rn", row_number().over(wt)).filter(col("rn") <= k)
+          .select(col("t"), col("h"))
+        // exact intersection (the gate's reference) doubles as the
+        // pair universe: a user-keyed EQUI self-join + filter — no
+        // nested-loop pair enumeration anywhere in the plan
+        val exact = du.select(col("t").as("ta"), col("u"))
+          .join(du.select(col("t").as("tb"), col("u")), Seq("u"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+          .localCheckpoint(true)
+        val pairs = exact.select(col("ta"), col("tb"))
+        // per-pair distinct union hashes (two equi-joins, no OR join)
+        val pu = pairs.join(du, col("t") === col("ta")).select(col("ta"), col("tb"), col("h"))
+          .unionByName(pairs.join(du, col("t") === col("tb")).select(col("ta"), col("tb"), col("h")))
+          .distinct()
+        val wp = Window.partitionBy("ta", "tb").orderBy("h")
+        val uk = pu.withColumn("rn", row_number().over(wp)).filter(col("rn") <= k)
+        // membership of each union-sketch hash in BOTH per-type sketches
+        val skA = sk.select(col("t").as("ta"), col("h"))
+        val skB = sk.select(col("t").as("tb"), col("h"))
+        val marked = uk
+          .join(skA, Seq("ta", "h"), "left_semi").select(col("ta"), col("tb"), col("h"))
+          .join(skB, Seq("tb", "h"), "left_semi")
+        val perPair = uk.groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n_u"), max(col("h")).as("h_k"))
+          .join(marked.groupBy("ta", "tb").agg(count(lit(1)).as("m")), Seq("ta", "tb"))
+        val est = perPair
+          .withColumn("u01", col("h_k").cast("double") / lit(math.pow(2.0, 64)) + lit(0.5))
+          .withColumn("n_hat_union",
+            when(col("n_u") < k, col("n_u").cast("double"))
+              .otherwise(lit((k - 1).toDouble) / col("u01")))
+          .withColumn("inter_hat",
+            col("m").cast("double") / least(col("n_u"), lit(k.toLong)).cast("double")
+              * col("n_hat_union"))
+        est.join(exact, Seq("ta", "tb"))
+          .select(
+            col("ta"), col("tb"), col("exact_inter"),
+            (abs(col("inter_hat") - col("exact_inter")) <=
+              col("exact_inter") * 0.35).as("within_tol"))
+      },
+      Some(
+        "WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events) " +
+          "SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS exact_inter, " +
+          "true AS within_tol " +
+          "FROM du a JOIN du b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2"),
+    ),
   )
 
   /** q150 body with the shard key exposed — bin counts are additive,
