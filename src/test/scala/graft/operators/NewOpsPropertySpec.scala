@@ -184,4 +184,111 @@ class NewOpsPropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected, s"sizes: got=${got.size} expected=${expected.size}")
   }
+
+  test("q179: binned-frame Mann-Whitney == naive sequential rank computation") {
+    val Seq((gna, gnb, gu, gz)) = SparkEntry.queries("q179_mann_whitney")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+
+    // witness: collect the raw sample, bin, midrank and fold in plain
+    // Scala — no windows, no cumulative-count reconstruction
+    val sample = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), floor(col("value") * 10.0).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val binned = sample.groupBy(_._2).toSeq.sortBy(_._1)
+    var cum = 0L; var ra2 = 0L; var ties = 0L
+    var na = 0L; var nb = 0L
+    for ((_, rows) <- binned) {
+      val cnt = rows.length.toLong
+      val ca = rows.count(_._1 == "click").toLong
+      ra2 += ca * (2 * cum + cnt + 1)
+      ties += cnt * cnt * cnt - cnt
+      na += ca; nb += cnt - ca; cum += cnt
+    }
+    val u = (ra2 - na * (na + 1)).toDouble / 2.0
+    val nn = na + nb
+    val sigma2 = na.toDouble * nb / 12.0 *
+      ((nn + 1).toDouble - ties.toDouble / (nn.toDouble * (nn - 1)))
+    val z = BigDecimal((u - na.toDouble * nb / 2.0) / math.sqrt(sigma2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((gna, gnb) == (na, nb))
+    assert(gu == u, s"U: $gu vs $u")
+    assert(math.abs(gz - z) <= 1e-9, s"z: $gz vs $z")
+  }
+
+  test("q184: relational Bellman-Ford == naive in-memory relaxation") {
+    val edges = {
+      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      p ++ p.map { case (c, s, w) => (s, c, w) }
+    }
+    var dist = Seq(2L, 4L, 6L, 8L, 10L)
+      .filter(s => edges.exists(_._1 == s)).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = edges.flatMap { case (src, dst, w) =>
+        dist.get(src).map(d => dst -> (d + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val got = SparkEntry.queries("q184_weighted_sssp")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist, s"sizes: got=${got.size} expected=${dist.size}")
+  }
+
+  test("q191: windowed weighted median == naive BigDecimal accumulation") {
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val byQty = rs.groupBy(_._2).view.mapValues(
+        _.map(x => BigDecimal(x._3)).sum).toSeq.sortBy(_._1)
+      val total = byQty.map(_._2).sum
+      var cum = BigDecimal(0)
+      val med = byQty.collectFirst {
+        case (q, w) if { cum += w; cum * 2 >= total } => q
+      }.get
+      flag -> (med, total.toDouble)
+    }
+    val got = SparkEntry.queries("q191_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  test("q185: windowed truncated EWMA == sequential recursion (exact on the truncated form, bounded vs the true filter)") {
+    val w16 = Iterator.iterate(1.0)(_ * 0.75).take(16).toSeq
+    val byUser = Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(50)) === 0)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val got = SparkEntry.queries("q185_ewma")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got.nonEmpty)
+    for ((u, evs) <- byUser) {
+      val vals = evs.map(_._4)
+      // true recursive filter, for the truncation bound
+      val rec = vals.tail.scanLeft(vals.head)((y, x) => 0.25 * x + 0.75 * y)
+      for (i <- vals.indices) {
+        val lags = (0 to math.min(15, i)).map(k => vals(i - k))
+        val num = lags.zip(w16).map { case (x, w) => w * x }.sum
+        val den = lags.zip(w16).map(_._2).sum
+        val expected = BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val g = got((u, evs(i)._2))
+        assert(math.abs(g - expected) <= 1e-9, s"user $u idx $i: $g vs $expected")
+        // past warm-up, the dropped tail weighs (3/4)^16 ≈ 1% of the
+        // worst-case swing (~490): the truncated filter must track the
+        // true recursion within that budget (~15 absolute here)
+        if (i >= 16)
+          assert(math.abs(g - rec(i)) <= 15.0,
+            s"truncated EWMA drifted from the true filter: $g vs ${rec(i)}")
+      }
+    }
+  }
 }
