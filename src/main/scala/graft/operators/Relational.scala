@@ -1786,5 +1786,43 @@ object Relational {
         ).mkString(" UNION ALL ")
       },
     ),
+    QuerySpec(
+      // Exact global median by TWO-PASS SELECTION — the engine answer
+      // when "exact" and "no global sort" must both hold: pass 1 bins
+      // the column (combinable 100-wide histogram) and walks the
+      // bins-sized cumulative frame to find the bin holding the target
+      // rank; pass 2 re-scans ONLY that bin's rows (predicate pushed
+      // to the scan) and takes the within-bin offset via
+      // TakeOrderedAndProject — bounded by the bin population, never
+      // the corpus. The two driver-read scalars (bin id + offset) are
+      // the same bounded-measurement pattern as q122's topKeyShare.
+      // The selected value is an actual data element, so the gate is
+      // exact equality, no float tolerance.
+      "q196_exact_median_2pass",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val price = col("l_extendedprice")
+        val li = t(s, dir, "lineitem").select(price)
+        val bins = li.groupBy(floor(price / 100).cast("long").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bins.withColumn("cum", sum(col("cnt")).over(wb))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+          .withColumn("r", expr("(n + 1) div 2"))
+          .filter(col("cum") >= col("r"))
+          .orderBy("bin").limit(1)
+          .select(col("bin"), (col("r") - (col("cum") - col("cnt"))).as("offset"), col("n"))
+          .head()
+        val (bin, offset, n) = (cum.getLong(0), cum.getLong(1), cum.getLong(2))
+        li.filter(floor(price / 100).cast("long") === bin)
+          .orderBy(price).limit(offset.toInt)
+          .agg(max(price).as("median_price"))
+          .select(lit(n).as("n_rows"), col("median_price"))
+      },
+      Some(
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows, " +
+          "(SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice " +
+          "LIMIT 1 OFFSET ((SELECT COUNT(*) FROM lineitem) + 1) // 2 - 1) AS median_price"),
+    ),
   )
 }
