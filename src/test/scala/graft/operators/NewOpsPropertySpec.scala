@@ -260,6 +260,40 @@ class NewOpsPropertySpec extends SparkSpec {
     assert(got == expected, s"$got vs $expected")
   }
 
+  test("q195: KMV estimate == Scala recompute from raw hashes; sketches merge losslessly") {
+    val k = 64
+    val du = Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      .withColumn("h", xxhash64(col("u")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = du.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    def sketch(hs: Set[Long]): Seq[Long] = hs.toSeq.sorted.take(k)
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      (ta, tb) = (types(i), types(j))
+    } yield {
+      val (ha, hb) = (byType(ta).map(_._2), byType(tb).map(_._2))
+      val (sa, sb) = (sketch(ha).toSet, sketch(hb).toSet)
+      val union = ha ++ hb
+      val uk = sketch(union)
+      // MERGEABILITY: k-smallest of (sketchA ∪ sketchB) IS the union
+      // sketch — the property that lets shards combine without raw data
+      assert(sketch(sa ++ sb) == uk, s"($ta,$tb): merged sketch != union sketch")
+      val m = uk.count(h => sa(h) && sb(h)).toLong
+      val nU = uk.length.toLong
+      val nHatU = if (nU < k) nU.toDouble
+        else (k - 1).toDouble / (uk.max.toDouble / math.pow(2.0, 64) + 0.5)
+      val interHat = m.toDouble / math.min(nU, k) * nHatU
+      val exact = byType(ta).map(_._1).intersect(byType(tb).map(_._1)).size.toLong
+      (ta, tb) -> ((exact, math.abs(interHat - exact) <= exact * 0.35))
+    }).toMap
+    val got = SparkEntry.queries("q195_kmv_intersect")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("q185: windowed truncated EWMA == sequential recursion (exact on the truncated form, bounded vs the true filter)") {
     val w16 = Iterator.iterate(1.0)(_ * 0.75).take(16).toSeq
     val byUser = Tables.events(spark, sfDir)
