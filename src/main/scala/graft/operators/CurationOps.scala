@@ -942,5 +942,79 @@ object CurationOps {
           "CAST(COUNT(*) AS BIGINT) AS l_distinct, COUNT(*) >= 3 AS diverse " +
           "FROM cells GROUP BY 1, 2"),
     ),
+    QuerySpec(
+      // Right-to-erasure cascade audit — given a forget-set of
+      // customers, size the deletion across every table it touches,
+      // INCLUDING the 2-hop fact cascade (customer → orders →
+      // lineitem). Each hop is a semi-join against the (small)
+      // forget-set / affected-key frame — broadcast both hops, facts
+      // never shuffle; counts fold per table and union into the
+      // deletion manifest a compliance job would execute. The
+      // forget-set is deterministic (custkey ≡ 0 mod 97) so the gate
+      // pins exact counts.
+      "q198_deletion_cascade",
+      (s, dir) => {
+        val forget = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+        val orders = Tables(s, dir, "orders")
+          .join(broadcast(forget), col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"))
+          .localCheckpoint(true)
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        forget.agg(count(lit(1)).as("n_delete")).select(lit("customer").as("table"), col("n_delete"))
+          .unionByName(orders.agg(count(lit(1)).as("n_delete"))
+            .select(lit("orders").as("table"), col("n_delete")))
+          .unionByName(li.agg(count(lit(1)).as("n_delete"))
+            .select(lit("lineitem").as("table"), col("n_delete")))
+      },
+      Some(
+        "SELECT 'customer' AS \"table\", CAST(COUNT(*) AS BIGINT) AS n_delete " +
+          "FROM customer WHERE c_custkey % 97 = 0 " +
+          "UNION ALL SELECT 'orders', COUNT(*) FROM orders " +
+          "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0) " +
+          "UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem WHERE l_orderkey IN " +
+          "(SELECT o_orderkey FROM orders WHERE o_custkey IN " +
+          "(SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))"),
+    ),
+    QuerySpec(
+      // Idempotent-ingest ledger — the exactly-once file manifest an
+      // incremental loader keeps: an arriving batch diffs against the
+      // ledger of already-ingested files by (id, content checksum):
+      // unseen id → ingest; seen id, same checksum → skip (the replay
+      // case); seen id, different checksum → re-ingest (the
+      // changed-file case). One broadcast full-outer join on the
+      // metadata-sized manifests (never the file bytes), decision
+      // row-local, counts fold per decision. Batch/ledger/mutation
+      // are deterministic doc_id arithmetic so every class is
+      // populated and exactly pinned.
+      "q199_ingest_ledger",
+      (s, dir) => {
+        val files = Tables(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("checksum"))
+        val ledger = files.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("checksum",
+            // every 5th ledger entry simulates a since-modified file
+            when(col("doc_id") % 5 === 0, lit("stale")).otherwise(col("checksum")))
+          .select(col("doc_id").as("l_id"), col("checksum").as("l_sum"))
+        val batch = files.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("b_id"), col("checksum").as("b_sum"))
+        batch.join(ledger, col("b_id") === col("l_id"), "left")
+          .select(
+            when(col("l_id").isNull, "ingest_new")
+              .when(col("l_sum") === col("b_sum"), "skip_replay")
+              .otherwise("reingest_changed").as("decision"))
+          .groupBy("decision").agg(count(lit(1)).as("n_files"))
+      },
+      Some(
+        "WITH files AS (SELECT doc_id, md5(text) AS checksum FROM documents), " +
+          "ledger AS (SELECT doc_id AS l_id, CASE WHEN doc_id % 5 = 0 THEN 'stale' " +
+          "ELSE checksum END AS l_sum FROM files WHERE doc_id % 3 != 0), " +
+          "batch AS (SELECT doc_id AS b_id, checksum AS b_sum FROM files WHERE doc_id % 2 = 0) " +
+          "SELECT CASE WHEN l_id IS NULL THEN 'ingest_new' " +
+          "WHEN l_sum = b_sum THEN 'skip_replay' ELSE 'reingest_changed' END AS decision, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_files " +
+          "FROM batch LEFT JOIN ledger ON b_id = l_id GROUP BY 1"),
+    ),
   )
 }
