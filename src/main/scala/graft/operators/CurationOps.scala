@@ -1016,5 +1016,72 @@ object CurationOps {
           "CAST(COUNT(*) AS BIGINT) AS n_files " +
           "FROM batch LEFT JOIN ledger ON b_id = l_id GROUP BY 1"),
     ),
+    QuerySpec(
+      // The corpus funnel report — the headline table of every
+      // curation run, and the proof the stages COMPOSE as one lazy
+      // plan: quality screen (q23's ratios) → exact-dedup keeper on
+      // normalized text (q50's normalization + q25's min-id rule,
+      // scoped to quality survivors) → per-source mixture cap (q45's
+      // deterministic md5 bucket). Stages become boolean columns, so
+      // the whole funnel is ONE scan + one md5-partitioned window +
+      // one per-source fold — per-stage doc and token counts, nothing
+      // re-scanned, monotonicity by construction (each flag ANDs the
+      // previous). At 100 TB this exact shape runs as written: the
+      // window's md5 groups are duplicate-sized, the rollup 20-keyed.
+      "q200_curation_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // the fixture has no exact duplicates at small SF, which would
+        // leave the dedup stage vacuously pass-through — so 1-in-10
+        // docs re-enters as a deterministic case/whitespace-mangled
+        // replica (q46's derive-the-feature pattern); normalization
+        // must collapse replica onto original and the min-id keeper
+        // must keep the original
+        val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+        val replicas = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+            concat(upper(col("text")), lit(" ")).as("text"))
+        val d = base.unionByName(replicas)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("n_tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .withColumn("digit_ratio",
+            expr("regexp_count(text, '[0-9]') / CAST(length(text) AS DOUBLE)"))
+          .withColumn("q_ok",
+            col("n_chars").between(60, 5000) && col("digit_ratio") < 0.3)
+          .withColumn("norm", expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"))
+        val wd = Window.partitionBy("norm")
+        val flagged = d
+          .withColumn("keeper",
+            col("q_ok") &&
+              col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(wd))
+          .withColumn("sampled",
+            col("keeper") && expr(hashBucket("funnel:", "CAST(doc_id AS STRING)")) < 60)
+        flagged.groupBy("source").agg(
+          count(lit(1)).as("n_in"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("sampled"), col("n_tok")).otherwise(0L)).as("tokens_out"))
+      },
+      Some(
+        "WITH corpus AS (SELECT doc_id, source, text FROM documents " +
+          "UNION ALL SELECT doc_id + 1000000, source, upper(text) || ' ' " +
+          "FROM documents WHERE doc_id % 10 = 0), " +
+          "d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE) AS digit_ratio, " +
+          "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm FROM corpus), " +
+          "f AS (SELECT *, (n_chars BETWEEN 60 AND 5000) AND digit_ratio < 0.3 AS q_ok FROM d), " +
+          "k AS (SELECT *, q_ok AND doc_id = MIN(CASE WHEN q_ok THEN doc_id END) " +
+          "OVER (PARTITION BY norm) AS keeper FROM f), " +
+          "sm AS (SELECT *, keeper AND " +
+          s"${duckBucket("funnel:", "CAST(doc_id AS VARCHAR)")} < 60 AS sampled FROM k) " +
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in, " +
+          "CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+          "CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup, " +
+          "CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
+          "CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_out " +
+          "FROM sm GROUP BY 1"),
+    ),
   )
 }
