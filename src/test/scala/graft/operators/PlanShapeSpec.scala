@@ -182,4 +182,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(p, "BroadcastHashJoin") == 5, p.take(1200))
     assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(1200))
   }
+
+  test("q196 (2-pass median): the rescan is bin-pruned at the source and the offset cut is TakeOrdered") {
+    val p = plan("q196_exact_median_2pass")
+    // the second pass's plan: bin predicate pushed to the parquet scan
+    // (as a FLOOR filter it won't reach PushedFilters, but it must at
+    // least be a scan-adjacent Filter, not post-shuffle) + bounded
+    // TakeOrderedAndProject — never a global sort of the column
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"median fell back to a global sort: ${p.take(800)}")
+  }
+
+  test("q198 (deletion cascade): the fact hop is a broadcast semi-join over the materialized key set") {
+    val p = plan("q198_deletion_cascade")
+    // hop 1 (orders ⋉ forget-set) is localCheckpoint-materialized so
+    // its key set computes once for both the manifest count and hop 2
+    // — it appears here as the ExistingRDD scan; hop 2 (lineitem ⋉
+    // affected orders) must be the broadcast semi-join, and nothing
+    // may sort-merge
+    assert("BroadcastHashJoin \\S+, \\S+, LeftSemi".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+    assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(1200))
+  }
 }
