@@ -64,6 +64,9 @@ object Relational {
   private[operators] lazy val fragmentedDir: String = roundtripDir("orders_frag")
   private[operators] lazy val compactedDir: String = roundtripDir("orders_compact")
 
+  private[operators] lazy val corruptJsonDir: String = roundtripDir("supplier_dirty_json")
+  private[operators] lazy val evolutionDir: String = roundtripDir("orders_evolution")
+
   /** q87's scratch dir (the materialized CDC change set). */
   private[operators] lazy val changeSetDir: String = roundtripDir("orders_changes")
 
@@ -629,6 +632,77 @@ object Relational {
             nullif(element_at(col("f"), 3), lit("")).cast("bigint").as("n_chars"))
       },
       Some("SELECT doc_id, source, n_chars FROM documents"),
+    ),
+    QuerySpec(
+      // PERMISSIVE corrupt-record handling — real feeds are dirty, and
+      // an engine that FAILFASTs on row 3 billion of a 100 TB ingest
+      // is useless: 1-in-7 lines of a derived JSON feed are
+      // deterministically mangled (truncated / wrong-typed / junk),
+      // the read runs PERMISSIVE with a _corrupt_record column, and
+      // the gate pins the exact salvage split — rows parsed, rows
+      // quarantined, and the parsed aggregate computed ONLY from the
+      // survivors. The quarantine column is the dead-letter queue.
+      "q03e_corrupt_records",
+      (s, dir) => {
+        val tmp = Relational.corruptJsonDir
+        t(s, dir, "supplier")
+          .select(when(col("s_suppkey") % 7 === 0,
+              // three deterministic corruption modes, cycling
+              when(col("s_suppkey") % 3 === 0, lit("{\"s_suppkey\": \"not_a_number\"}"))
+                .when(col("s_suppkey") % 3 === 1, concat(lit("{\"s_suppkey\": "),
+                  col("s_suppkey").cast("string")))
+                .otherwise(lit("%% not json at all %%")))
+            .otherwise(to_json(struct(col("s_suppkey"), col("s_nationkey"))))
+            .as("value"))
+          .write.mode("overwrite").text(tmp)
+        val parsed = s.read
+          .schema("s_suppkey BIGINT, s_nationkey BIGINT, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(tmp)
+          .cache() // single-pass contract: corrupt-record queries must not re-parse
+        parsed.agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_parsed"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull, col("s_suppkey"))).as("sum_parsed_keys"))
+      },
+      Some(
+        // the corruption rule is pure key arithmetic, so the salvage
+        // split is restated exactly: mode 1 (truncated JSON) and mode
+        // 2 (junk) quarantine; mode 0 ("not_a_number") parses the
+        // RECORD but nulls the field — Spark PERMISSIVE flags the
+        // row in _corrupt_record, so it counts as quarantined too
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+          "CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_parsed, " +
+          "CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+          "CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_suppkey END) AS BIGINT) " +
+          "AS sum_parsed_keys FROM supplier"),
+    ),
+    QuerySpec(
+      // Schema evolution via mergeSchema — the long-lived-table read
+      // problem: month 1 wrote (o_orderkey, o_totalprice), month 2
+      // added o_orderpriority; a mergeSchema read must union the
+      // schemas, null-fill the missing column on old files, and keep
+      // every row. Gated on the full merged frame so the null-fill is
+      // value-checked, not just schema-checked.
+      "q03f_schema_evolution",
+      (s, dir) => {
+        val tmp = Relational.evolutionDir
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/m=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/m=2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/m=1", s"$tmp/m=2")
+      },
+      Some(
+        "SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority " +
+          "FROM orders WHERE o_orderkey % 2 = 0 " +
+          "UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority " +
+          "FROM orders WHERE o_orderkey % 2 = 1"),
     ),
     QuerySpec(
       "q04_join_inner",
