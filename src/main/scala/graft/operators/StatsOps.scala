@@ -283,5 +283,77 @@ object StatsOps {
           "FROM st r JOIN st l ON r.event_type = l.event_type " +
           "AND r.half = 'ref' AND l.half = 'live'"),
     ),
+    QuerySpec(
+      // Day-of-week seasonality profile — the first decomposition any
+      // metrics series gets: per weekday, mean daily event volume and
+      // its seasonal index against the all-days mean, plus the
+      // weekday's volatility. Daily totals fold combinably
+      // (days-sized frame), the weekday profile is a 7-key fold, and
+      // the global mean rides a single window over the days frame —
+      // nothing touches the corpus twice. dayofweek is calendar
+      // arithmetic on DATE, identical cross-engine in a fixed-UTC
+      // session.
+      "q201_seasonality",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).cast("double").as("v"))
+        val overall = org.apache.spark.sql.expressions.Window.partitionBy()
+        daily
+          .withColumn("global_mean", avg(col("v")).over(overall))
+          .groupBy(dayofweek(col("d")).cast("long").as("dow"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            round(avg(col("v")), 4).as("mean_volume"),
+            round(stddev_samp(col("v")), 4).as("sd_volume"),
+            round(avg(col("v") / col("global_mean")), 6).as("seasonal_index"))
+      },
+      Some(
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS v " +
+          "FROM events GROUP BY 1), " +
+          "g AS (SELECT d, v, AVG(v) OVER () AS global_mean FROM daily) " +
+          // DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday
+          "SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+          "round(AVG(v), 4) AS mean_volume, round(STDDEV_SAMP(v), 4) AS sd_volume, " +
+          "round(AVG(v / global_mean), 6) AS seasonal_index " +
+          "FROM g GROUP BY 1"),
+    ),
+    QuerySpec(
+      // Join-cardinality estimation by key-histogram SAMPLING — the
+      // optimizer diagnostic run before committing to a join order:
+      // |A ⋈ B| = Σ_k n_A(k)·n_B(k), estimated from the deterministic
+      // 1-in-10 md5 key-sample and scaled by 10. Per-key counts fold
+      // combinably on the sampled keys only (a 10th of the key
+      // domain), the product-sum is one join of two key-histograms,
+      // and the q12b-style gate pins the estimate within 30% of the
+      // exactly-computed cardinality (also emitted and fully checked).
+      // Deterministic sample → one fixed draw, no flake.
+      "q202_join_card_estimate",
+      (s, dir) => {
+        val ha = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("na"))
+        val hb = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("nb"))
+        ha.join(hb, Seq("k"))
+          // exact and sampled-estimate fold in the SAME aggregation —
+          // one histogram join, no single-row cross join anywhere
+          .withColumn("sampled",
+            pmod(expr("CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)"),
+              lit(10)) === 0)
+          .agg(
+            sum(col("na") * col("nb")).as("exact_card"),
+            (sum(when(col("sampled"), col("na") * col("nb")).otherwise(0L)) * 10)
+              .as("est_card"))
+          .select(
+            col("exact_card"),
+            (abs(col("est_card") - col("exact_card")) <=
+              col("exact_card") * 0.30).as("within_tol"))
+      },
+      Some(
+        "SELECT (SELECT CAST(SUM(na * nb) AS BIGINT) FROM " +
+          "(SELECT l_orderkey AS k, COUNT(*) AS na FROM lineitem GROUP BY 1) a JOIN " +
+          "(SELECT o_orderkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1) b USING (k)) " +
+          "AS exact_card, true AS within_tol"),
+    ),
   )
 }
