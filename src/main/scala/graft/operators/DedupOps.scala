@@ -1068,6 +1068,14 @@ object DedupOps {
           .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
           .filter(col("da") =!= col("db"))
           .select("da", "db", "na").distinct()
+        // candidate verification via per-doc shingle arrays +
+        // array_intersect. The join-based alternative (expand each
+        // candidate by its a-side shingles, hash-join the b-side on
+        // (doc, shingle), count) was A/B-measured at sf0.1 and is
+        // ~1.6× SLOWER cold (21.2 s vs 13.3 s, identical 12,033 rows):
+        // the |cand|×|A| row expansion plus its shuffle costs more
+        // than shipping each doc's shingle array once — arrays win
+        // while |A| stays document-sized.
         val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
         cand
           .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
