@@ -514,6 +514,44 @@ object Streams {
     * key churn a TTL timeout would cap it, left NoTimeout here because
     * the key domain (users) is the dimension being materialized.
     */
+  /** One smoothed observation emission. */
+  final case class EwmaPoint(
+      user_id: Long, event_id: Long, value: Double, ewma: Double)
+
+  /** Streaming EWMA — the EXACT recursive filter batch q185 can only
+    * truncate: y' = α·x + (1−α)·y needs the previous y, which is a
+    * sequential dependency no batch window parallelizes — but it is
+    * ONE DOUBLE of keyed state in a stream. Each arriving event emits
+    * its smoothed value immediately; rows within a micro-batch are
+    * processed in (ts, event_id) order. StreamingEwmaSpec proves the
+    * emissions equal the sequential recursion exactly, and sit within
+    * the (3/4)^16 truncation budget of the oracle-gated batch q185
+    * once past its warm-up — the two formulations bound each other.
+    */
+  def ewmaStream(
+      events: DataFrame, // needs user_id, event_id, ts, event_type, value
+      alpha: Double = 0.25,
+  ): org.apache.spark.sql.Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[LatestRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Double]) =>
+          val out = Seq.newBuilder[EwmaPoint]
+          var y = state.getOption.getOrElse(Double.NaN)
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            y = if (y.isNaN) r.value else alpha * r.value + (1 - alpha) * y
+            out += EwmaPoint(user, r.event_id, r.value, y)
+          }
+          if (!y.isNaN) state.update(y)
+          out.result().iterator
+      }
+  }
+
   /** One attributed purchase emission. */
   final case class AttributedPurchase(
       user_id: Long, event_id: Long, channel: String, value: Double)
