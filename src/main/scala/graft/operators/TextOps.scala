@@ -593,5 +593,81 @@ object TextOps {
           "LEAST(k * 48 + 64, n_tok) - k * 48 AS n_tok_chunk " +
           "FROM d, LATERAL (SELECT CAST(unnest(generate_series(0, (n_tok - 1) // 48)) AS BIGINT) AS k)"),
     ),
+    QuerySpec(
+      // Multinomial Naive Bayes language classifier — supervised ML as
+      // pure relational algebra (q176's PCA move, applied to
+      // classification): train on the 4-in-5 doc_id split, predict the
+      // held-out fifth. The add-1-smoothed log-likelihood decomposes
+      // so that ABSENT (token, class) counts contribute exactly zero:
+      //   score(d, l) = log prior_l − n_d·log(N_l + V)
+      //              + Σ_{tok∈d} tf·log(c_{tok,l} + 1)
+      // — so the only corpus-sized join is test-tokens ⋈ train-counts
+      // on the token key (missing pairs simply drop out), and the
+      // per-class constants ride in on a ≤5-row broadcast class frame.
+      // Model state = the (token, class) count table: a DataFrame, not
+      // a driver object — it merges, persists, and scales like any
+      // other relation. Argmax via one doc-keyed window with
+      // deterministic (score, lang) tie order.
+      "q203_naive_bayes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        val train = d.filter(col("doc_id") % 5 =!= 0)
+        val test = d.filter(col("doc_id") % 5 === 0)
+          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+        val counts = train.groupBy("tok", "lang").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val vocab = counts.select("tok").distinct().count()
+        val classes = counts.groupBy("lang").agg(sum(col("c")).as("n_l"))
+        val docsPerClass = docs(s, dir).filter(col("doc_id") % 5 =!= 0)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val classConst = classes.join(docsPerClass, Seq("lang"))
+          .withColumn("total_docs", sum(col("n_docs")).over(Window.partitionBy()))
+          .select(col("lang").as("cl"),
+            (log(col("n_docs").cast("double") / col("total_docs")) ).as("log_prior"),
+            log(col("n_l").cast("double") + vocab).as("log_denom"))
+        val tokScore = test
+          .join(counts.select(col("tok"), col("lang").as("cl"), col("c")), Seq("tok"))
+          .groupBy("doc_id", "cl")
+          .agg(sum(col("tf") * log(col("c").cast("double") + 1)).as("tok_ll"))
+        val docLen = test.groupBy("doc_id", "lang")
+          .agg(sum(col("tf")).as("n_d"))
+        val scored = docLen
+          .crossJoin(broadcast(classConst)) // ≤5 classes — bounded by schema
+          .join(tokScore, Seq("doc_id", "cl"), "left")
+          .withColumn("score",
+            col("log_prior") - col("n_d") * col("log_denom") +
+              coalesce(col("tok_ll"), lit(0.0)))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cl"))
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("doc_id"), col("lang").as("true_lang"), col("cl").as("pred_lang"),
+            (col("lang") === col("cl")).as("correct"),
+            round(col("score"), 4).as("log_score"))
+      },
+      Some(
+        "WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents), " +
+          "train AS (SELECT * FROM toks WHERE doc_id % 5 != 0), " +
+          "test AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf " +
+          "FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3), " +
+          "counts AS (SELECT tok, lang AS cl, CAST(COUNT(*) AS BIGINT) AS c " +
+          "FROM train GROUP BY 1, 2), " +
+          "v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM counts), " +
+          "cls AS (SELECT cl, SUM(c) AS n_l FROM counts GROUP BY 1), " +
+          "dpc AS (SELECT lang AS cl, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+          "FROM documents WHERE doc_id % 5 != 0 GROUP BY 1), " +
+          "cc AS (SELECT cls.cl, ln(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS log_prior, " +
+          "ln(CAST(n_l AS DOUBLE) + vocab) AS log_denom FROM cls JOIN dpc USING (cl), v), " +
+          "ts AS (SELECT t.doc_id, c.cl, SUM(t.tf * ln(CAST(c.c AS DOUBLE) + 1)) AS tok_ll " +
+          "FROM test t JOIN counts c USING (tok) GROUP BY 1, 2), " +
+          "dl AS (SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_d FROM test GROUP BY 1, 2), " +
+          "sc AS (SELECT dl.doc_id, dl.lang, cc.cl, " +
+          "cc.log_prior - dl.n_d * cc.log_denom + COALESCE(ts.tok_ll, 0.0) AS score " +
+          "FROM dl CROSS JOIN cc LEFT JOIN ts ON ts.doc_id = dl.doc_id AND ts.cl = cc.cl) " +
+          "SELECT doc_id, lang AS true_lang, cl AS pred_lang, lang = cl AS correct, " +
+          "round(score, 4) AS log_score FROM sc " +
+          "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cl) = 1"),
+    ),
   )
 }

@@ -43,7 +43,11 @@ class PlanAuditSpec extends SparkSpec {
     "q145_ts_similarity",
     // q151: q30's deliberate shape — a ≤8-row broadcast query-vector
     // set crossed into one corpus scan for triplet mining
-    "q151_hard_negatives")
+    "q151_hard_negatives",
+    // q203: the per-class constant frame (≤5 rows, bounded by the
+    // class schema) broadcast-crossed into the test-doc frame — the
+    // q30 family; the corpus-sized work is the token equi-join
+    "q203_naive_bayes")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
