@@ -25,15 +25,6 @@ import org.apache.spark.sql.expressions.Window
   *    2·midrank is integral) so U is exact cross-engine; ties are
   *    handled by construction (binning makes the tie correction the
   *    point, not a nuisance).
-  *  - q180: robust outlier detection via MAD (median absolute
-  *    deviation) — the data-quality screen that survives the heavy
-  *    tails that break z-scores (q103's z-path flags nothing when the
-  *    outliers inflate σ themselves). Two exact interpolated-
-  *    percentile aggregations (median, then median of |x−med|) with
-  *    the group medians broadcast back; the outlier predicate
-  *    `dev > mad·4.4478` (= 3·1.4826·mad, the normal-consistency
-  *    scaling) is written with the same literal product order in both
-  *    engines so the boundary is bit-identical.
   */
 object StatsOps {
 
@@ -136,43 +127,6 @@ object StatsOps {
           "FROM agg"),
     ),
     QuerySpec(
-      // MAD robust outliers per event type: median via exact
-      // interpolated percentile (cross-engine parity established by
-      // q13c), deviations against the broadcast-back medians, second
-      // exact median for the MAD, then one conditional count. Three
-      // scan passes, all combinable aggregations on a 5-key group —
-      // scan-speed at any scale. The 4.4478 multiplier is written as
-      // one literal product on both sides so the cut boundary is
-      // bit-identical.
-      "q180_mad_outliers",
-      (s, dir) => {
-        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-        val med = ev.groupBy("event_type")
-          .agg(expr("percentile(value, 0.5)").as("med"))
-        val dev = ev.join(broadcast(med), Seq("event_type"))
-          .withColumn("dev", abs(col("value") - col("med")))
-        val mad = dev.groupBy("event_type")
-          .agg(expr("percentile(dev, 0.5)").as("mad"))
-        dev.join(broadcast(mad), Seq("event_type"))
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            round(first(col("med")), 6).as("med"),
-            round(first(col("mad")), 6).as("mad"),
-            sum(when(col("dev") > col("mad") * lit(4.4478), 1L).otherwise(0L)).as("n_outliers"))
-      },
-      Some(
-        "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
-          "FROM events GROUP BY 1), " +
-          "dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med " +
-          "FROM events e JOIN med m USING (event_type)), " +
-          "mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1) " +
-          "SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
-          "round(MIN(d.med), 6) AS med, round(MIN(a.mad), 6) AS mad, " +
-          "CAST(SUM(CASE WHEN d.dev > a.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
-          "FROM dev d JOIN mad a USING (event_type) GROUP BY 1"),
-    ),
-    QuerySpec(
       // Exact weighted median (quantity weighted by revenue) — the
       // "half the DOLLARS ship at or below this quantity" statistic.
       // Same compression move as q179: the corpus folds to a
@@ -245,7 +199,7 @@ object StatsOps {
     QuerySpec(
       // Distribution drift monitor — compare the live half of the log
       // against the reference half, per event type: count ratio, mean
-      // shift in MAD-robust units (q180's scale), and the
+      // shift in reference-σ units, and the
       // rate-of-change verdict a pipeline alerts on. Deterministic
       // halves (day-of-month split), everything combinable, the
       // comparison row-local on the 5-type frame. This is the

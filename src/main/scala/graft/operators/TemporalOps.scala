@@ -363,39 +363,41 @@ object TemporalOps {
           "GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20"),
     ),
     QuerySpec(
-      // DAU / trailing-7-day WAU / stickiness — the engagement
-      // triptych. The exact-WAU shape: the (user, day)-distinct frame
-      // (one combinable distinct, corpus → users×days) EXPLODES each
-      // row into the ≤7 trailing windows it feeds — bounded 7×
-      // replication of the already-compressed frame, then one
-      // distinct-count per window day; trailing windows are clipped
-      // to observed days by joining the DAU frame. At larger horizons
-      // (MAU×30, quarters) the same query swaps the explode for q140's
-      // mergeable HLL shards — the exact path is kept here because
-      // the gate wants exact integers.
+      // DAU / trailing-30-day MAU / stickiness — the canonical
+      // DAU/MAU engagement ratio (q114 already covers the 7-day
+      // rolling-actives horizon; this is the month-scale readout
+      // product teams actually quote). Same exact shape, wider
+      // window: the (user, day)-distinct frame (one combinable
+      // distinct, corpus → users×days) EXPLODES each row into the
+      // ≤30 trailing windows it feeds — bounded 30× replication of
+      // the already-compressed frame, then one distinct-count per
+      // window day, clipped to observed days via the DAU join. At
+      // quarter+ horizons the explode swaps for q140's mergeable HLL
+      // shards — the exact path is kept here because the gate wants
+      // exact integers.
       "q197_stickiness",
       (s, dir) => {
         val ud = Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
         val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
-        val wau = ud
-          .withColumn("wd", explode(expr("sequence(d, date_add(d, 6), interval 1 day)")))
+        val mau = ud
+          .withColumn("wd", explode(expr("sequence(d, date_add(d, 29), interval 1 day)")))
           .select(col("user_id"), col("wd")).distinct()
-          .groupBy(col("wd").as("d")).agg(count(lit(1)).as("wau"))
-        dau.join(wau, Seq("d"))
+          .groupBy(col("wd").as("d")).agg(count(lit(1)).as("mau"))
+        dau.join(mau, Seq("d"))
           .select(
             date_format(col("d"), "yyyy-MM-dd").as("d"),
-            col("dau"), col("wau"),
-            round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+            col("dau"), col("mau"),
+            round(col("dau") / col("mau").cast("double"), 4).as("stickiness"))
       },
       Some(
         "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
           "dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1), " +
-          "wau AS (SELECT da.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau " +
-          "FROM dau da JOIN ud u ON u.d BETWEEN da.d - 6 AND da.d GROUP BY 1) " +
-          "SELECT strftime(dau.d, '%Y-%m-%d') AS d, dau.dau, wau.wau, " +
-          "round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness " +
-          "FROM dau JOIN wau ON dau.d = wau.d"),
+          "mau AS (SELECT da.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau " +
+          "FROM dau da JOIN ud u ON u.d BETWEEN da.d - 29 AND da.d GROUP BY 1) " +
+          "SELECT strftime(dau.d, '%Y-%m-%d') AS d, dau.dau, mau.mau, " +
+          "round(dau.dau / CAST(mau.mau AS DOUBLE), 4) AS stickiness " +
+          "FROM dau JOIN mau ON dau.d = mau.d"),
     ),
     QuerySpec(
       // Last-touch attribution: each purchase credits the most recent
