@@ -401,54 +401,12 @@ object ModernSqlOps {
       // xxhash64 — one fixed draw, no flake), and the exact counts
       // ride along as fully-checked columns.
       "q195_kmv_intersect",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = 64
-        val du = Tables.events(s, dir)
-          .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
-          .withColumn("h", xxhash64(col("u")))
-          .localCheckpoint(true)
-        val wt = Window.partitionBy("t").orderBy("h")
-        val sk = du.withColumn("rn", row_number().over(wt)).filter(col("rn") <= k)
-          .select(col("t"), col("h"))
-        // exact intersection (the gate's reference) doubles as the
-        // pair universe: a user-keyed EQUI self-join + filter — no
-        // nested-loop pair enumeration anywhere in the plan
-        val exact = du.select(col("t").as("ta"), col("u"))
-          .join(du.select(col("t").as("tb"), col("u")), Seq("u"))
-          .filter(col("ta") < col("tb"))
-          .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
-          .localCheckpoint(true)
-        val pairs = exact.select(col("ta"), col("tb"))
-        // per-pair distinct union hashes (two equi-joins, no OR join)
-        val pu = pairs.join(du, col("t") === col("ta")).select(col("ta"), col("tb"), col("h"))
-          .unionByName(pairs.join(du, col("t") === col("tb")).select(col("ta"), col("tb"), col("h")))
-          .distinct()
-        val wp = Window.partitionBy("ta", "tb").orderBy("h")
-        val uk = pu.withColumn("rn", row_number().over(wp)).filter(col("rn") <= k)
-        // membership of each union-sketch hash in BOTH per-type sketches
-        val skA = sk.select(col("t").as("ta"), col("h"))
-        val skB = sk.select(col("t").as("tb"), col("h"))
-        val marked = uk
-          .join(skA, Seq("ta", "h"), "left_semi").select(col("ta"), col("tb"), col("h"))
-          .join(skB, Seq("tb", "h"), "left_semi")
-        val perPair = uk.groupBy("ta", "tb")
-          .agg(count(lit(1)).as("n_u"), max(col("h")).as("h_k"))
-          .join(marked.groupBy("ta", "tb").agg(count(lit(1)).as("m")), Seq("ta", "tb"))
-        val est = perPair
-          .withColumn("u01", col("h_k").cast("double") / lit(math.pow(2.0, 64)) + lit(0.5))
-          .withColumn("n_hat_union",
-            when(col("n_u") < k, col("n_u").cast("double"))
-              .otherwise(lit((k - 1).toDouble) / col("u01")))
-          .withColumn("inter_hat",
-            col("m").cast("double") / least(col("n_u"), lit(k.toLong)).cast("double")
-              * col("n_hat_union"))
-        est.join(exact, Seq("ta", "tb"))
+      (s, dir) =>
+        kmvIntersect(s, dir, k = 64)
           .select(
             col("ta"), col("tb"), col("exact_inter"),
             (abs(col("inter_hat") - col("exact_inter")) <=
-              col("exact_inter") * 0.35).as("within_tol"))
-      },
+              col("exact_inter") * 0.35).as("within_tol")),
       Some(
         "WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events) " +
           "SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS exact_inter, " +
@@ -456,6 +414,57 @@ object ModernSqlOps {
           "FROM du a JOIN du b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2"),
     ),
   )
+
+  /** q195's body with k exposed, returning the raw estimate next to
+    * the exact intersection per event-type pair — shared by the gated
+    * query (k=64, 35% tolerance), the NewOpsPropertySpec witness, and
+    * the KmvScale error-vs-k audit.
+    */
+  private[graft] def kmvIntersect(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = graft.Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      .withColumn("h", xxhash64(col("u")))
+      .localCheckpoint(true)
+    val wt = Window.partitionBy("t").orderBy("h")
+    val sk = du.withColumn("rn", row_number().over(wt)).filter(col("rn") <= k)
+      .select(col("t"), col("h"))
+    // exact intersection (the gate's reference) doubles as the pair
+    // universe: a user-keyed EQUI self-join + filter — no nested-loop
+    // pair enumeration anywhere in the plan
+    val exact = du.select(col("t").as("ta"), col("u"))
+      .join(du.select(col("t").as("tb"), col("u")), Seq("u"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+      .localCheckpoint(true)
+    val pairs = exact.select(col("ta"), col("tb"))
+    // per-pair distinct union hashes (two equi-joins, no OR join)
+    val pu = pairs.join(du, col("t") === col("ta")).select(col("ta"), col("tb"), col("h"))
+      .unionByName(pairs.join(du, col("t") === col("tb")).select(col("ta"), col("tb"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy("ta", "tb").orderBy("h")
+    val uk = pu.withColumn("rn", row_number().over(wp)).filter(col("rn") <= k)
+    // membership of each union-sketch hash in BOTH per-type sketches
+    val skA = sk.select(col("t").as("ta"), col("h"))
+    val skB = sk.select(col("t").as("tb"), col("h"))
+    val marked = uk
+      .join(skA, Seq("ta", "h"), "left_semi").select(col("ta"), col("tb"), col("h"))
+      .join(skB, Seq("tb", "h"), "left_semi")
+    val perPair = uk.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("h_k"))
+      .join(marked.groupBy("ta", "tb").agg(count(lit(1)).as("m")), Seq("ta", "tb"))
+    perPair
+      .withColumn("u01", col("h_k").cast("double") / lit(math.pow(2.0, 64)) + lit(0.5))
+      .withColumn("n_hat_union",
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("u01")))
+      .withColumn("inter_hat",
+        col("m").cast("double") / least(col("n_u"), lit(k.toLong)).cast("double")
+          * col("n_hat_union"))
+      .join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("exact_inter"), col("inter_hat"))
+  }
 
   /** q150 body with the shard key exposed — bin counts are additive,
     * so the merged histogram (hence every quantile estimate) must be
