@@ -260,6 +260,56 @@ class NewOpsPropertySpec extends SparkSpec {
     assert(got == expected, s"$got vs $expected")
   }
 
+  test("q196: two-pass selection == sort-the-lot median") {
+    val prices = Tables(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val r = (prices.length + 1) / 2
+    val Seq((n, med)) = SparkEntry.queries("q196_exact_median_2pass")(spark, sfDir)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(n == prices.length)
+    assert(med == prices(r - 1), s"$med vs ${prices(r - 1)}")
+  }
+
+  test("q197: exploded MAU == naive per-day trailing-window distinct count") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).cast("string"))
+      .distinct().collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val days = ud.map(_._2).distinct
+    val expected = days.map { d =>
+      d.toString -> ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(29))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = SparkEntry.queries("q197_stickiness")(spark, sfDir)
+      .select("d", "mau").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("q200: funnel stages are monotone and the dedup keeper count matches a Scala recompute") {
+    val out = SparkEntry.queries("q200_curation_funnel")(spark, sfDir).collect()
+    for (r <- out) {
+      val (nIn, nQ, nD, nS) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nIn >= nQ && nQ >= nD && nD >= nS, s"non-monotone funnel row: $r")
+    }
+    // keeper witness: replicate corpus + stages sequentially in Scala
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 1000000L, t.toUpperCase + " ") }
+    def qOk(t: String) = {
+      val n = t.length
+      n >= 60 && n <= 5000 &&
+        t.count(_.isDigit).toDouble / n < 0.3
+    }
+    val quality = corpus.filter { case (_, t) => qOk(t) }
+    val keepers = quality
+      .groupBy { case (_, t) => t.toLowerCase.replaceAll("\\s+", " ").trim }
+      .values.map(_.map(_._1).min).toSet
+    assert(out.map(_.getLong(3)).sum == keepers.size.toLong)
+    assert(out.map(_.getLong(2)).sum == quality.length.toLong)
+  }
+
   test("q195: KMV estimate == Scala recompute from raw hashes; sketches merge losslessly") {
     val k = 64
     val du = Tables.events(spark, sfDir)
