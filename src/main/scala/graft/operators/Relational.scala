@@ -66,6 +66,7 @@ object Relational {
 
   private[operators] lazy val corruptJsonDir: String = roundtripDir("supplier_dirty_json")
   private[operators] lazy val evolutionDir: String = roundtripDir("orders_evolution")
+  private[operators] lazy val gzipRoundtripDir: String = roundtripDir("documents_gz")
 
   /** q87's scratch dir (the materialized CDC change set). */
   private[operators] lazy val changeSetDir: String = roundtripDir("orders_changes")
@@ -678,6 +679,32 @@ object Relational {
           "CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
           "CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_suppkey END) AS BIGINT) " +
           "AS sum_parsed_keys FROM supplier"),
+    ),
+    QuerySpec(
+      // Gzip-compressed text ingestion — the format external feeds
+      // actually arrive in. Gzip is NOT splittable: one .gz file = one
+      // task no matter its size, so at 100 TB the layout rule is many
+      // medium .gz files (the 4-part write here), never one giant one
+      // — GzipSourceSpec pins partitions == files for the read. The
+      // round trip re-parses with explicit casts, null-faithful via
+      // the q03d empty-field encoding.
+      "q03g_gzip_roundtrip",
+      (s, dir) => {
+        val tmp = Relational.gzipRoundtripDir
+        def nf(c: String) = coalesce(col(c).cast("string"), lit(""))
+        t(s, dir, "documents")
+          .select(concat(nf("doc_id"), lit("\t"), nf("source"), lit("\t"), nf("n_chars"))
+            .as("value"))
+          .repartition(4)
+          .write.mode("overwrite").option("compression", "gzip").text(tmp)
+        s.read.text(tmp)
+          .select(split(col("value"), "\t").as("f"))
+          .select(
+            nullif(element_at(col("f"), 1), lit("")).cast("bigint").as("doc_id"),
+            nullif(element_at(col("f"), 2), lit("")).as("source"),
+            nullif(element_at(col("f"), 3), lit("")).cast("bigint").as("n_chars"))
+      },
+      Some("SELECT doc_id, source, n_chars FROM documents"),
     ),
     QuerySpec(
       // Schema evolution via mergeSchema — the long-lived-table read
