@@ -400,6 +400,80 @@ object TemporalOps {
           "FROM dau JOIN mau ON dau.d = mau.d"),
     ),
     QuerySpec(
+      // Growth accounting — the weekly user-movement ledger every
+      // growth team keeps: each active user classified new (first-ever
+      // week), retained (also active the prior week) or resurrected
+      // (returning after a gap), plus churned (active prior week,
+      // absent this week), satisfying the bookkeeping identity
+      // actives(w) = new + retained + resurrected and
+      // churned(w) = actives(w−1) − retained(w). Everything derives
+      // from the (user, week)-distinct frame: one combinable distinct,
+      // a users-sized first-week min, and ONE self-join shifted by
+      // 7 days for the prior-week test — no windows over the corpus,
+      // no per-week scans. ISO-Monday week truncation matches across
+      // engines.
+      "q204_growth_accounting",
+      (s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+          .distinct()
+          // the synthetic fixture has every user active every week,
+          // which would leave resurrected/churned vacuously zero — so
+          // each user deterministically skips every third ISO week
+          // (q46's derive-the-feature pattern; same arithmetic in the
+          // oracle), making all four ledger classes non-trivial
+          .filter(pmod(col("user_id") + weekofyear(col("w")), lit(3)) =!= 0)
+          .localCheckpoint(true)
+        val first = uw.groupBy("user_id").agg(min(col("w")).as("fw"))
+        val prev = uw.select(col("user_id"), date_add(col("w"), 7).as("w"),
+          lit(1L).as("was_prev"))
+        val classified = uw
+          .join(broadcast(first), Seq("user_id"))
+          .join(prev, Seq("user_id", "w"), "left")
+          .select(col("w"),
+            when(col("fw") === col("w"), "new")
+              .when(col("was_prev").isNotNull, "retained")
+              .otherwise("resurrected").as("cls"))
+          .groupBy("w").pivot("cls", Seq("new", "retained", "resurrected"))
+          .count().na.fill(0L)
+        // churned(w) = actives(w-1) − retained(w), reported only for
+        // weeks that exist in the data (no phantom week after the end)
+        val actives = uw.groupBy("w").agg(count(lit(1)).as("actives"))
+        val prevActives = actives.select(date_add(col("w"), 7).as("w"),
+          col("actives").as("prev_actives"))
+        classified
+          .join(actives, Seq("w"))
+          .join(prevActives, Seq("w"), "left")
+          .select(
+            date_format(col("w"), "yyyy-MM-dd").as("week"),
+            col("actives"),
+            col("new").as("n_new"),
+            col("retained").as("n_retained"),
+            col("resurrected").as("n_resurrected"),
+            (coalesce(col("prev_actives"), lit(0L)) - col("retained")).as("n_churned"))
+      },
+      Some(
+        "WITH uw0 AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w " +
+          "FROM events), " +
+          "uw AS (SELECT * FROM uw0 WHERE (user_id + EXTRACT(week FROM w)) % 3 != 0), " +
+          "fw AS (SELECT user_id, MIN(w) AS fw FROM uw GROUP BY 1), " +
+          "cls AS (SELECT uw.w, CASE WHEN uw.w = fw.fw THEN 'new' " +
+          "WHEN p.user_id IS NOT NULL THEN 'retained' ELSE 'resurrected' END AS cls " +
+          "FROM uw JOIN fw USING (user_id) " +
+          "LEFT JOIN uw p ON p.user_id = uw.user_id AND p.w = uw.w - 7), " +
+          "piv AS (SELECT w, " +
+          "CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+          "CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+          "CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected " +
+          "FROM cls GROUP BY 1), " +
+          "act AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS actives FROM uw GROUP BY 1) " +
+          "SELECT strftime(piv.w, '%Y-%m-%d') AS week, act.actives, " +
+          "n_new, n_retained, n_resurrected, " +
+          "COALESCE(pa.actives, 0) - n_retained AS n_churned " +
+          "FROM piv JOIN act USING (w) " +
+          "LEFT JOIN act pa ON pa.w = piv.w - 7"),
+    ),
+    QuerySpec(
       // Last-touch attribution: each purchase credits the most recent
       // preceding click by the same user within 24 h — q41's
       // union-and-carry-forward as-of pattern applied to marketing
