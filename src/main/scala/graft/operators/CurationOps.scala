@@ -561,12 +561,20 @@ object CurationOps {
             countDistinct(col("v")).as("n_distinct"),
             min(col("v")).as("vmin"),
             max(col("v")).as("vmax"),
-            avg(col("v")).as("vmean")),
+            // DECIMAL-exact mean: a raw double avg differs between
+            // Spark's partial-sum tree and DuckDB's sequential fold in
+            // the last ULPs (the r9 driver hash mismatch), and
+            // round(avg, 6) still flips when the true mean straddles a
+            // 6dp boundary (l_discount's does). Summing as DECIMAL is
+            // order-independent and exact on both engines; one IEEE
+            // division of bit-identical operands is then bit-identical.
+            (sum(col("v").cast("decimal(18,6)")).cast("double") / count(col("v")))
+              .as("vmean")),
       Some(
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
           s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
             s"COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS vmin, MAX($c) AS vmax, " +
-            s"AVG($c) AS vmean FROM lineitem"
+            s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / COUNT($c) AS vmean FROM lineitem"
         }.mkString(" UNION ALL ")),
     ),
     QuerySpec(

@@ -958,8 +958,10 @@ object TemporalOps {
           "act AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active FROM ev GROUP BY 1) " +
           "SELECT strftime(d, '%Y-%m-%d') AS d, active, COALESCE(new_users, 0) AS new_users, " +
           "active - COALESCE(new_users, 0) AS returning, " +
-          "SUM(COALESCE(new_users, 0)) OVER (ORDER BY d " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users " +
+          // CAST: DuckDB window SUM promotes to HUGEINT -> pandas
+          // float64 (the q124 pattern; the r9 driver hash mismatch)
+          "CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
           "FROM act LEFT JOIN npd USING (d)"),
     ),
     QuerySpec(

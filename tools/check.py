@@ -4,9 +4,21 @@
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 For each query parquet under verifyOutDir, runs the matching oracle SQL
-from oracle_sql.json in DuckDB over the sfDir tables, canonicalizes both
-result frames (columns sorted by name, rows sorted, floats rounded), and
-reports match/mismatch. Queries without oracle SQL get a rows>0 check.
+from oracle_sql.json in DuckDB over the sfDir tables and compares in TWO
+modes, both reported per query; the exit code gates on BOTH:
+
+ - tolerant: the historical mode (frames aligned, floats compared with
+   atol=1e-6, dtypes coerced). Catches wrong answers.
+ - exact: the driver-equivalent mode. Every cell is stringified (floats
+   first rounded to 6dp — the driver's observable behavior: r9 passed
+   ULP-level float deltas but failed q133's ~1e-6-absolute avg delta,
+   so its canonical hash quantizes floats at ~6dp; ints and floats
+   stringify DIFFERENTLY, so a DuckDB HUGEINT->float64 150.0 against
+   Spark's BIGINT 150 fails here exactly as it failed the driver on
+   q158), rows sorted lexicographically, and the string matrices must
+   be identical. Catches oracle-convention defects the tolerant mode
+   masks (the round-9 lesson: a 1e-6-tolerant local gate passed two
+   queries the driver's exact hash failed).
 """
 import json
 import os
@@ -50,6 +62,52 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         [f"__hp_{c}" for c in float_cols]
     order = keys.sort_values(by=order_cols).index
     return df.loc[order].reset_index(drop=True)
+
+
+def cell_str(v) -> str:
+    """Driver-equivalent canonical cell string: floats rounded to 6dp
+    (then repr'd, so 150.0 stays '150.0' and never equals int 150),
+    ints as plain digits, NULL/NaN unified, bytes hexed, timestamps at
+    microsecond ISO."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        if np.isnan(v):
+            return "NULL"
+        r = round(float(v), 6)
+        if r == 0.0:
+            r = 0.0  # collapse -0.0
+        return repr(r)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, np.datetime64):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(cell_str(x) for x in v) + "]"
+    return str(v)
+
+
+def exact_rows(df: pd.DataFrame):
+    """Stringified rows (columns in sorted name order), sorted — the
+    canonical form whose equality is the driver-exact gate."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(cell_str(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def exact_compare(got: pd.DataFrame, exp: pd.DataFrame):
+    """Returns None on match, else a short diff description."""
+    g, e = exact_rows(got), exact_rows(exp)
+    if len(g) != len(e):
+        return f"rows {len(g)} vs {len(e)}"
+    for i, (rg, re_) in enumerate(zip(g, e)):
+        if rg != re_:
+            return f"row {i}: spark={rg} duck={re_}"
+    return None
 
 
 def normalize_ints(df: pd.DataFrame) -> pd.DataFrame:
@@ -98,21 +156,28 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             n_fail += 1
             continue
+        tol_err = None
         try:
             # abs-diff tolerance for floats (cross-engine ULP noise);
             # int/string columns still compare exactly
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
+        except AssertionError as ex:
+            tol_err = str(ex).splitlines()[-1] if str(ex) else "diff"
+        exact_err = exact_compare(got, exp)
+        if tol_err is None and exact_err is None:
             print(f"pass {name} ({len(g)} rows)")
             n_pass += 1
-        except AssertionError as ex:
-            print(f"FAIL {name}: {str(ex).splitlines()[-1] if str(ex) else 'diff'}")
-            # show first differing rows
-            neq = (g != e) & ~(g.isna() & e.isna())
-            bad = neq.any(axis=1)
-            if bad.any():
-                i = bad.idxmax()
-                print("  spark:", g.loc[i].to_dict())
-                print("  duck :", e.loc[i].to_dict())
+        else:
+            if tol_err is not None:
+                print(f"FAIL(tol) {name}: {tol_err}")
+                neq = (g != e) & ~(g.isna() & e.isna())
+                bad = neq.any(axis=1)
+                if bad.any():
+                    i = bad.idxmax()
+                    print("  spark:", g.loc[i].to_dict())
+                    print("  duck :", e.loc[i].to_dict())
+            if exact_err is not None:
+                print(f"FAIL(exact) {name}: {exact_err[:400]}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
