@@ -1841,22 +1841,33 @@ object Relational {
       // Referential-integrity audit — the FK health check a warehouse
       // runs before trusting joins: for every FK edge of the star
       // schema, total rows vs orphans (child keys with no parent).
-      // Each edge is one broadcast LEFT ANTI join against the parent's
-      // key column only (pruned scan) + a count — at 100 TB the fact
-      // tables stream once per edge and nothing shuffles; dims stay
-      // broadcast. A clean audit (0 orphans everywhere) is the
+      // Each edge is one LEFT join against the parent's key column
+      // only (pruned scan) + a count. SCALE SCOPE: broadcast is FORCED
+      // only for DIM-SIZED parents (part, supplier, customer, nation —
+      // the facts stream once per edge and never shuffle). The
+      // lineitem.orderkey edge has a FACT-SIZED parent whose distinct
+      // keys do NOT broadcast at 100 TB, so that edge carries no hint:
+      // the planner broadcasts while orders fits the threshold (the
+      // fixture plan PlanShapeSpec pins) and falls back to a shuffled
+      // left join at scale. A clean audit (0 orphans everywhere) is the
       // contract the fixtures must satisfy; the gate pins the exact
       // row totals so a short scan can't fake it.
       "q192_ri_audit",
       (s, dir) => {
         def edge(name: String, child: DataFrame, childKey: String,
-            parent: DataFrame, parentKey: String): DataFrame =
-          // one pass: broadcast left join against the parent's
-          // DISTINCT keys (robust even if a parent key duplicated),
-          // then rows and orphans fold in the same aggregation
+            parent: DataFrame, parentKey: String,
+            parentIsDim: Boolean = true): DataFrame =
+          // one pass: left join against the parent's DISTINCT keys
+          // (robust even if a parent key duplicated), then rows and
+          // orphans fold in the same aggregation. The broadcast hint is
+          // only FORCED for dim-sized parents; a fact-sized parent
+          // (orders) is left to the planner, which broadcasts while it
+          // fits and falls back to a shuffled join at scale.
           child.select(col(childKey))
-            .join(broadcast(parent.select(col(parentKey)).distinct()),
-              col(childKey) === col(parentKey), "left")
+            .join({
+              val keys = parent.select(col(parentKey)).distinct()
+              if (parentIsDim) broadcast(keys) else keys
+            }, col(childKey) === col(parentKey), "left")
             .agg(
               count(lit(1)).as("n_rows"),
               sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("n_orphans"))
@@ -1865,7 +1876,7 @@ object Relational {
         val li = t(s, dir, "lineitem")
         val ord = t(s, dir, "orders")
         val cust = t(s, dir, "customer")
-        edge("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey")
+        edge("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey", parentIsDim = false)
           .unionByName(edge("lineitem.partkey", li, "l_partkey", t(s, dir, "part"), "p_partkey"))
           .unionByName(edge("lineitem.suppkey", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
           .unionByName(edge("orders.custkey", ord, "o_custkey", cust, "c_custkey"))
@@ -1915,6 +1926,13 @@ object Relational {
           .select(col("bin"), (col("r") - (col("cum") - col("cnt"))).as("offset"), col("n"))
           .head()
         val (bin, offset, n) = (cum.getLong(0), cum.getLong(1), cum.getLong(2))
+        // the within-bin limit is Int-typed AND plans a driver-sized
+        // TakeOrderedAndProject — the bin population is the real bound
+        // on pass 2's memory. A silently-wrapping Long would select the
+        // wrong row; fail loudly and direct to a narrower bin width.
+        require(offset <= Int.MaxValue,
+          s"q196: within-bin rank $offset exceeds Int.MaxValue — narrow the bin width " +
+            "(pass-2 TakeOrderedAndProject is driver-bounded by the bin population)")
         li.filter(floor(price / 100).cast("long") === bin)
           .orderBy(price).limit(offset.toInt)
           .agg(max(price).as("median_price"))

@@ -1019,6 +1019,13 @@ object TemporalOps {
       // no per-purchase scan. Then a 4-key combinable rollup. The
       // window is user-partitioned, so the corpus never
       // single-partitions; (ts, event_id) ordering pins ties.
+      // NOT q113: q113 attributes each purchase to the most recent
+      // same-user CLICK within a bounded 24 h lookback (as-of
+      // carry-forward, purchase-level output, unattributed purchases
+      // dropped); this credits ANY non-purchase/non-error channel with
+      // an UNBOUNDED lookback, falls back to 'direct', and rolls up to
+      // per-channel totals — the marketing-report twin, not the
+      // pair-window join.
       "q186_attribution",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

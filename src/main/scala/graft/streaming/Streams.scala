@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Full-precision event time: epoch MICROSECONDS. `Timestamp.getTime`
+    * truncates to milliseconds, and the events fixture carries
+    * microsecond timestamps (Tables.scala timestamp_micros) — any
+    * within-batch replay ordering must use this, never getTime.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
   /** Streaming file-source ingest of expression TSVs (S2's schema),
     * sample recovered from the file name — the streaming twin of
     * pipeline.Ingest.readType.
@@ -327,11 +335,9 @@ object Streams {
               else None
             Iterator.single(TwapRow(uid, d, st.n, twap))
           } else {
-            def micros(t: java.sql.Timestamp): Long =
-              t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
             var st = state.getOption.getOrElse(TwapState(-1L, 0.0, 0.0, 0.0, 0L))
-            rows.toSeq.sortBy(r => (micros(r._3), r._4)).foreach { case (_, _, t, _, v) =>
-              val tsUs = micros(t)
+            rows.toSeq.sortBy(r => (tsMicros(r._3), r._4)).foreach { case (_, _, t, _, v) =>
+              val tsUs = tsMicros(t)
               if (st.prevTsUs >= 0) {
                 val dur = (tsUs - st.prevTsUs).toDouble
                 st = st.copy(accW = st.accW + st.prevV * dur,
@@ -543,7 +549,10 @@ object Streams {
         case (user, rows, state: GroupState[Double]) =>
           val out = Seq.newBuilder[EwmaPoint]
           var y = state.getOption.getOrElse(Double.NaN)
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+          // full-microsecond order: getTime truncates to millis, and the
+          // events fixture carries microsecond timestamps — two events in
+          // the same millisecond must still process in batch-q185 order
+          rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
             y = if (y.isNaN) r.value else alpha * r.value + (1 - alpha) * y
             out += EwmaPoint(user, r.event_id, r.value, y)
           }
@@ -583,7 +592,8 @@ object Streams {
         case (user, rows, state: GroupState[String]) =>
           var channel = state.getOption.getOrElse("direct")
           val out = Seq.newBuilder[AttributedPurchase]
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+          // microsecond order, not getTime millis — see ewmaStream
+          rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
             if (r.event_type == "purchase")
               out += AttributedPurchase(user, r.event_id, channel, r.value)
             else if (r.event_type != "error") channel = r.event_type

@@ -66,4 +66,28 @@ class StreamingAttributionSpec extends SparkSpec {
         Map(12L -> "click", 11L -> "direct", 16L -> "view", 17L -> "signup"))
     } finally q.stop()
   }
+
+  test("same-millisecond touch/purchase resolve in MICROSECOND order") {
+    // purchase at .000100, click at .000500 — in the SAME millisecond,
+    // with the click carrying the lower event_id. True time order:
+    // purchase first → 'direct'. A getTime(millis) sort would tie and
+    // process the click first by event_id, mis-crediting the purchase
+    // (the r9 advice finding).
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val rows = Seq(
+      Streams.LatestRow(9, 901, ts("2024-01-01 09:00:00.000500"), "click", 0.0),
+      Streams.LatestRow(9, 902, ts("2024-01-01 09:00:00.000100"), "purchase", 10.0))
+    val input = MemoryStream[Streams.LatestRow]
+    val q = Streams.attributionStream(input.toDF())
+      .writeStream.format("memory").queryName("attr_us")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = s.table("attr_us").select("event_id", "channel")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(902L -> "direct"),
+        s"millis ordering would credit 'click'; got $got")
+    } finally q.stop()
+  }
 }

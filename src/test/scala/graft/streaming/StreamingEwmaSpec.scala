@@ -67,4 +67,31 @@ class StreamingEwmaSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("same-millisecond events process in MICROSECOND order, not event_id order") {
+    // two events 400µs apart inside the same millisecond, with the
+    // LOWER event_id arriving LATER in microseconds — a getTime-based
+    // sort (millis) would tie and fall back to event_id, processing
+    // them backwards (the r9 advice finding). Batch q185 orders by
+    // full-precision ts, so the stream must too.
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val rows = Seq(
+      Streams.LatestRow(7, 902, ts("2024-01-01 10:00:00.000100"), "view", 100.0),
+      Streams.LatestRow(7, 901, ts("2024-01-01 10:00:00.000500"), "view", 200.0))
+    val input = MemoryStream[Streams.LatestRow]
+    val q = Streams.ewmaStream(input.toDF())
+      .writeStream.format("memory").queryName("ewma_us")
+      .outputMode("append").start()
+    try {
+      // delivered in event_id order — the WRONG processing order
+      input.addData(rows.sortBy(_.event_id): _*); q.processAllAvailable()
+      val got = s.table("ewma_us").select("event_id", "ewma")
+        .as[(Long, Double)].collect().toMap
+      // microsecond order: 902 first (y=100), then 901 (0.25*200+0.75*100)
+      assert(got(902) == 100.0, s"first-in-time event must seed: ${got(902)}")
+      assert(math.abs(got(901) - 125.0) <= 1e-12,
+        s"getTime(millis) ordering would give 175.0; got ${got(901)}")
+    } finally q.stop()
+  }
 }
