@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q12b cost adjudication (DedupScale's measure-don't-argue pattern):
+  * q12b's bench entry has sat above the 2x baseline gate since round 6
+  * on the CLAIM that the delta is the exact-distinct arm it gained when
+  * its gate became sketch-vs-exact tolerance (the baseline-era query
+  * computed only the sketch). This main measures the claim: the gated
+  * form (sketch + exact in one aggregation — countDistinct forces an
+  * Expand that doubles the shuffled rows), the sketch-only form a
+  * production rollup would run, and the exact-only form, each warm,
+  * min-of-3, through the noop sink exactly like Bench. Results recorded
+  * in BASELINE.md as the re-recorded like-for-like baseline pair.
+  *
+  * Usage: runMain graft.SketchCost [sfDir]
+  */
+object SketchCost {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.fromEnv()
+    try {
+      def li = Tables(spark, sfDir, "lineitem")
+      val forms = Seq(
+        "sketch+exact (gated q12b)" -> (() =>
+          li.groupBy("l_returnflag")
+            .agg(
+              approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+              countDistinct(col("l_partkey")).as("exact"))
+            .select(
+              col("l_returnflag"),
+              expr("abs(CAST(approx AS DOUBLE) - exact) <= 3 * 0.02D * exact")
+                .as("within_tol"))),
+        "sketch-only (production form)" -> (() =>
+          li.groupBy("l_returnflag")
+            .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"))),
+        "exact-only" -> (() =>
+          li.groupBy("l_returnflag")
+            .agg(countDistinct(col("l_partkey")).as("exact"))),
+        // no-Expand fusion: distinct (flag, key) pairs first (map-side
+        // combinable), then exact = count and sketch = HLL of the
+        // already-distinct keys (identical estimate: HLL of a set ==
+        // HLL of its multiset) — one scan, one shuffle, no Expand
+        "pre-distinct fused" -> (() =>
+          li.select(col("l_returnflag"), col("l_partkey")).distinct()
+            .groupBy("l_returnflag")
+            .agg(
+              approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+              count(lit(1)).as("exact"))
+            .select(
+              col("l_returnflag"),
+              expr("abs(CAST(approx AS DOUBLE) - exact) <= 3 * 0.02D * exact")
+                .as("within_tol"))),
+      )
+      // warm every form once (codegen/classload), then min-of-3 timed
+      forms.foreach { case (_, f) =>
+        f().write.format("noop").mode("overwrite").save()
+      }
+      forms.foreach { case (name, f) =>
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          f().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"q12b-form $sfDir%s $name%-30s min=${times.min}%.3f s " +
+          f"(runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
+      }
+    } finally spark.stop()
+  }
+}
