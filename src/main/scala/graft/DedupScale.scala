@@ -102,6 +102,17 @@ object DedupScale {
             .withColumn("bv", expr("shiftright(simhash64, 16 * b) & 65535"))
             .groupBy("b", "bv").agg(count(lit(1)).as("n")))
 
+        // q29c's widened banding: 2 bands × 32 bits (2^32 buckets per
+        // band) — the >100k-doc escape hatch. The claim under audit:
+        // where 4×16 shows saturation onset at 50k docs, 2×32 bucket
+        // occupancy stays ~zero (max bucket = true near-identical
+        // collisions, not hash crowding).
+        report("simhash64_2x32",
+          sig64
+            .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 1)")).as("b"))
+            .withColumn("bv", expr("shiftright(simhash64, 32 * b) & 4294967295"))
+            .groupBy("b", "bv").agg(count(lit(1)).as("n")))
+
         // q142 PPJoin: buckets are the inverted lists candidate
         // generation joins on. `ppjoin_prefix` (rarest-prefix tokens
         // only) vs `inverted_all` (every shingle — what a filterless

@@ -248,9 +248,10 @@ object DedupOps {
     * 50k docs each 16-bit band is already 52% occupied — saturation
     * onset. 4×16-bit banding is sound to ~100k documents per dedup
     * domain; past that, partition the corpus (dedup per source/lang
-    * domain), widen to 2×32-bit bands, or prefer the MinHash banded
-    * path, whose two-minima string key (~2^62 space) cannot saturate
-    * at any realistic corpus size.
+    * domain), widen to 2×32-bit bands (GATED as q29c — hamming ≤ 1,
+    * measured flat at 50k docs where 4×16 shows onset, BASELINE.md),
+    * or prefer the MinHash banded path, whose two-minima string key
+    * (~2^62 space) cannot saturate at any realistic corpus size.
     *
     * Bit sourcing: md5 gives 128 bits but a signed BIGINT can only
     * carry 60 of them through the `'0x...'::BIGINT` oracle route
@@ -431,6 +432,49 @@ object DedupOps {
           "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
           "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
           "FROM cand WHERE bit_count(xor(sa, sb)) <= 3"),
+    ),
+    QuerySpec(
+      // 64-bit near-dup pairs, 2 bands × 32 bits — the documented
+      // >100k-doc escape hatch (see simhashSig64's capacity guidance)
+      // now GATED, not just advised: 2^32 buckets per band, so band
+      // occupancy at the 4×16 saturation onset (52% at 50k docs,
+      // BASELINE.md) drops to ~1e-5 — the banding cannot saturate
+      // below ~10^9 docs per dedup domain. The pigeonhole trade is
+      // explicit: b bands guarantee recall only for hamming ≤ b−1, so
+      // this is the hamming ≤ 1 (near-identical) detector — the
+      // boilerplate/mirror-corpus regime where >100k-doc domains
+      // actually live; hamming ≤ 3 at that scale belongs to MinHash
+      // (q27), whose key space cannot saturate. Same plan shape as
+      // q29/q29b: banded self-join on (band, value), candidates only.
+      "q29c_simhash64_wide_pairs",
+      (s, dir) => {
+        val sig = simhashSig64(s, dir).localCheckpoint()
+        val bands = sig
+          .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 1)")).as("b"))
+          // arithmetic shift + 32-bit mask: sign-fill lands above the
+          // mask, so negative signatures band identically cross-engine
+          .withColumn("bv", expr("shiftright(simhash64, 32 * b) & 4294967295"))
+        bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.simhash64").as("sa"), col("b.simhash64").as("sb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .filter(col("hamming") <= 1)
+          .select("da", "db", "hamming")
+      },
+      Some(
+        s"WITH $simhash64SqlCtes, " +
+          "bands AS (SELECT doc_id, simhash64, b, (simhash64 >> (32 * b)) & 4294967295 AS bv " +
+          "FROM sig, unnest(range(0, 2)) AS u(b)), " +
+          "cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash64 sa, b.simhash64 sb " +
+          "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+          "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+          "FROM cand WHERE bit_count(xor(sa, sb)) <= 1"),
     ),
     QuerySpec(
       // Near-dup pairs at hamming ≤ 3 via banded candidate generation:
