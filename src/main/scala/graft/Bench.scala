@@ -22,6 +22,37 @@ package graft
   * cached between passes beyond what a warm cluster would hold).
   */
 object Bench {
+
+  /** Effective-cores calibration (the manual 32-process burn every
+    * cross-boot comparison has needed, now emitted with the numbers):
+    * a fixed CPU workload is timed single-threaded, then 32 threads
+    * run it concurrently; effective cores = 32 × t_single / t_wall.
+    * A quiet 32-vCPU host reads ~26-32 (SMT keeps it below nominal);
+    * external oversubscription shows up directly (the r7 episode read
+    * 13.9). Per-round bench totals divide by this before being called
+    * regressions — the r8/r9 "1.2× uniform drift" was host, not plans.
+    */
+  private def effectiveCores(nThreads: Int = 32): (Double, Double, Double) = {
+    def work(): Long = {
+      // ~60 ms of integer xorshift on one thread; result consumed so
+      // the JIT can't elide it
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 30000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    work(); work() // JIT warm
+    val t0 = System.nanoTime(); val s = work(); val tSingle = (System.nanoTime() - t0) / 1e9
+    val threads = (1 to nThreads).map { _ =>
+      new Thread(() => { val r = work(); if (r == 42L) println(r) })
+    }
+    val t1 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val tWall = (System.nanoTime() - t1) / 1e9
+    if (s == 42L) println(s)
+    (nThreads * tSingle / tWall, tSingle, tWall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -47,7 +78,9 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       q.name -> (if (ok) Some(t) else None)
     }
+    val calPre = effectiveCores()
     val (pass1, pass2) = (timedPass(), timedPass().toMap)
+    val calPost = effectiveCores()
     val results = pass1.map { case (name, t1) =>
       val ts = (t1.toSeq ++ pass2(name).toSeq)
       // both passes failed → 0.0 with the error recorded in errors
@@ -65,8 +98,12 @@ object Bench {
       else errors.map { case (k, v) =>
         s""""${GraftSession.jsonEscape(k)}":"${GraftSession.jsonEscape(v)}""""
       }.mkString(""","errors":{""", ",", "}")
+    def r1(v: Double): Double = math.rint(v * 10) / 10
+    val cal =
+      s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)},""" +
+        s""""single_s":${r3(calPre._2)},"wall32_s":${r3(calPre._3)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$cal$errJson}"""
     // per-query lines go to STDERR (human/progress view) so stdout stays
     // exactly the driver contract: one JSON line
     results.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${r3(v)}%.3f s") }
