@@ -51,6 +51,9 @@ object Relational {
   /** q60's scratch dir (hive-partitioned orders). */
   private[operators] lazy val partitionedDir: String = roundtripDir("orders_by_yr")
 
+  /** q205's scratch dir (hive-partitioned orders for the DPP join). */
+  private[operators] lazy val dppDir: String = roundtripDir("orders_dpp")
+
   /** q03d's scratch dir. */
   private[operators] lazy val textRoundtripDir: String = roundtripDir("documents_txt")
 
@@ -1326,6 +1329,48 @@ object Relational {
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
           "o_orderdate, o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS o_year " +
           "FROM orders WHERE year(o_orderdate) = 1996"),
+    ),
+    QuerySpec(
+      // DYNAMIC partition pruning — q60 proves the STATIC case (a
+      // literal predicate on the partition column prunes directories
+      // at planning time); this is the scale case where the pruning
+      // values are only known at RUNTIME: the fact table is
+      // partitioned by o_year and joined to a FILTERED dim frame keyed
+      // by year (leap years derived from lineitem's ship calendar —
+      // the date-dim star-join shape), so Catalyst injects a
+      // `dynamicpruning` subquery into the fact scan's
+      // PartitionFilters (asserted in PartitionPruningSpec over this
+      // query) and only the dim-selected year directories are read.
+      // At 100 TB this is the fact-scan survival pattern for star
+      // joins whose date filter lives on the dim: without DPP the
+      // whole fact table is scanned, with it the scan reads 2 of 7
+      // years. Broadcast dim → DPP reuses the broadcast (the
+      // zero-extra-cost reuseBroadcastOnly mode, Spark's default).
+      "q205_dynamic_partition_pruning",
+      (s, dir) => {
+        val tmp = Relational.dppDir
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+        val facts = s.read.parquet(tmp)
+        val dimYears = t(s, dir, "lineitem")
+          .select(year(col("l_shipdate")).as("y")).distinct()
+          .filter(pmod(col("y"), lit(4)) === 0)
+        facts.join(broadcast(dimYears), facts("o_year") === dimYears("y"))
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            // DECIMAL-exact money fold, cast for the cross-engine gate
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("revenue"))
+      },
+      Some(
+        "WITH dim AS (SELECT DISTINCT year(l_shipdate) AS y FROM lineitem " +
+          "WHERE year(l_shipdate) % 4 = 0) " +
+          "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          "FROM orders JOIN dim ON year(o_orderdate) = dim.y GROUP BY 1"),
     ),
     QuerySpec(
       // Pure scan-aggregate: all three predicates push to the parquet

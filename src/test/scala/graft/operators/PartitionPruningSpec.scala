@@ -52,4 +52,20 @@ class PartitionPruningSpec extends SparkSpec {
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.contains("o_year=1996") && yearDirs.size > 1, yearDirs.toString)
   }
+
+  test("q205's dim join prunes fact partitions DYNAMICALLY") {
+    val s = spark
+    val q = graft.SparkEntry
+      .queries("q205_dynamic_partition_pruning")(s, "/root/testdata/sf0.001")
+    val flat = q.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // subquery (runtime directory pruning from the joined dim), not a
+    // literal — that is the difference from q60's static case
+    assert(flat.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan: $flat")
+    // and the layout offers >2 year dirs for the dim to prune down to 2
+    val yearDirs = new java.io.File(Relational.dppDir)
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(yearDirs.size > 2, yearDirs.toString)
+  }
 }
