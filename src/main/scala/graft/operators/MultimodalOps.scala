@@ -153,6 +153,98 @@ object MultimodalOps {
   /** q33d's scratch dir (parquet with a real-PNG BINARY column). */
   private[operators] lazy val pngDir: String = Relational.roundtripDir("png_media")
 
+  /** q206's scratch dir (variant-PNG corpus for perceptual-hash dedup). */
+  private[operators] lazy val phashDir: String = Relational.roundtripDir("phash_media")
+
+  /** One perceptual-hash row. */
+  final case class PHashRow(doc_id: Long, dhash: Long)
+
+  /** Deterministic variant PNG for the q206 gate: 8×16, pixel
+    * (x, ys) = the md5-derived gray of ("ph:", seed, ys, x) where
+    * seed = doc_id div 4 — each group of 4 consecutive doc_ids shares
+    * a pseudo-random base image (md5 grays, so DISTINCT seeds hash
+    * independently — a linear gray ramp would correlate every seed's
+    * hash and blow up the band buckets) — and variant v = doc_id mod 4
+    * > 0 overrides source row 2v with the "phv:" namespace. The
+    * override sits on an EVEN row (the ones the 8×8 nearest-neighbor
+    * resample actually samples), so a variant differs from its base in
+    * exactly one resized row — a genuine near-duplicate image under
+    * the difference hash below.
+    */
+  def syntheticVariantPng(docId: Long): Array[Byte] = {
+    val seed = docId / 4
+    val v = docId % 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gray(ns: String, ys: Int, x: Int): Int = {
+      val hex = md.digest(s"$ns:$seed:$ys:$x".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16)
+    }
+    val img = new java.awt.image.BufferedImage(
+      8, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var ys = 0
+    while (ys < 16) {
+      var x = 0
+      while (x < 8) {
+        val g =
+          if (v > 0 && ys == 2 * v) gray("phv", ys, x) else gray("ph", ys, x)
+        img.setRGB(x, ys, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      ys += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode → 8×8 nearest-neighbor resample → 56-bit vertical
+    * DIFFERENCE hash (dHash, the perceptual-hash family): bit
+    * (x, y) = lum(x, y) > lum(x, y+1) over the resized grid — 8 bits ×
+    * 7 row-pairs, bits 0..55 only, so the hash stays a positive BIGINT
+    * on both engines (no sign-bit gymnastics). Row-local comparisons
+    * (unlike aHash's global mean) keep a localized image edit's
+    * hamming damage bounded: one changed resized row flips at most the
+    * two adjacent row-pair bands. Corrupt payloads drop the row, like
+    * every real-decode path here.
+    */
+  def dhash56(docId: Long, payload: Array[Byte]): Option[PHashRow] = {
+    val img =
+      if (payload == null) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lum = Array.ofDim[Int](8, 8)
+      var y = 0
+      while (y < 8) {
+        val sy = y * h / 8
+        var x = 0
+        while (x < 8) {
+          val sx = x * w / 8
+          val rgb = img.getRGB(sx, sy)
+          lum(y)(x) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      y = 0
+      while (y < 7) {
+        var x = 0
+        while (x < 8) {
+          if (lum(y)(x) > lum(y + 1)(x)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(PHashRow(docId, hash))
+    }
+  }
+
   /** Deterministic synthetic JPEG for the q33e gate: a UNIFORM gray
     * image at level `bin·64 + 16 + (docId mod 32)` where
     * `bin = docId mod 4`. The gray level sits ≥ 16 luma units from
@@ -247,6 +339,80 @@ object MultimodalOps {
   }
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      // IMAGE near-dup dedup via perceptual hashing — the multimodal
+      // twin of q29's text SimHash banding, over GENUINE codec work:
+      // a variant-PNG corpus (each 4-doc group shares a base image;
+      // variants carry a one-row edit) is written through parquet
+      // BINARY, read back, real-decoded, resampled 8×8, and difference-
+      // hashed (dhash56); pairs come from the q29 banded self-join
+      // (7 bands × 8 bits) + hamming ≤ 16 verification. The one-row
+      // edits are band-aligned by construction (≤2 of 7 bands differ
+      // per edit, ≥3 bands always shared), so banding is lossless here
+      // and the oracle — which re-derives every hash from the
+      // construction arithmetic and runs the same banded join — gates
+      // the pairs exactly. At 100 TB: hashing is scan-stage decode
+      // work; the join is candidates-only, the q27/q29 scale story.
+      "q206_image_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map(id => (id, syntheticVariantPng(id)))
+          }
+          .toDF("doc_id", "payload")
+        val path = s"$phashDir/${new java.io.File(dir).getName}"
+        media.write.mode("overwrite").parquet(path)
+        val hashes = s.read.parquet(path)
+          .select(col("doc_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            javax.imageio.ImageIO.setUseCache(false)
+            rows.flatMap { case (id, b) => dhash56(id, b) }
+          }
+          .toDF().localCheckpoint()
+        val bands = hashes
+          .select(col("doc_id"), col("dhash"), explode(expr("sequence(0, 6)")).as("b"))
+          .withColumn("bv", expr("shiftright(dhash, 8 * b) & 255"))
+        bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+          .filter(col("hamming") <= 16)
+          .select("da", "db", "hamming")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, doc_id // 4 AS seed, doc_id % 4 AS v FROM documents), " +
+          // resized pixel (x, y): source row 2y (nearest neighbor on
+          // the 8x16 construction); variant v overrides source row
+          // 2v = resized row v via the "phv" md5 namespace
+          "px AS (SELECT doc_id, x, y, CAST(('0x' || substr(md5(" +
+          "(CASE WHEN v > 0 AND y = v THEN 'phv' ELSE 'ph' END) || ':' || " +
+          "CAST(seed AS VARCHAR) || ':' || CAST(2 * y AS VARCHAR) || ':' || " +
+          "CAST(x AS VARCHAR)), 1, 2))::BIGINT AS BIGINT) AS lum " +
+          "FROM d, unnest(range(0, 8)) AS ux(x), unnest(range(0, 8)) AS uy(y)), " +
+          "bits AS (SELECT a.doc_id, a.y * 8 + a.x AS i, " +
+          "CASE WHEN a.lum > b.lum THEN 1 ELSE 0 END AS bit " +
+          "FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.x = b.x AND b.y = a.y + 1 " +
+          "WHERE a.y < 7), " +
+          "hash AS (SELECT doc_id, CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS dhash " +
+          "FROM bits GROUP BY doc_id), " +
+          "bands AS (SELECT doc_id, dhash, b, (dhash >> (8 * b)) & 255 AS bv " +
+          "FROM hash, unnest(range(0, 7)) AS u(b)), " +
+          "cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db, a.dhash ha, b.dhash hb " +
+          "FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+          "SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+          "FROM cand WHERE bit_count(xor(ha, hb)) <= 16"),
+    ),
     QuerySpec(
       "q33b_multimodal_chunks",
       (s, dir) => {
