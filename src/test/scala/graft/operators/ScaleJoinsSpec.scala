@@ -181,4 +181,55 @@ class ScaleJoinsSpec extends SparkSpec {
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"), plan)
   }
+
+  test("runtime bloom-filter join: the probe side is row-filtered before the shuffle") {
+    // Row-level counterpart of q205's partition-level DPP: when a
+    // selective dim filters a shuffled fact join, Spark injects a
+    // bloom filter built from the dim's join keys into the fact scan
+    // (bloom_filter_might_contain), so non-joining fact rows die at
+    // the scan instead of riding the shuffle — at 100 TB that is the
+    // difference between shuffling the table and shuffling the
+    // matches. Production thresholds (10 MB build / 10 GB probe) are
+    // scaled to fixture bytes, exactly like the AQE-skew test above;
+    // the optimization must not change results.
+    val s = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      // the probe-side size gate is 10 GB in production — scaled to
+      // fixture bytes so the injection decision logic runs here
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // force a shuffled join: bloom injection targets shuffle joins
+      // (a broadcast join already row-filters by construction)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dir = "/root/testdata/sf0.001"
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = graft.Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      // renders as might_contain(scalar-subquery [...]) over a
+      // bloom_filter_agg of the dim's join keys
+      assert(
+        optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected on the probe side: $optimized")
+      // result identity vs the un-filtered plan
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plainCnt = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(plainCnt > 0 && joined.count() == plainCnt)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
