@@ -1,0 +1,62 @@
+#!/usr/bin/env bash
+# Round-close gate chain (the freeze protocol the r9 verdict demanded):
+# run EVERYTHING, in order, with zero source changes afterward — any
+# change reopens the chain. Exit code is the AND of all gates; the
+# correctness gates use tools/check.py, whose exit code since round 10
+# gates on the driver-exact mode, not just the 1e-6-tolerant compare.
+#
+# Usage: tools/close.sh [workdir=/tmp/graft_close]
+set -u
+WORK="${1:-/tmp/graft_close}"
+SF001=/root/testdata/sf0.01
+SF01=/root/testdata/sf0.1
+mkdir -p "$WORK"
+fail=0
+
+step() { echo "== close: $*"; }
+
+step "1/5 sbt test (full suite)"
+if sbt test > "$WORK/sbt_test.log" 2>&1; then
+  grep -E "Total number of tests|All tests passed" "$WORK/sbt_test.log" | tail -2
+else
+  echo "FAIL: sbt test (see $WORK/sbt_test.log)"; fail=1
+fi
+
+step "2/5 oracle gate at sf0.01 (both checker modes; exit gates on exact)"
+sbt "runMain graft.Verify $SF001 $WORK/verify_sf001" > "$WORK/verify_sf001.log" 2>&1 \
+  || { echo "FAIL: Verify sf0.01"; fail=1; }
+grep "\[verify\]" "$WORK/verify_sf001.log" && { echo "FAIL: per-query verify errors"; fail=1; }
+python3 tools/check.py "$SF001" "$WORK/verify_sf001" > "$WORK/check_sf001.log" 2>&1 \
+  || { echo "FAIL: check sf0.01"; fail=1; }
+tail -1 "$WORK/check_sf001.log"
+
+step "3/5 oracle gate on the 8-file sf0.1 rewrite (layout independence)"
+sbt "runMain graft.RewriteMulti $SF01 $WORK/sf01_multi8 8" > "$WORK/rewrite.log" 2>&1 \
+  || { echo "FAIL: RewriteMulti"; fail=1; }
+sbt "runMain graft.Verify $WORK/sf01_multi8 $WORK/verify_multi" > "$WORK/verify_multi.log" 2>&1 \
+  || { echo "FAIL: Verify multi"; fail=1; }
+grep "\[verify\]" "$WORK/verify_multi.log" && { echo "FAIL: per-query verify errors (multi)"; fail=1; }
+python3 tools/check.py "$SF01" "$WORK/verify_multi" > "$WORK/check_multi.log" 2>&1 \
+  || { echo "FAIL: check multi"; fail=1; }
+tail -1 "$WORK/check_multi.log"
+
+step "4/5 bench at sf0.1 (records effective-cores calibration in target/bench.json)"
+if SPARK_GRAFT_SF_DIR="$SF01" sbt "runMain graft.Bench" > "$WORK/bench.log" 2>&1; then
+  python3 - <<'EOF'
+import json
+d = json.load(open('target/bench.json'))
+print(f"bench total {d['value']} s / {len(d['queries'])} queries; "
+      f"effective_cores {d.get('effective_cores')}; errors: {d.get('errors')}")
+EOF
+else
+  echo "FAIL: bench"; fail=1
+fi
+
+step "5/5 summary"
+echo "closing commit: $(git rev-parse --short HEAD) ($(git log -1 --format=%s))"
+if [ "$fail" -eq 0 ]; then
+  echo "ALL GATES GREEN — record this pass (with the commit hash above) in BASELINE.md."
+else
+  echo "CHAIN RED — fix, commit, and re-run the WHOLE chain."
+fi
+exit "$fail"
