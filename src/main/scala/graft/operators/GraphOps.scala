@@ -105,6 +105,81 @@ object GraphOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q91_pagerank", (s, dir) => pagerank(s, dir), Some(pagerankSql)),
     QuerySpec(
+      // k-CORE decomposition (bounded): iteratively strip nodes whose
+      // within-subgraph degree falls below k — the dense-community /
+      // spam-cluster extractor (distinct from q38's components, which
+      // ignore density, and q155's label propagation, which partitions
+      // rather than prunes). k is DATA-DERIVED — the 25th-percentile
+      // initial degree, computed integer-exactly from the degree
+      // histogram's cumulative counts — because trade-graph degrees
+      // grow with corpus scale, so any fixed k degenerates (everyone
+      // survives, or everyone drops) at some SF; the adaptive k strips
+      // ~25% in round 1 and cascades at EVERY scale. 4 fixed strip
+      // rounds (deterministic on both engines whether or not the core
+      // has converged; the unbounded loop would use Network.scala's
+      // checkpointed pattern). Per round: two semi-joins of the
+      // once-materialized edge list against the node-sized survivor
+      // frame + one combinable degree count — q91's iterative shape.
+      // k rides as a broadcast SINGLE-ROW cross join (the q108 bounds
+      // pattern), so the plan is fully distributed.
+      "q208_kcore",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir).localCheckpoint()
+        val deg0 = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        val hist = deg0.groupBy("deg").agg(count(lit(1)).as("cnt"))
+        val wc = Window.orderBy("deg")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // r-th smallest degree, r = ceil(n/4): integer-exact disc
+        // quantile from cumulative counts on the tiny histogram frame
+        val kRow = hist
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("cum") >= expr("(n + 3) div 4"))
+          .agg(min(col("deg")).as("k"))
+        var surv = deg0.crossJoin(broadcast(kRow))
+          .filter(col("deg") >= col("k")).select("id").localCheckpoint()
+        for (_ <- 1 to 3) {
+          val e = edges
+            .join(surv.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .join(surv.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          surv = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+            .crossJoin(broadcast(kRow))
+            .filter(col("deg") >= col("k")).select("id").localCheckpoint()
+        }
+        val eFin = edges
+          .join(surv.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(surv.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        eFin.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(kRow))
+          .select(col("node_id"), col("deg"), col("k"))
+      },
+      Some {
+        def strip(prevS: String, eCur: String, sCur: String): String =
+          s"$eCur AS (SELECT src, dst FROM edges WHERE src IN (SELECT id FROM $prevS) " +
+            s"AND dst IN (SELECT id FROM $prevS)), " +
+            s"$sCur AS (SELECT src AS id FROM $eCur, kq GROUP BY src, k " +
+            "HAVING COUNT(*) >= k)"
+        "WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+          "edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p), " +
+          "d0 AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src), " +
+          "h AS (SELECT deg, COUNT(*) AS cnt FROM d0 GROUP BY deg), " +
+          "hc AS (SELECT deg, CAST(SUM(cnt) OVER (ORDER BY deg " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          "CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h), " +
+          "kq AS (SELECT MIN(deg) AS k FROM hc WHERE cum >= (n + 3) // 4), " +
+          "s0 AS (SELECT id FROM d0, kq WHERE deg >= k), " +
+          strip("s0", "e1", "s1") + ", " +
+          strip("s1", "e2", "s2") + ", " +
+          strip("s2", "e3", "s3") + ", " +
+          "ef AS (SELECT src, dst FROM edges WHERE src IN (SELECT id FROM s3) " +
+          "AND dst IN (SELECT id FROM s3)) " +
+          "SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS deg, CAST(k AS BIGINT) AS k " +
+          "FROM ef, kq GROUP BY src, k"
+      },
+    ),
+    QuerySpec(
       // Item co-occurrence features: per supplier, how many distinct
       // co-suppliers share ≥1 order with it and the total co-occurrence
       // count — the word2vec/item-item-graph construction pass of a

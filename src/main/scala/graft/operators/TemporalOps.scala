@@ -39,6 +39,64 @@ object TemporalOps {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
+      // CUSUM changepoint detection: per event type, the day where the
+      // cumulative deviation from the series mean peaks — the
+      // level-shift localizer (Page's CUSUM). NOT q194 (drift monitor
+      // compares a FIXED reference-half vs live-half split; CUSUM
+      // finds the shift at an UNKNOWN time from the whole cumulative
+      // path), not q103/q117 (pointwise outliers), not q130 (global
+      // trend slope). Integer-exact across engines by scaling: the
+      // statistic n·cum_t − t·total = n·(cum_t − t·mean) never forms
+      // the fractional mean, so S_t stays BIGINT and the argmax day is
+      // bit-deterministic (|S| desc, day asc tie-break). Shapes: one
+      // combinable (type, day) count, then ALL windows run on the
+      // days-sized frame partitioned by type — the corpus never
+      // re-shuffles and no global window exists.
+      "q207_cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val wOrd = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val scored = daily
+          .withColumn("t",
+            row_number().over(Window.partitionBy("event_type").orderBy("d")).cast("long"))
+          .withColumn("cum", sum(col("x")).over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("tot", sum(col("x")).over(wAll))
+          .withColumn("s_abs", abs(col("n") * col("cum") - col("t") * col("tot")))
+        scored
+          .withColumn("rk",
+            row_number().over(
+              Window.partitionBy("event_type").orderBy(col("s_abs").desc, col("d").asc)))
+          .filter(col("rk") === 1)
+          .select(
+            col("event_type"),
+            date_format(col("d"), "yyyy-MM-dd").as("cp_day"),
+            col("s_abs").as("max_abs_cusum"),
+            col("n").as("n_days"),
+            col("tot").as("total_events"))
+      },
+      Some(
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+          "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+          "sc AS (SELECT event_type, d, x, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t, " +
+          "CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+          "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM daily), " +
+          "rk AS (SELECT *, abs(n * cum - t * tot) AS s_abs, " +
+          "ROW_NUMBER() OVER (PARTITION BY event_type " +
+          "ORDER BY abs(n * cum - t * tot) DESC, d ASC) AS r FROM sc) " +
+          "SELECT event_type, strftime(d, '%Y-%m-%d') AS cp_day, " +
+          "CAST(s_abs AS BIGINT) AS max_abs_cusum, n AS n_days, tot AS total_events " +
+          "FROM rk WHERE r = 1"),
+    ),
+    QuerySpec(
       "q41_asof_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)

@@ -47,7 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     // q203: the per-class constant frame (≤5 rows, bounded by the
     // class schema) broadcast-crossed into the test-doc frame — the
     // q30 family; the corpus-sized work is the token equi-join
-    "q203_naive_bayes")
+    "q203_naive_bayes",
+    // q208: the data-derived k rides as a broadcast SINGLE-ROW cross
+    // join into each strip round (the q108 bounds shape)
+    "q208_kcore")
 
   test("no query plans a cartesian/broadcast-nested-loop join unintentionally") {
     val offenders = SparkEntry.specs.flatMap { q =>
