@@ -521,6 +521,51 @@ object Streams {
     * the key domain (users) is the dimension being materialized.
     */
   /** One smoothed observation emission. */
+  /** One CUSUM emission: the running statistic after this event. */
+  final case class CusumPoint(
+      event_type: String, event_id: Long, value: Double, s: Double, alarm: Boolean)
+
+  /** Streaming one-sided Page CUSUM — the ONLINE counterpart of batch
+    * q207 (which localizes a level shift RETROSPECTIVELY via the
+    * argmax of the full cumulative-deviation path — a statistic that
+    * needs the whole series and so cannot stream): against a known
+    * reference mean μ0, accumulate s' = max(0, s + (x − μ0 − slack))
+    * and ALARM when s' crosses h, resetting after each alarm — the
+    * live drift detector a monitoring pipeline runs while q207 runs in
+    * batch forensics. State is ONE DOUBLE per key (event_type), like
+    * ewmaStream; rows within a micro-batch process in full
+    * MICROSECOND (ts, event_id) order. StreamingCusumSpec proves the
+    * emissions equal the sequential recursion exactly across batch
+    * boundaries and unsorted delivery, including alarm resets.
+    */
+  def cusumStream(
+      events: DataFrame, // needs user_id, event_id, ts, event_type, value
+      mu0: Double,
+      slack: Double = 0.0,
+      h: Double = 50.0,
+  ): org.apache.spark.sql.Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[LatestRow]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Double, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (etype, rows, state: GroupState[Double]) =>
+          val out = Seq.newBuilder[CusumPoint]
+          var s = state.getOption.getOrElse(0.0)
+          rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
+            s = math.max(0.0, s + (r.value - mu0 - slack))
+            val alarm = s > h
+            out += CusumPoint(etype, r.event_id, r.value, s, alarm)
+            if (alarm) s = 0.0 // restart surveillance after the alarm
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaPoint(
       user_id: Long, event_id: Long, value: Double, ewma: Double)
 
