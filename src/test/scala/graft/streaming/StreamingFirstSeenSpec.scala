@@ -6,31 +6,50 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 // Top-level for encoder codegen (see StreamsSpec note).
-case class FsEv(user_id: Long, ts: Timestamp, event_type: String)
+case class FsEv(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
 
-/** firstSeenStream ≡ batch q158's new-user attribution on a
-  * chronologically replayed log: one emission per user ever (even when
-  * the user re-appears in later micro-batches), carrying the user's
-  * true first event, and the per-day rollup of emissions equals the
-  * batch new_users-per-day frame.
+/** firstSeenStream ≡ batch q158's new-user attribution on a replayed
+  * log: one emission per user ever (even when the user re-appears in
+  * later micro-batches), carrying the user's true min-(ts, event_id)
+  * first event — INDEPENDENT of arrival order within a micro-batch
+  * (VERDICT r10 #4: the old dropDuplicates formulation kept whichever
+  * row the shuffle delivered first, so a user whose day-1 and day-2
+  * events shared a batch could be attributed to day 2). The per-day
+  * rollup of emissions equals the batch new_users-per-day frame.
   */
 class StreamingFirstSeenSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  private val batch1 = Seq(
-    FsEv(1, ts("2024-01-01 09:00:00"), "view"),
-    FsEv(1, ts("2024-01-01 09:05:00"), "click"), // same batch repeat — swallowed
-    FsEv(2, ts("2024-01-01 10:00:00"), "view"))
-  private val batch2 = Seq(
-    FsEv(1, ts("2024-01-02 08:00:00"), "view"), // returning — swallowed
-    FsEv(3, ts("2024-01-02 09:00:00"), "signup"))
-  private val batch3 = Seq(
-    FsEv(2, ts("2024-01-03 11:00:00"), "purchase"), // returning — swallowed
-    FsEv(4, ts("2024-01-03 12:00:00"), "view"),
-    FsEv(4, ts("2024-01-03 12:30:00"), "view")) // same batch repeat
+  private def usKey(e: FsEv): (Long, Long) =
+    (e.ts.toInstant.getEpochSecond * 1000000L + e.ts.toInstant.getNano / 1000L,
+      e.event_id)
 
-  test("firstSeenStream emits each user once with the true first event; day rollup = batch new_users") {
+  private val batch1 = Seq(
+    FsEv(1, 10, ts("2024-01-01 09:00:00"), "view"),
+    FsEv(1, 11, ts("2024-01-01 09:05:00"), "click"), // same batch repeat — swallowed
+    FsEv(2, 12, ts("2024-01-01 10:00:00"), "view"))
+  private val batch2 = Seq(
+    FsEv(1, 13, ts("2024-01-02 08:00:00"), "view"), // returning — swallowed
+    FsEv(3, 14, ts("2024-01-02 09:00:00"), "signup"))
+  private val batch3 = Seq(
+    FsEv(2, 15, ts("2024-01-03 11:00:00"), "purchase"), // returning — swallowed
+    FsEv(4, 16, ts("2024-01-03 12:00:00"), "view"),
+    FsEv(4, 17, ts("2024-01-03 12:30:00"), "view")) // same batch repeat
+  private val batch4 = Seq(
+    // ADVERSARIAL arrival order: new user 7's day-2 event ARRIVES
+    // before its day-1 event in the same micro-batch (out-of-order
+    // ingest — the multi-partition race made deterministic). The
+    // attribution must still be day 1: batch q158 takes min(ts), not
+    // first-arrival.
+    FsEv(7, 31, ts("2024-01-05 09:00:00"), "view"),
+    FsEv(7, 30, ts("2024-01-04 22:00:00"), "signup"),
+    // tie case: same timestamp, lower event_id wins (the q94-family
+    // deterministic tie rule)
+    FsEv(8, 41, ts("2024-01-05 10:00:00"), "click"),
+    FsEv(8, 40, ts("2024-01-05 10:00:00"), "view"))
+
+  test("firstSeenStream emits each user once with the true min-(ts,event_id) event; day rollup = batch new_users") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
     val input = MemoryStream[FsEv]
@@ -41,18 +60,23 @@ class StreamingFirstSeenSpec extends SparkSpec {
       input.addData(batch1: _*); q.processAllAvailable()
       input.addData(batch2: _*); q.processAllAvailable()
       input.addData(batch3: _*); q.processAllAvailable()
+      input.addData(batch4: _*); q.processAllAvailable()
       val emitted = s.table("first_seen")
         .select(col("user_id"), col("first_ts"), col("first_day").cast("string"))
         .as[(Long, Timestamp, String)].collect().toSeq
 
       // exactly once per user
-      assert(emitted.map(_._1).sorted == Seq(1L, 2L, 3L, 4L))
+      assert(emitted.map(_._1).sorted == Seq(1L, 2L, 3L, 4L, 7L, 8L))
 
-      // each emission is the user's true earliest event of the history
-      val all = batch1 ++ batch2 ++ batch3
+      // each emission is the user's true earliest event of the history,
+      // min-(ts, event_id) — NOT first-arrival within the batch
+      val all = batch1 ++ batch2 ++ batch3 ++ batch4
       val expectedFirst = all.groupBy(_.user_id)
-        .map { case (u, es) => u -> es.minBy(_.ts.getTime).ts }
+        .map { case (u, es) => u -> es.minBy(usKey).ts }
       emitted.foreach { case (u, t, _) => assert(t == expectedFirst(u), s"user $u") }
+
+      // the out-of-order user lands on day 1 of its history
+      assert(emitted.find(_._1 == 7L).get._3 == "2024-01-04")
 
       // per-day rollup of emissions = batch q158 new_users frame
       val got = emitted.groupBy(_._3).map { case (d, rs) => d -> rs.size.toLong }

@@ -20,6 +20,14 @@ class StreamingUpsertSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  /** Full-microsecond emission key — the q94 ordering. The spec's own
+    * reconstruction must NOT use `.getTime` (millisecond truncation):
+    * the same-millisecond fixture below exists precisely to catch that.
+    */
+  private def usKey(r: UpEv): (Long, Long) =
+    (r.ts.toInstant.getEpochSecond * 1000000L + r.ts.toInstant.getNano / 1000L,
+      r.event_id)
+
   private val batch1 = Seq(
     UpEv(1, 10, ts("2024-01-01 10:00:00"), "click", 1.0),
     UpEv(2, 11, ts("2024-01-01 10:05:00"), "view", 2.0),
@@ -36,6 +44,15 @@ class StreamingUpsertSpec extends SparkSpec {
     UpEv(1, 16, ts("2024-01-01 10:10:00"), "view", 7.0),
     // exact current winner replayed for user 3 — no change, no emit
     UpEv(3, 15, ts("2024-01-01 10:30:00"), "view", 6.0))
+  private val batch4 = Seq(
+    // ADVERSARIAL same-millisecond pair (VERDICT r10 #1): two events
+    // 500 µs apart inside millisecond 10:00:00.000 whose event_id
+    // order INVERTS their microsecond order. Batch q94 ranks by full-
+    // precision ts DESC, event_id DESC → event 21 (the later .000900)
+    // wins; a millisecond state key sees equal ts and picks the higher
+    // event_id 22 — the exact defect at the old Streams.scala:684.
+    UpEv(5, 22, ts("2024-01-01 10:00:00.000400"), "view", 8.0),
+    UpEv(5, 21, ts("2024-01-01 10:00:00.000900"), "click", 9.0))
 
   test("upsertStream materializes batch q94 keep-latest; stale rows emit nothing") {
     val s = spark; import s.implicits._
@@ -49,32 +66,39 @@ class StreamingUpsertSpec extends SparkSpec {
       input.addData(batch2: _*); q.processAllAvailable()
       val afterB2 = s.table("upsert").collect().length
       input.addData(batch3: _*); q.processAllAvailable()
+      val afterB3 = s.table("upsert").collect().length
+      input.addData(batch4: _*); q.processAllAvailable()
       val emitted = s.table("upsert")
         .select("user_id", "event_id", "ts", "event_type", "value")
         .as[UpEv].collect().toSeq
 
       // batch q94 over the full replayed history
-      val all = (batch1 ++ batch2 ++ batch3).toDS().toDF()
+      val all = (batch1 ++ batch2 ++ batch3 ++ batch4).toDS().toDF()
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       val expected = all.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
         .as[UpEv].collect().map(e => e.user_id -> e).toMap
 
-      // final state = per-key max (ts, event_id) emission
+      // final state = per-key max (ts, event_id) emission, microsecond-keyed
       val finalState = emitted.groupBy(_.user_id)
-        .map { case (u, rs) => u -> rs.maxBy(r => (r.ts.getTime, r.event_id)) }
+        .map { case (u, rs) => u -> rs.maxBy(usKey) }
       assert(finalState == expected)
 
       // per-key emissions strictly monotone in (ts, event_id)
       emitted.groupBy(_.user_id).values.foreach { rs =>
-        val keys = rs.map(r => (r.ts.getTime, r.event_id))
+        val keys = rs.map(usKey)
         assert(keys.distinct.length == keys.length, s"duplicate emission keys: $rs")
       }
       // batch3: exactly ONE new emission (user 1's tie-break winner);
       // user 3's identical replay and nothing else may emit
-      assert(s.table("upsert").collect().length == afterB2 + 1)
+      assert(afterB3 == afterB2 + 1)
       // user 1's winner is the tie-broken event 16, emitted in batch 3
       assert(finalState(1L).event_id == 16L)
+      // the same-millisecond pair: the microsecond-later event 21 must
+      // be user 5's kept row (batch q94 parity), not the higher
+      // event_id of the shared millisecond
+      assert(finalState(5L).event_id == 21L,
+        s"millisecond-truncated state key kept ${finalState(5L)}")
     } finally q.stop()
   }
 }
