@@ -648,25 +648,46 @@ object Streams {
       }
   }
 
+  /** One first-seen emission (internal to firstSeenStream). */
+  final case class FirstSeenEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
   /** First-seen detection — the streaming half of batch q158's
     * new-vs-returning split: emit each user's FIRST-ever event, exactly
     * once, the moment it arrives; every later event of that user is
-    * swallowed. Built entirely from the engine's streaming dedup
-    * (`dropDuplicates` on the key alone — no watermark column, so
-    * state is retained forever): first-ever semantics genuinely
-    * requires remembering every user id seen, and that is the honest
-    * minimum state — DISTINCT-users-sized, not events-sized (per-key
-    * bytes: just the key). On a chronologically replayed log the
-    * emitted rows are exactly batch q158's (user → first day)
-    * attribution; StreamingFirstSeenSpec proves it, plus the
-    * exactly-once-per-user contract under re-appearances across
-    * micro-batches.
+    * swallowed. First-ever semantics genuinely requires remembering
+    * every user id seen, and that is the honest minimum state —
+    * DISTINCT-users-sized, not events-sized (per-key bytes: the key +
+    * one boolean; StreamingStateSizeSpec asserts state rows track
+    * distinct users across batches). The within-batch winner is the
+    * explicit min-(tsMicros, event_id) over the group's rows — NOT the
+    * first row the shuffle happens to deliver (the bare
+    * `dropDuplicates` formulation this replaced kept an arrival-order-
+    * dependent row, so a user whose day-1 and day-2 events shared a
+    * micro-batch could be attributed to day 2 nondeterministically;
+    * VERDICT r10 #4). On a replayed log the emitted rows are exactly
+    * batch q158's (user → first day) attribution; StreamingFirstSeenSpec
+    * proves it, including out-of-order arrival within a batch, a
+    * same-timestamp event_id tie, and re-appearances across batches.
     */
-  def firstSeenStream(events: DataFrame): DataFrame =
+  def firstSeenStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
-      .dropDuplicates("user_id")
+      .selectExpr("user_id", "event_id", "ts")
+      .as[FirstSeenEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, FirstSeenEv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (tsMicros(r.ts), r.event_id)))
+          }
+      }
       .select(col("user_id"), col("ts").as("first_ts"),
         to_date(col("ts")).as("first_day"))
+  }
 
   def upsertStream(
       events: DataFrame, // needs user_id, event_id, ts, event_type, value
@@ -681,7 +702,10 @@ object Streams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[LatestRow]) =>
           val prev = state.getOption
-          val key = (r: LatestRow) => (r.ts.getTime, r.event_id)
+          // full-microsecond key — q94 ranks by full-precision
+          // (ts, event_id); a getTime millisecond key would pick the
+          // wrong winner for two events inside one millisecond
+          val key = (r: LatestRow) => (tsMicros(r.ts), r.event_id)
           val best = (prev.iterator ++ rows).maxBy(key)
           if (prev.exists(p => key(p) == key(best))) Iterator.empty
           else { state.update(best); Iterator.single(best) }
