@@ -99,4 +99,62 @@ class StreamingStateSizeSpec extends SparkSpec {
       assert(emitted >= 20, s"gen A decisions must have been emitted: $emitted")
     } finally q.stop()
   }
+
+  // The two USERS-keyed twins (VERDICT r10 #5): first-ever semantics
+  // retains state forever by design (the honest minimum), so the 100 TB
+  // property to assert is the BOUND — state rows track DISTINCT users,
+  // not events: replaying more events for known users must not grow
+  // state, and k new users grow it by exactly k.
+
+  test("firstSeenStream: state rows = distinct users, not events") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[FsEv]
+    val q = Streams.firstSeenStream(input.toDF())
+      .writeStream.format("memory").queryName("firstseen_state")
+      .outputMode("append").start()
+    def ev(u: Long, i: Long) =
+      FsEv(u, u * 100 + i, Timestamp.valueOf(s"2024-01-01 10:0$i:00"), "view")
+    try {
+      // 3 users × 3 events
+      input.addData((for (u <- 1L to 3L; i <- 0L until 3L) yield ev(u, i)): _*)
+      q.processAllAvailable()
+      val (afterA, _) = stateRows(q)
+      assert(afterA == 3, s"state must be users-sized after 9 events / 3 users: $afterA")
+      // same 3 users re-appear (6 more events) + 2 new users
+      input.addData(
+        (for (u <- 1L to 3L; i <- 3L until 5L) yield ev(u, i)) ++
+          (for (u <- 4L to 5L; i <- 0L until 2L) yield ev(u, i)): _*)
+      q.processAllAvailable()
+      val (fin, peak) = stateRows(q)
+      assert(fin == 5, s"state must be 5 (distinct users) after 19 events: $fin")
+      assert(peak == 5, s"state never exceeds distinct users: peak $peak")
+    } finally q.stop()
+  }
+
+  test("upsertStream: state rows = distinct users, not events") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[UpEv]
+    val q = Streams.upsertStream(input.toDF())
+      .writeStream.format("memory").queryName("upsert_state")
+      .outputMode("update").start()
+    def ev(u: Long, i: Long) =
+      UpEv(u, u * 100 + i, Timestamp.valueOf(s"2024-01-01 10:0$i:00"), "view", i.toDouble)
+    try {
+      // 2 users × 4 events
+      input.addData((for (u <- 1L to 2L; i <- 0L until 4L) yield ev(u, i)): _*)
+      q.processAllAvailable()
+      val (afterA, _) = stateRows(q)
+      assert(afterA == 2, s"state must be users-sized after 8 events / 2 users: $afterA")
+      // same 2 users again + 3 new users
+      input.addData(
+        (for (u <- 1L to 2L; i <- 4L until 6L) yield ev(u, i)) ++
+          (for (u <- 3L to 5L; i <- 0L until 2L) yield ev(u, i)): _*)
+      q.processAllAvailable()
+      val (fin, peak) = stateRows(q)
+      assert(fin == 5, s"state must be 5 (distinct users) after 18 events: $fin")
+      assert(peak == 5, s"state never exceeds distinct users: peak $peak")
+    } finally q.stop()
+  }
 }
