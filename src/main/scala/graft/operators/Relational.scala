@@ -905,7 +905,11 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(
             approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-            count(lit(1)).as("exact"))
+            // count(l_partkey), not count(*): both countDistinct and the
+            // HLL sketch EXCLUDE nulls, so the exact arm must too or a
+            // nullable key would shift the tolerance gate by the
+            // distinct (flag, NULL) rows
+            count(col("l_partkey")).as("exact"))
           .select(
             col("l_returnflag"),
             expr("abs(CAST(approx AS DOUBLE) - exact) <= 3 * 0.02D * exact")
@@ -1314,7 +1318,10 @@ object Relational {
       // one year read, not the table.
       "q60_partition_pruned",
       (s, dir) => {
-        val tmp = Relational.partitionedDir
+        // scratch path keyed by the input dataset (like q206's): two
+        // interleaved runs over different sf dirs must not overwrite
+        // each other between write and read
+        val tmp = s"${Relational.partitionedDir}/${new java.io.File(dir).getName}"
         t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -1348,7 +1355,8 @@ object Relational {
       // zero-extra-cost reuseBroadcastOnly mode, Spark's default).
       "q205_dynamic_partition_pruning",
       (s, dir) => {
-        val tmp = Relational.dppDir
+        // per-dataset scratch path — same rationale as q60 above
+        val tmp = s"${Relational.dppDir}/${new java.io.File(dir).getName}"
         t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

@@ -48,7 +48,8 @@ class PartitionPruningSpec extends SparkSpec {
     // pruning at planning time), not a post-scan Filter
     assert(flat.matches(".*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"), flat)
     // and the layout must actually be partitioned: multiple year dirs
-    val yearDirs = new java.io.File(Relational.partitionedDir)
+    // (scratch paths are keyed per input dataset since r11)
+    val yearDirs = new java.io.File(Relational.partitionedDir, "sf0.001")
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.contains("o_year=1996") && yearDirs.size > 1, yearDirs.toString)
   }
@@ -64,7 +65,7 @@ class PartitionPruningSpec extends SparkSpec {
     assert(flat.contains("dynamicpruning"),
       s"no dynamic pruning subquery in the fact scan: $flat")
     // and the layout offers >2 year dirs for the dim to prune down to 2
-    val yearDirs = new java.io.File(Relational.dppDir)
+    val yearDirs = new java.io.File(Relational.dppDir, "sf0.001")
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.size > 2, yearDirs.toString)
   }
