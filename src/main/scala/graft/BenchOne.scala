@@ -23,6 +23,12 @@ object BenchOne {
             s"tasks=${si.numTasks} wall=${ms.getOrElse(-1L)}ms")
         }
       })
+    // host-load calibration around the measured queries, so one-off
+    // re-measures recorded in BASELINE.md carry the same effective-cores
+    // context as full Bench runs (a repeated query name is the warm-rep
+    // protocol: pass it N times, read reps 2+)
+    val calPre = Bench.effectiveCores()
+    println(f"== cal pre: effective_cores=${calPre._1}%.1f")
     for (q <- args) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, sfDir)
@@ -32,6 +38,8 @@ object BenchOne {
       val n = df.count()
       println(s"== $q: rows=$n time=${secs}s")
     }
+    val calPost = Bench.effectiveCores()
+    println(f"== cal post: effective_cores=${calPost._1}%.1f")
     spark.stop()
   }
 }
