@@ -124,6 +124,29 @@ object DedupScale {
           prefix.groupBy("sh").agg(count(lit(1)).as("n")))
         report("inverted_all",
           allSh.groupBy("sh").agg(count(lit(1)).as("n")))
+
+        // q177 containment join: ASYMMETRIC prefix — each doc's
+        // L = n−⌈0.8n⌉+1 rarest shingles joined against FULL inverted
+        // lists, so the join cost is Σ_sh prefix(sh)·full(sh), not
+        // Σ|b|². cand_pairs reports that product (self-matches
+        // included — the da≠db filter drops them post-join);
+        // max/p99_bucket are the full-list sizes restricted to
+        // prefix-occupied shingles. Comparable filterless cost is the
+        // inverted_all row above.
+        val (csh, cprefix, _, _) =
+          graft.operators.DedupOps.containmentFrames(spark, dir)
+        val cstats = cprefix.groupBy("sh").agg(count(lit(1)).as("np"))
+          .join(csh.groupBy("sh").agg(count(lit(1)).as("nf")), "sh")
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("nf")).as("max_bucket"),
+            expr("CAST(percentile(nf, 0.99) AS DOUBLE)").as("p99_bucket"),
+            sum(col("np") * col("nf")).as("cand_pairs"))
+          .head()
+        println(
+          s"""{"metric":"dedup_scale","sf":"$sf","family":"containment_prefix","n_docs":$nDocs,""" +
+            s""""n_buckets":${cstats.getLong(0)},"max_bucket":${cstats.getLong(1)},""" +
+            s""""p99_bucket":${cstats.getDouble(2)},"cand_pairs":${cstats.getLong(3)}}""")
       }
     } finally spark.stop()
   }

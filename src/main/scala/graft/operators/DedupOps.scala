@@ -1083,52 +1083,7 @@ object DedupOps {
       // recomputes intersections over co-shingled pairs only — the
       // q142 oracle's no-all-pairs shape.
       "q177_containment_join",
-      (s, dir) => {
-        val base = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 3)
-        val derived = base.unionByName(
-          base.select(
-            (col("doc_id") + 1000000L).as("doc_id"),
-            expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
-              .as("toks")))
-          .repartition(col("doc_id"))
-        val sh = derived
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-            .as("sh"))
-          .distinct()
-          .localCheckpoint()
-        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
-        val wDoc = Window.partitionBy("doc_id")
-        val prefix = sh.join(dfreq, "sh")
-          .select(col("doc_id"), col("sh"),
-            row_number().over(wPos).as("pos"),
-            count(lit(1)).over(wDoc).as("n"))
-          .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
-          .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
-        val cand = prefix
-          .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
-          .filter(col("da") =!= col("db"))
-          .select("da", "db", "na").distinct()
-        // candidate verification via per-doc shingle arrays +
-        // array_intersect. The join-based alternative (expand each
-        // candidate by its a-side shingles, hash-join the b-side on
-        // (doc, shingle), count) was A/B-measured at sf0.1 and is
-        // ~1.6× SLOWER cold (21.2 s vs 13.3 s, identical 12,033 rows):
-        // the |cand|×|A| row expansion plus its shuffle costs more
-        // than shipping each doc's shingle array once — arrays win
-        // while |A| stays document-sized.
-        val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
-        cand
-          .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
-          .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
-          .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
-          .filter(col("inter") * 10 >= col("na") * 8)
-          .select(col("da"), col("db"),
-            round(col("inter") / col("na").cast("double"), 6).as("containment"))
-      },
+      (s, dir) => containmentFrames(s, dir)._4,
       Some(
         "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents " +
           "WHERE len(string_split(text,' ')) >= 3), " +
@@ -1144,6 +1099,61 @@ object DedupOps {
           "FROM p JOIN sz x ON p.da = x.doc_id WHERE inter * 10 >= 8 * x.n"),
     ),
   )
+
+  /** q177 internals, exposed (like ppjoinFrames) so the DedupScale
+    * audit can measure the asymmetric containment-prefix pruning:
+    * returns (derived-corpus shingles, prefix tokens, candidate pairs,
+    * final result). The join cost here is Σ_sh prefix(sh)·full(sh)
+    * (prefix side against FULL inverted lists), not q142's Σ|b|².
+    */
+  private[graft] def containmentFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val derived = base.unionByName(
+      base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
+          .as("toks")))
+      .repartition(col("doc_id"))
+    val sh = derived
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val wDoc = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfreq, "sh")
+      .select(col("doc_id"), col("sh"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wDoc).as("n"))
+      .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
+      .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db", "na").distinct()
+    // candidate verification via per-doc shingle arrays +
+    // array_intersect. The join-based alternative (expand each
+    // candidate by its a-side shingles, hash-join the b-side on
+    // (doc, shingle), count) was A/B-measured at sf0.1 and is
+    // ~1.6× SLOWER cold (21.2 s vs 13.3 s, identical 12,033 rows):
+    // the |cand|×|A| row expansion plus its shuffle costs more
+    // than shipping each doc's shingle array once — arrays win
+    // while |A| stays document-sized.
+    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    val result = cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("inter") * 10 >= col("na") * 8)
+      .select(col("da"), col("db"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+    (sh, prefix, cand, result)
+  }
 
   /** q142 internals, exposed so the spec and the DedupScale audit can
     * measure prefix pruning: returns (derived-corpus shingles, prefix
