@@ -45,7 +45,9 @@ if SPARK_GRAFT_SF_DIR="$SF01" sbt "runMain graft.Bench" > "$WORK/bench.log" 2>&1
   python3 - <<'EOF'
 import json
 d = json.load(open('target/bench.json'))
-print(f"bench total {d['value']} s / {len(d['queries'])} queries; "
+print(f"bench total {d['value']} s raw / {d.get('value_normalized')} s "
+      f"drift-normalized (load_factor {d.get('load_factor')}) / "
+      f"{len(d['queries'])} queries; "
       f"effective_cores {d.get('effective_cores')}; errors: {d.get('errors')}")
 EOF
 else
