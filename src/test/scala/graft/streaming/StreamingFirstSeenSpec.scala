@@ -87,4 +87,64 @@ class StreamingFirstSeenSpec extends SparkSpec {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("checkpointed restart: seen-users state survives, emissions stay exactly-once-per-user") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_firstseen")
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def startQuery() =
+      Streams.firstSeenStream(
+        s.readStream
+          .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING")
+          .parquet(in))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+
+    def land(evs: FsEv*): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(in)
+
+    try {
+      // epoch 1: users 1 (twice) and 2
+      land(
+        FsEv(1, 10, ts("2024-01-01 09:00:00"), "view"),
+        FsEv(1, 11, ts("2024-01-01 09:30:00"), "click"),
+        FsEv(2, 12, ts("2024-01-01 10:00:00"), "view"))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+
+      // lands while the query is DOWN: user 1 re-appears (must be
+      // swallowed — only if the seen-set state was recovered), user 3
+      // is new
+      land(
+        FsEv(1, 13, ts("2024-01-02 08:00:00"), "view"),
+        FsEv(3, 14, ts("2024-01-02 09:00:00"), "signup"))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      // epoch 3 after a second restart: user 2 re-appears; new user 4
+      // arrives out of order (day-2 row first in the file)
+      land(
+        FsEv(2, 15, ts("2024-01-03 11:00:00"), "purchase"),
+        FsEv(4, 17, ts("2024-01-03 12:00:00"), "view"),
+        FsEv(4, 16, ts("2024-01-02 23:00:00"), "view"))
+      val q3 = startQuery()
+      try q3.processAllAvailable() finally q3.stop()
+
+      val rows = s.read.parquet(out)
+        .select(col("user_id"), col("first_day").cast("string"))
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(rows == Seq(
+        1L -> "2024-01-01", 2L -> "2024-01-01",
+        3L -> "2024-01-02", 4L -> "2024-01-02"),
+        s"restart broke first-seen state: $rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively(): Unit
+    }
+  }
 }

@@ -101,4 +101,72 @@ class StreamingUpsertSpec extends SparkSpec {
         s"millisecond-truncated state key kept ${finalState(5L)}")
     } finally q.stop()
   }
+
+  test("checkpointed restart: keep-latest state survives, stale rows stay silent after recovery") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+
+    // Update-mode emissions land via foreachBatch → append parquet
+    // (the CDC-consumer shape; the file sink proper is append-only).
+    // Clean stop between epochs → every emission appended exactly once.
+    def startQuery() =
+      Streams.upsertStream(
+        s.readStream
+          .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+          .parquet(in))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.LatestRow], _: Long) =>
+          batch.write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+
+    def land(evs: UpEv*): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(in)
+
+    try {
+      // epoch 1: two users
+      land(
+        UpEv(1, 10, ts("2024-01-01 10:00:00"), "click", 1.0),
+        UpEv(2, 11, ts("2024-01-01 10:05:00"), "view", 2.0))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+
+      // lands while DOWN: a STALE row for user 1 (older than the kept
+      // winner — must emit nothing, which requires the recovered
+      // state) and a new user 3
+      land(
+        UpEv(1, 12, ts("2024-01-01 09:00:00"), "error", 3.0),
+        UpEv(3, 13, ts("2024-01-01 10:30:00"), "view", 4.0))
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      // epoch 3 after a second restart: a genuinely newer row for
+      // user 1 — must emit
+      land(UpEv(1, 14, ts("2024-01-01 11:00:00"), "purchase", 5.0))
+      val q3 = startQuery()
+      try q3.processAllAvailable() finally q3.stop()
+
+      val emitted = s.read.parquet(out)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .as[UpEv].collect().toSeq
+      // exactly-once across restarts: no duplicate emission keys
+      assert(emitted.map(e => (e.user_id, usKey(e))).distinct.length == emitted.length,
+        s"restart duplicated emissions: $emitted")
+      // the stale row emitted nothing: user 1 has exactly its epoch-1
+      // and epoch-3 winners
+      assert(emitted.filter(_.user_id == 1L).map(_.event_id).sorted == Seq(10L, 14L),
+        s"stale row leaked through restart: $emitted")
+      // reconstructed final state = batch q94 over the full history
+      val finalState = emitted.groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(usKey).event_id }
+      assert(finalState == Map(1L -> 14L, 2L -> 11L, 3L -> 13L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively(): Unit
+    }
+  }
 }
