@@ -49,7 +49,7 @@ class StreamingCusumSpec extends SparkSpec {
       // witness: the plain sequential recursion per type
       val expected = history.groupBy(_.event_type).flatMap { case (_, evs) =>
         var acc = 0.0
-        evs.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        evs.sortBy(e => (TestTime.micros(e.ts), e.event_id)).map { e =>
           acc = math.max(0.0, acc + (e.value - mu0 - 1.0))
           val alarm = acc > 20.0
           val row = e.event_id -> ((acc, alarm))

@@ -43,7 +43,7 @@ class StreamingEwmaSpec extends SparkSpec {
 
       // witness: plain sequential recursion per user
       val expected = history.groupBy(_.user_id).flatMap { case (_, evs) =>
-        val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = evs.sortBy(e => (TestTime.micros(e.ts), e.event_id))
         var y = Double.NaN
         sorted.map { e =>
           y = if (y.isNaN) e.value else 0.25 * e.value + 0.75 * y
@@ -58,7 +58,7 @@ class StreamingEwmaSpec extends SparkSpec {
       // window estimate for user 1's tail and assert the documented
       // (3/4)^16-scale bound against the exact stream values
       val w16 = Iterator.iterate(1.0)(_ * 0.75).take(16).toSeq
-      val u1 = history.filter(_.user_id == 1).sortBy(e => (e.ts.getTime, e.event_id))
+      val u1 = history.filter(_.user_id == 1).sortBy(e => (TestTime.micros(e.ts), e.event_id))
       for (i <- 16 until u1.length) {
         val lags = (0 to 15).map(k => u1(i - k).value)
         val trunc = lags.zip(w16).map { case (x, w) => w * x }.sum / w16.sum

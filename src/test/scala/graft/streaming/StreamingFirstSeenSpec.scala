@@ -21,9 +21,7 @@ class StreamingFirstSeenSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  private def usKey(e: FsEv): (Long, Long) =
-    (e.ts.toInstant.getEpochSecond * 1000000L + e.ts.toInstant.getNano / 1000L,
-      e.event_id)
+  private def usKey(e: FsEv): (Long, Long) = (TestTime.micros(e.ts), e.event_id)
 
   private val batch1 = Seq(
     FsEv(1, 10, ts("2024-01-01 09:00:00"), "view"),

@@ -23,7 +23,7 @@ class StreamingTwapSpec extends SparkSpec {
     val rows = graft.Tables.events(s, dir)
       .selectExpr("ts", "user_id", "event_id", "value").collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .sortBy(r => (r._1.getTime, r._3))
+      .sortBy(r => (TestTime.micros(r._1), r._3))
 
     val input = MemoryStream[(Timestamp, Long, Long, Double)]
     val q = Streams.twapStream(

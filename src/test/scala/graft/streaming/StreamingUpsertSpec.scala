@@ -24,9 +24,7 @@ class StreamingUpsertSpec extends SparkSpec {
     * reconstruction must NOT use `.getTime` (millisecond truncation):
     * the same-millisecond fixture below exists precisely to catch that.
     */
-  private def usKey(r: UpEv): (Long, Long) =
-    (r.ts.toInstant.getEpochSecond * 1000000L + r.ts.toInstant.getNano / 1000L,
-      r.event_id)
+  private def usKey(r: UpEv): (Long, Long) = (TestTime.micros(r.ts), r.event_id)
 
   private val batch1 = Seq(
     UpEv(1, 10, ts("2024-01-01 10:00:00"), "click", 1.0),
