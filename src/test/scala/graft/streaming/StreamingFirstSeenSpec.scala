@@ -86,6 +86,44 @@ class StreamingFirstSeenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sf0.001 fixture replay: day rollup of emissions equals batch q158 new_users") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(s, dir)
+      .selectExpr("user_id", "event_id", "ts", "event_type")
+      .as[FsEv].collect().toSeq.sortBy(usKey)
+    // batch q158's per-day new-user counts (days with 0 new users are
+    // returning-only days — the stream emits nothing for them)
+    val batch = graft.SparkEntry.queries("q158_new_vs_returning")(s, dir)
+      .select(col("d"), col("new_users"))
+      .as[(String, Long)].collect().filter(_._2 > 0).toMap
+    assert(batch.nonEmpty && batch.values.sum < rows.length)
+
+    val input = MemoryStream[FsEv]
+    val q = Streams.firstSeenStream(input.toDF())
+      .writeStream.format("memory").queryName("firstseen_fixture")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 3) / 4).foreach { c =>
+        input.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val emitted = s.table("firstseen_fixture")
+        .select(col("user_id"), col("first_ts"), col("first_day").cast("string"))
+        .as[(Long, Timestamp, String)].collect().toSeq
+      // exactly once per user, and the emission is the user's true
+      // min-(ts, event_id) event of the whole fixture
+      val byUser = rows.groupBy(_.user_id)
+      assert(emitted.map(_._1).sorted == byUser.keys.toSeq.sorted)
+      emitted.foreach { case (u, t, _) =>
+        assert(t == byUser(u).minBy(usKey).ts, s"user $u first_ts") }
+      // per-day rollup = batch q158 new_users
+      val got = emitted.groupBy(_._3).map { case (d, rs) => d -> rs.size.toLong }
+      assert(got == batch,
+        s"day rollup diverges: ${got.toSet.diff(batch.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("checkpointed restart: seen-users state survives, emissions stay exactly-once-per-user") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_firstseen")

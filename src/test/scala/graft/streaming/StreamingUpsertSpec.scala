@@ -100,6 +100,45 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sf0.001 fixture replay: reconstructed upsert table equals batch q94") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // chronological replay at FULL microsecond precision — the fixture
+    // carries sub-millisecond timestamps, which is exactly where the
+    // old getTime state key diverged from batch q94
+    val rows = graft.Tables.events(s, dir)
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[UpEv].collect().toSeq.sortBy(usKey)
+    val batch = graft.SparkEntry.queries("q94_keep_latest")(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .as[UpEv].collect().map(e => e.user_id -> e.event_id).toMap
+    // non-vacuous: keep-latest must actually drop rows
+    assert(batch.nonEmpty && rows.length > batch.size)
+
+    val input = MemoryStream[UpEv]
+    val q = Streams.upsertStream(input.toDF())
+      .writeStream.format("memory").queryName("upsert_fixture")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length + 3) / 4).foreach { c =>
+        input.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val emitted = s.table("upsert_fixture")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .as[UpEv].collect().toSeq
+      emitted.groupBy(_.user_id).values.foreach { rs =>
+        val keys = rs.map(usKey)
+        assert(keys.distinct.length == keys.length, s"duplicate emissions: $rs")
+      }
+      val finalState = emitted.groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(usKey).event_id }
+      assert(finalState == batch,
+        s"replayed upsert table diverges from batch q94 on " +
+          s"${finalState.toSet.diff(batch.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("checkpointed restart: keep-latest state survives, stale rows stay silent after recovery") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_upsert")
