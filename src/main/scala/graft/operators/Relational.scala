@@ -39,6 +39,16 @@ object Relational {
     path
   }
 
+  /** Dataset-scoped scratch path: every roundtrip query writes then
+    * reads under its pid-scoped dir; keying additionally by the INPUT
+    * dataset name keeps interleaved runs over different sf dirs from
+    * overwriting each other between the write and the read (the q205
+    * race, applied uniformly across the scratch surface). The
+    * pid-level shutdown hook removes the whole tree, subdirs included.
+    */
+  private[graft] def scoped(base: String, inputDir: String): String =
+    s"$base/${new java.io.File(inputDir).getName}"
+
   /** q03's scratch dir. */
   private[operators] lazy val csvRoundtripDir: String = roundtripDir("nation_tsv")
 
@@ -570,7 +580,7 @@ object Relational {
         // suffix keeps concurrent processes (test suite vs bench) from
         // racing each other's overwrite, and the shutdown hook removes
         // the per-process dir so launches don't accumulate orphans
-        val tmp = Relational.csvRoundtripDir
+        val tmp = Relational.scoped(Relational.csvRoundtripDir, dir)
         t(s, dir, "nation").coalesce(1).write.mode("overwrite")
           .option("sep", "\t").option("header", "true").csv(tmp)
         s.read
@@ -589,7 +599,7 @@ object Relational {
         // first-class 100 TB format in Spark) and return it; must equal
         // the parquet original. Same per-process scratch-dir discipline
         // as q03.
-        val tmp = Relational.orcRoundtripDir
+        val tmp = Relational.scoped(Relational.orcRoundtripDir, dir)
         t(s, dir, "supplier").write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
       },
@@ -603,7 +613,7 @@ object Relational {
         // pipelines) and read back with the ORIGINAL schema — no
         // inference, so types survive exactly.
         val src = t(s, dir, "part")
-        val tmp = Relational.jsonRoundtripDir
+        val tmp = Relational.scoped(Relational.jsonRoundtripDir, dir)
         src.write.mode("overwrite").json(tmp)
         s.read.schema(src.schema).json(tmp)
       },
@@ -618,7 +628,7 @@ object Relational {
         // casts. Only newline-free columns ride the line format (text
         // payloads stay in columnar formats); parallel multi-part write,
         // splittable read.
-        val tmp = Relational.textRoundtripDir
+        val tmp = Relational.scoped(Relational.textRoundtripDir, dir)
         // concat (not concat_ws): concat_ws DROPS null fields, shifting
         // every later column one slot left on read-back. NULL is encoded
         // as the empty field and decoded with nullif, so the round trip
@@ -648,7 +658,7 @@ object Relational {
       // survivors. The quarantine column is the dead-letter queue.
       "q03e_corrupt_records",
       (s, dir) => {
-        val tmp = Relational.corruptJsonDir
+        val tmp = Relational.scoped(Relational.corruptJsonDir, dir)
         t(s, dir, "supplier")
           .select(when(col("s_suppkey") % 7 === 0,
               // three deterministic corruption modes, cycling
@@ -693,7 +703,7 @@ object Relational {
       // the q03d empty-field encoding.
       "q03g_gzip_roundtrip",
       (s, dir) => {
-        val tmp = Relational.gzipRoundtripDir
+        val tmp = Relational.scoped(Relational.gzipRoundtripDir, dir)
         def nf(c: String) = coalesce(col(c).cast("string"), lit(""))
         t(s, dir, "documents")
           .select(concat(nf("doc_id"), lit("\t"), nf("source"), lit("\t"), nf("n_chars"))
@@ -718,7 +728,7 @@ object Relational {
       // value-checked, not just schema-checked.
       "q03f_schema_evolution",
       (s, dir) => {
-        val tmp = Relational.evolutionDir
+        val tmp = Relational.scoped(Relational.evolutionDir, dir)
         val o = t(s, dir, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice"))
@@ -1321,7 +1331,7 @@ object Relational {
         // scratch path keyed by the input dataset (like q206's): two
         // interleaved runs over different sf dirs must not overwrite
         // each other between write and read
-        val tmp = s"${Relational.partitionedDir}/${new java.io.File(dir).getName}"
+        val tmp = Relational.scoped(Relational.partitionedDir, dir)
         t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -1356,7 +1366,7 @@ object Relational {
       "q205_dynamic_partition_pruning",
       (s, dir) => {
         // per-dataset scratch path — same rationale as q60 above
-        val tmp = s"${Relational.dppDir}/${new java.io.File(dir).getName}"
+        val tmp = Relational.scoped(Relational.dppDir, dir)
         t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -1455,7 +1465,7 @@ object Relational {
       // SortedExportSpec; content equality is gated here.
       "q73_sorted_export",
       (s, dir) => {
-        val tmp = Relational.sortedExportDir
+        val tmp = Relational.scoped(Relational.sortedExportDir, dir)
         t(s, dir, "orders")
           .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
           .sortWithinPartitions("o_orderdate", "o_orderkey")
@@ -1472,7 +1482,7 @@ object Relational {
       // added column; the era partition key itself is directory-derived.
       "q74_schema_evolution",
       (s, dir) => {
-        val tmp = Relational.schemaEvoDir
+        val tmp = Relational.scoped(Relational.schemaEvoDir, dir)
         val o = t(s, dir, "orders")
         val cut = to_date(lit("1998-01-01"))
         o.filter(col("o_orderdate") < cut)
@@ -1603,8 +1613,8 @@ object Relational {
             base.filter(col("o_orderkey") % 10 === 0)
               .withColumn("o_totalprice",
                 expr("CAST(o_totalprice * 1.05 AS DECIMAL(18,4))")))
-          .write.mode("overwrite").parquet(Relational.changeSetDir)
-        val changes = s.read.parquet(Relational.changeSetDir)
+          .write.mode("overwrite").parquet(Relational.scoped(Relational.changeSetDir, dir))
+        val changes = s.read.parquet(Relational.scoped(Relational.changeSetDir, dir))
         base
           .join(broadcast(changes.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
           .unionAll(changes)
@@ -1636,7 +1646,7 @@ object Relational {
       // gated here against a plain filter.
       "q88_zorder_layout",
       (s, dir) => {
-        val tmp = Relational.zorderDir
+        val tmp = Relational.scoped(Relational.zorderDir, dir)
         val li = t(s, dir, "lineitem")
         withZorder16(li, "l_partkey", "l_suppkey")
           .repartitionByRange(8, col("z"))
@@ -1663,7 +1673,7 @@ object Relational {
       // SortedExportSpec; content equality gated here.
       "q90_compact_files",
       (s, dir) => {
-        val (frag, compact) = (Relational.fragmentedDir, Relational.compactedDir)
+        val (frag, compact) = (Relational.scoped(Relational.fragmentedDir, dir), Relational.scoped(Relational.compactedDir, dir))
         t(s, dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
         val fs = org.apache.hadoop.fs.FileSystem.getLocal(
           s.sparkContext.hadoopConfiguration)
