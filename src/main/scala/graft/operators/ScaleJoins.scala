@@ -99,15 +99,20 @@ object ScaleJoins {
     * bucket-sorted) and return it re-read through the catalog, which is
     * what carries the bucket spec into the join planner. Overwrite mode:
     * repeated calls in one JVM (bench warmup + 2 timed passes) reuse
-    * the table.
+    * the table. Both the catalog NAME and the path are keyed by the
+    * input dataset — catalog entries are process-global, so
+    * interleaved runs over different sf dirs would otherwise
+    * overwrite each other's bucket files between write and join.
     */
   private def bucketed(s: org.apache.spark.sql.SparkSession,
-      df: DataFrame, key: String, table: String): DataFrame = {
+      df: DataFrame, key: String, table: String, dir: String): DataFrame = {
+    val ds = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val t = s"${table}_$ds"
     df.write.mode("overwrite")
       .bucketBy(8, key).sortBy(key)
-      .option("path", s"$bucketedDir/$table")
-      .saveAsTable(table)
-    s.table(table)
+      .option("path", s"${Relational.scoped(bucketedDir, dir)}/$table")
+      .saveAsTable(t)
+    s.table(t)
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -150,10 +155,10 @@ object ScaleJoins {
       (s, dir) => {
         val orders = bucketed(s,
           Tables(s, dir, "orders").select("o_custkey", "o_totalprice"),
-          "o_custkey", "graft_bkt_orders")
+          "o_custkey", "graft_bkt_orders", dir)
         val cust = bucketed(s,
           Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-          "c_custkey", "graft_bkt_customer")
+          "c_custkey", "graft_bkt_customer", dir)
         orders
           .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
