@@ -335,6 +335,14 @@ object GraphOps {
       // (q38b's pattern) but the per-round dataflow is identical.
       "q155_label_propagation",
       (s, dir) => {
+        // NOT pre-partitioned on src: localCheckpoint's LogicalRDD
+        // reports unknown partitioning to Catalyst, so a
+        // repartition(src) before the checkpoint adds an upfront
+        // shuffle WITHOUT removing the per-round join exchanges
+        // (plan-verified r11; warm A/B 2.90 vs 3.44 s was host drift,
+        // eff-cores 26 vs 20). Carrying partitioning across rounds
+        // needs a bucketed catalog table (q54's machinery) — not worth
+        // it for 3 fixed rounds at this shape.
         val edges = tradeEdges(s, dir).localCheckpoint()
         var labels = edges.select(col("src").as("id")).distinct()
           .withColumn("lbl", col("id"))
