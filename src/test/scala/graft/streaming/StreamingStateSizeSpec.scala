@@ -132,6 +132,79 @@ class StreamingStateSizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twapStream: (user, day) state evicts when the watermark closes the day") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[UpEv]
+    val q = Streams.twapStream(input.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("twap_state")
+      .outputMode("append").start()
+    def ev(u: Long, i: Long, t: String) =
+      UpEv(u, u * 100 + i, Timestamp.valueOf(t), "view", i.toDouble)
+    try {
+      // day 1: 5 users × 2 events → 5 live (user, day) keys
+      input.addData((for (u <- 1L to 5L; i <- 0L to 1L)
+        yield ev(u, i, s"2024-01-01 0$i:00:00")): _*)
+      q.processAllAvailable()
+      val (afterA, _) = stateRows(q)
+      assert(afterA == 5, s"day-1 keys: $afterA")
+      // day 3 events for 3 users: the watermark (max ts − 1 h) passes
+      // day 1's end, so all five day-1 states finalize (emit) + remove
+      input.addData((for (u <- 1L to 3L; i <- 0L to 1L)
+        yield ev(u, 10 + i, s"2024-01-03 1$i:00:00")): _*)
+      q.processAllAvailable()
+      val (fin, peak) = stateRows(q)
+      assert(peak >= 8, s"both generations never coexisted: peak $peak")
+      assert(fin <= 3, s"day-1 state must evict at the watermark: $fin rows")
+      assert(fin < peak, s"no eviction observed: $fin vs $peak")
+      // and the evicted days were EMITTED (finalize-on-watermark)
+      assert(s.table("twap_state").count() == 5)
+    } finally q.stop()
+  }
+
+  test("fold streams (ewma, attribution, cusum): state rows = distinct keys, not events") {
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    def ev(u: Long, i: Long, tp: String) =
+      UpEv(u, u * 100 + i, Timestamp.valueOf(s"2024-01-01 10:0$i:00"), tp, i.toDouble + 1)
+
+    def drive(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_],
+        batch1: Seq[UpEv], batch2: Seq[UpEv], want1: Long, want2: Long): Unit = {
+      val input = MemoryStream[UpEv]
+      val q = mk(input.toDF())
+        .writeStream.format("memory").queryName(s"${name}_state")
+        .outputMode("append").start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        val (a, _) = stateRows(q)
+        assert(a == want1, s"$name after batch1: $a (want $want1)")
+        input.addData(batch2: _*); q.processAllAvailable()
+        val (fin, peak) = stateRows(q)
+        assert(fin == want2 && peak == want2,
+          s"$name state must stay keys-sized: fin $fin peak $peak (want $want2)")
+      } finally q.stop()
+    }
+
+    // ewma: users-keyed — 3 users × 3 events → 3; replays + 2 new → 5
+    drive("ewma", df => Streams.ewmaStream(df),
+      for (u <- 1L to 3L; i <- 0L until 3L) yield ev(u, i, "view"),
+      (for (u <- 1L to 3L; i <- 3L until 5L) yield ev(u, i, "view")) ++
+        (for (u <- 4L to 5L; i <- 0L until 2L) yield ev(u, i, "view")),
+      3, 5)
+    // attribution: users-keyed (a non-purchase touch sets the state)
+    drive("attr", df => Streams.attributionStream(df),
+      for (u <- 1L to 3L; i <- 0L until 3L) yield ev(u, i, "view"),
+      (for (u <- 1L to 3L; i <- 3L until 5L) yield ev(u, i, "click")) ++
+        (for (u <- 4L to 5L; i <- 0L until 2L) yield ev(u, i, "view")),
+      3, 5)
+    // cusum: event_type-keyed — 2 types × 4 events → 2; + 1 new type → 3
+    drive("cusum", df => Streams.cusumStream(df, mu0 = 100.0),
+      for (tp <- Seq("view", "click"); i <- 0L until 4L) yield ev(1L + i, i, tp),
+      (for (tp <- Seq("view", "click"); i <- 4L until 6L) yield ev(1L + i, i, tp)) ++
+        (for (i <- 0L until 2L) yield ev(9L + i, i, "purchase")),
+      2, 3)
+  }
+
   test("upsertStream: state rows = distinct users, not events") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
