@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical guard for the forced-broadcast convention.
+  *
+  * A `broadcast(...)` hint is honored UNCONDITIONALLY — the planner
+  * never falls back past `autoBroadcastJoinThreshold` for a hinted
+  * frame — so a hint on a frame that scales with a fact table pins a
+  * fact-sized build side into every executor's memory at 100 TB. This
+  * defect class has now recurred three times, each caught by hand:
+  * q192's forced-broadcast key frame (r9 ADVICE, fixed by the
+  * `parentIsDim` gate), q208's round-1 peel frame (~25% of all graph
+  * nodes, r11 ADVICE), and q87/q198's change-set / affected-orders
+  * frames (r11 self-audit). Per the project convention
+  * (OracleConventionSpec / StreamingConventionSpec /
+  * ScratchConventionSpec), a convention that has to be re-fixed by
+  * hand gets a source-scanning spec instead of a comment.
+  *
+  * Rule: every non-comment `broadcast(` occurrence in `src/main` must
+  * match an allowlist entry below that names its size bound. Adding a
+  * new hint without writing down why the frame stays small fails this
+  * suite — which is exactly the review question that was skipped in
+  * all three recurrences. Frames derived from a fact scan (lineitem /
+  * orders / events / documents / embeddings) are only allowlisted when
+  * the derivation provably bounds them (single-row aggregate,
+  * df-threshold heavy-hitter cut, request-sized filter on a dim).
+  */
+class BroadcastConventionSpec extends AnyFunSuite {
+
+  /** (file name, line substring) → the entry's bound is the comment.
+    * Substrings must appear verbatim in the allowed line.
+    */
+  private val allowed: Seq[(String, String)] = Seq(
+    // streaming: static enrichment dim joined to the stream
+    ("Streams.scala", "broadcast(dim)"),
+    // k=8 k-means centroids (collected, bounded by k)
+    ("SimilarityOps.scala", "broadcast(centroids)"),
+    // probed IVF cells ⊆ query set × nprobe — bounded by the query set
+    ("SimilarityOps.scala", "broadcast(probed)"),
+    // ANN query set: bounded by contract (a query batch, not a corpus)
+    ("SimilarityOps.scala", "crossJoin(broadcast(q))"),
+    // LSH buckets of the query set — rows ≤ queries × tables
+    ("SimilarityOps.scala", "broadcast(qb)"),
+    // single-row min/max bounds aggregate
+    ("SimilarityOps.scala", "broadcast(bounds)"),
+    // calendar-days spine (bounded by the date range)
+    ("SimilarityOps.scala", "broadcast(days)"),
+    // per-term document frequency: vocabulary-sized (Heaps-sublinear).
+    // At extreme corpus scale swap for a df>k heavy-hitter cut; the
+    // BM25/TF-IDF contract keeps the full vocab here.
+    ("TextOps.scala", "broadcast(dfreq)"),
+    ("TextOps.scala", "tf.join(broadcast(df), \"term\")"),
+    // single-row corpus stats / corpus count
+    ("TextOps.scala", "crossJoin(broadcast(stats))"),
+    ("TextOps.scala", "crossJoin(broadcast(n))"),
+    // per-class token totals — classes bounded by schema
+    ("TextOps.scala", "broadcast(ctot)"),
+    ("TextOps.scala", "broadcast(classConst)"),
+    // single-row grand total
+    ("CurationOps.scala", "crossJoin(broadcast(tot))"),
+    // length-bucket dimension (fixed bucket grid)
+    ("CurationOps.scala", "broadcast(buckets)"),
+    // per-source stats — sources are a dim
+    ("CurationOps.scala", "broadcast(st)"),
+    // boilerplate segments above a df threshold — heavy-hitter cut
+    ("CurationOps.scala", "broadcast(common)"),
+    // lang × source cells — both dims
+    ("CurationOps.scala", "broadcast(counts)"),
+    // nation × mktsegment cells — schema-bounded
+    ("CurationOps.scala", "broadcast(g0)"),
+    ("CurationOps.scala", "broadcast(m1)"),
+    // q198 hop 1: the forget-set, request-batch-sized by semantics
+    // (hop 2's affected-orders frame is fact-proportional and is
+    // deliberately NOT hinted — planner + AQE decide)
+    ("CurationOps.scala", "broadcast(forget)"),
+    // event-type dimension (schema-bounded)
+    ("TemporalOps.scala", "broadcast(types)"),
+    // q204 first-week-per-user: users-sized — the engine's documented
+    // users-dim convention (same bound as the customer broadcasts and
+    // the streaming users-keyed state's "honest minimum")
+    ("TemporalOps.scala", "broadcast(first)"),
+    // single-row basket count
+    ("TemporalOps.scala", "crossJoin(broadcast(nb))"),
+    // 24 hour-offset rows
+    ("TemporalOps.scala", "broadcast(offsets)"),
+    // per-day new-user counts — days-sized
+    ("TemporalOps.scala", "broadcast(newPerDay)"),
+    // single-row k threshold
+    ("GraphOps.scala", "crossJoin(broadcast(kRow))"),
+    // q208 peel rounds ≥2 only: the removed frame shrinks monotonically
+    // after round 1; round 1 (corpus-sized) is left to the planner —
+    // the r11 ADVICE fix
+    ("GraphOps.scala", "if (round == 1) removed else broadcast(removed)"),
+    // per-supplier degrees — supplier dim
+    ("GraphOps.scala", "broadcast(deg.withColumnRenamed(\"sk\", \"a\")"),
+    ("GraphOps.scala", "broadcast(deg.withColumnRenamed(\"sk\", \"b\")"),
+    // TPC-H broadcast-dim ladder: customer/nation/region
+    ("Relational.scala", "broadcast(c), o(\"o_custkey\")"),
+    ("Relational.scala", "broadcast(n), c(\"c_nationkey\")"),
+    ("Relational.scala", "broadcast(r), n(\"n_regionkey\")"),
+    ("Relational.scala", "broadcast(n), col(\"s_nationkey\")"),
+    // distinct order-years — a handful of rows
+    ("Relational.scala", "broadcast(dimYears)"),
+    ("Relational.scala", "broadcast(Tables(s, dir, \"nation\"))"),
+    ("Relational.scala", "broadcast(Tables(s, dir, \"region\"))"),
+    // q192's gate: hint ONLY when the parent is a dim — the original
+    // fix this spec generalizes
+    ("Relational.scala", "if (parentIsDim) broadcast(keys) else keys"),
+    // supplier / nation dims
+    ("StatsOps.scala", "broadcast(sup)"),
+    ("StatsOps.scala", "broadcast(nat)"),
+    // stop-shingle set: df > 50% of docs — at most ~2× shingles-per-doc
+    // distinct values can clear that bar, corpus-size-independent
+    ("DedupOps.scala", "broadcast(frequentShingles"),
+    // single-row corpus count / collected stop-shingle row
+    ("DedupOps.scala", "crossJoin(broadcast(nDocs))"),
+    ("DedupOps.scala", "broadcast(stopShingleRowFrom(frame))"),
+    ("DedupOps.scala", "broadcast(stopShingleRow(s, dir))"),
+    // TPC-H dims (customer/nation); per-event-type stats; single-row
+    // bounds/total; per-type median and MAD frames
+    ("WindowOps.scala", "broadcast(Tables(s, dir, \"customer\"))"),
+    ("WindowOps.scala", "broadcast(Tables(s, dir, \"nation\"))"),
+    ("WindowOps.scala", "broadcast(stats)"),
+    ("WindowOps.scala", "crossJoin(broadcast(bounds))"),
+    ("WindowOps.scala", "broadcast(med)"),
+    ("WindowOps.scala", "broadcast(mad)"),
+    ("WindowOps.scala", "crossJoin(broadcast(t))"),
+    // LUAD corpus dims: 62 samples / ~21.5k probes
+    ("Svm.scala", "broadcast(labels)"),
+    ("LuadPipeline.scala", "broadcast(predictIds)"),
+    ("LuadPipeline.scala", "broadcast(sampleDict)"),
+    ("Ingest.scala", "broadcast(sampleDict)"),
+    ("Ingest.scala", "broadcast(probeDict)"),
+    // budget-gated dense-Pearson scratch arrays (sparkContext
+    // broadcast, entered only under the measured memory budget)
+    ("Network.scala", "sparkContext.broadcast(z)"),
+    ("Network.scala", "sparkContext.broadcast(probes)"),
+  )
+
+  test("every forced broadcast names its size bound in the allowlist") {
+    val roots = Seq("src/main/scala/graft")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f)
+      else Seq.empty
+    val files = roots.flatMap(r => walk(new java.io.File(r))).sortBy(_.getName)
+    assert(files.nonEmpty, "main source discovery broke")
+
+    var sites = 0
+    val hits = files.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      (0 until lines.size).flatMap { i =>
+        val raw = lines.get(i)
+        val trimmed = raw.trim
+        val code =
+          if (trimmed.startsWith("*") || trimmed.startsWith("/*") ||
+            trimmed.startsWith("//")) ""
+          else raw.split("//", 2).head
+        if (!code.contains("broadcast(")) None
+        else {
+          sites += 1
+          val ok = allowed.exists { case (file, sub) =>
+            f.getName == file && code.contains(sub)
+          }
+          if (ok) None else Some(s"  ${f.getName}:${i + 1} $trimmed")
+        }
+      }
+    }
+    assert(sites >= 60, s"broadcast-site discovery broke: found $sites")
+    assert(
+      hits.isEmpty,
+      "forced broadcast without a written size bound — either the frame " +
+        "scales with a fact table (drop the hint; planner + AQE decide) " +
+        "or add an allowlist entry naming the bound:\n" +
+        hits.mkString("\n"))
+  }
+}
