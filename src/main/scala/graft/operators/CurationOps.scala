@@ -954,12 +954,17 @@ object CurationOps {
       // Right-to-erasure cascade audit — given a forget-set of
       // customers, size the deletion across every table it touches,
       // INCLUDING the 2-hop fact cascade (customer → orders →
-      // lineitem). Each hop is a semi-join against the (small)
-      // forget-set / affected-key frame — broadcast both hops, facts
-      // never shuffle; counts fold per table and union into the
-      // deletion manifest a compliance job would execute. The
-      // forget-set is deterministic (custkey ≡ 0 mod 97) so the gate
-      // pins exact counts.
+      // lineitem). Hop 1 semi-joins against the forget-set, which is
+      // request-batch-sized by construction — that hint is safe. Hop
+      // 2's affected-orders frame scales with forget-set × orders-per-
+      // customer, i.e. it is fact-proportional at this fixture's 1/97
+      // density, so it carries NO forced hint (a hint is honored
+      // unconditionally — the q192/q208 defect class); the planner +
+      // AQE broadcast it exactly when a real request batch makes it
+      // small. Counts fold per table and union into the deletion
+      // manifest a compliance job would execute. The forget-set is
+      // deterministic (custkey ≡ 0 mod 97) so the gate pins exact
+      // counts.
       "q198_deletion_cascade",
       (s, dir) => {
         val forget = Tables(s, dir, "customer")
@@ -969,7 +974,7 @@ object CurationOps {
           .select(col("o_orderkey"))
           .localCheckpoint(true)
         val li = Tables(s, dir, "lineitem")
-          .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(orders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         forget.agg(count(lit(1)).as("n_delete")).select(lit("customer").as("table"), col("n_delete"))
           .unionByName(orders.agg(count(lit(1)).as("n_delete"))
             .select(lit("orders").as("table"), col("n_delete")))

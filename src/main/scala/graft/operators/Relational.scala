@@ -1587,10 +1587,17 @@ object Relational {
     QuerySpec(
       // CDC merge (upsert): apply a change set to a base snapshot —
       // updated rows replace, new rows insert. Stated as anti-join +
-      // union rather than a full-outer join: the change set is the
-      // SMALL side in real CDC, so the anti-join broadcasts and the
-      // base table is never shuffled — a full-outer merge would
-      // shuffle all 100 TB on the key. Base = pre-1999 snapshot;
+      // union rather than a full-outer join: when the change set is
+      // small (the usual CDC case) the planner broadcasts the
+      // anti-join key set on its own — the changes are read back from
+      // parquet, so size stats are real — and the base table is never
+      // shuffled; a full-outer merge would shuffle all 100 TB on the
+      // key. No forced broadcast hint: this fixture's change set is
+      // fact-proportional (~40% of orders), and a hint is honored
+      // unconditionally, so hinting here would pin a fact-sized frame
+      // into executor memory at scale (the q192/q208 defect class).
+      // AQE picks BHJ at runtime exactly when the set is small.
+      // Base = pre-1999 snapshot;
       // change set = 1999+ rows (new keys) plus re-priced rows for
       // every key divisible by 10 (updates that must replace).
       "q87_merge_upsert",
@@ -1616,7 +1623,7 @@ object Relational {
           .write.mode("overwrite").parquet(Relational.scoped(Relational.changeSetDir, dir))
         val changes = s.read.parquet(Relational.scoped(Relational.changeSetDir, dir))
         base
-          .join(broadcast(changes.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+          .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
           .unionAll(changes)
           .select(
             col("o_orderkey"), col("o_custkey"),
