@@ -148,6 +148,7 @@ class BroadcastConventionSpec extends AnyFunSuite {
     assert(files.nonEmpty, "main source discovery broke")
 
     var sites = 0
+    val used = scala.collection.mutable.Set.empty[(String, String)]
     val hits = files.flatMap { f =>
       val lines = java.nio.file.Files.readAllLines(f.toPath)
       (0 until lines.size).flatMap { i =>
@@ -160,10 +161,12 @@ class BroadcastConventionSpec extends AnyFunSuite {
         if (!code.contains("broadcast(")) None
         else {
           sites += 1
-          val ok = allowed.exists { case (file, sub) =>
+          val matching = allowed.filter { case (file, sub) =>
             f.getName == file && code.contains(sub)
           }
-          if (ok) None else Some(s"  ${f.getName}:${i + 1} $trimmed")
+          used ++= matching
+          if (matching.nonEmpty) None
+          else Some(s"  ${f.getName}:${i + 1} $trimmed")
         }
       }
     }
@@ -174,5 +177,14 @@ class BroadcastConventionSpec extends AnyFunSuite {
         "scales with a fact table (drop the hint; planner + AQE decide) " +
         "or add an allowlist entry naming the bound:\n" +
         hits.mkString("\n"))
+    // A dead entry is a latent hole: it no longer documents any real
+    // site, and a FUTURE hint that happens to contain the same
+    // substring would inherit its bound unreviewed. Delete entries
+    // when their site goes away.
+    val dead = allowed.filterNot(used)
+    assert(
+      dead.isEmpty,
+      "allowlist entries matching no broadcast site (delete them):\n" +
+        dead.map { case (f, s) => s"  ($f, $s)" }.mkString("\n"))
   }
 }
