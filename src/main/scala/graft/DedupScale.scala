@@ -33,7 +33,7 @@ object DedupScale {
 
   /** Materialize the N× mutated corpus under /tmp and return its dir. */
   private def synthesize(spark: org.apache.spark.sql.SparkSession, srcDir: String, xf: Int): String = {
-    val out = s"/tmp/graft_dedup_scale/${new java.io.File(srcDir).getName}_x$xf"
+    val out = s"/tmp/graft_dedup_scale/${operators.Relational.datasetKey(srcDir)}_x$xf"
     val base = Tables(spark, srcDir, "documents")
     base
       .crossJoin(spark.range(xf).toDF("k"))

@@ -1108,21 +1108,7 @@ object DedupOps {
     */
   private[graft] def containmentFrames(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-    val derived = base.unionByName(
-      base.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
-          .as("toks")))
-      .repartition(col("doc_id"))
-    val sh = derived
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-        .as("sh"))
-      .distinct()
-      .localCheckpoint()
+    val sh = derivedShingles(s, dir)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
     val wDoc = Window.partitionBy("doc_id")
@@ -1159,8 +1145,19 @@ object DedupOps {
     * measure prefix pruning: returns (derived-corpus shingles, prefix
     * tokens, candidate pairs, final result).
     */
-  private[graft] def ppjoinFrames(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The derived-corpus shingle frame BOTH exact-join queries (q142
+    * symmetric PPJoin, q177 asymmetric containment) start from: base
+    * docs plus an 85%-prefix twin per doc (so true near-dups exist by
+    * construction), 3-shingled, per-doc distinct, eagerly
+    * localCheckpoint'd — it feeds df, sizes, prefix, and the verify
+    * branches of each caller. One definition so the two families can
+    * never silently diverge on their input corpus. Each CALL
+    * materializes its own checkpoint on purpose: q142 and q177 are
+    * benched and baselined as independent queries, so they must not
+    * share work across invocations (DedupScale's double compute is the
+    * accepted cost of that per-query accounting).
+    */
+  private def derivedShingles(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1173,14 +1170,19 @@ object DedupOps {
       // task count (a single-row-group fixture scans in 1-2 tasks):
       // spread the doc-sized rows BEFORE amplification
       .repartition(col("doc_id"))
-    val sh = derived
+    derived
       .select(
         col("doc_id"),
         explode(expr(
           "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .as("sh"))
       .distinct()
-      .localCheckpoint() // feeds df, sizes, prefix, and both verify branches
+      .localCheckpoint()
+  }
+
+  private[graft] def ppjoinFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val sh = derivedShingles(s, dir)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // ONE doc-keyed shuffle computes rarity rank AND set size (two
     // Window operators, same partitioning — no second exchange)

@@ -121,11 +121,11 @@ object GraphOps {
       // degree updates — the textbook k-core physical plan: a node's
       // degree within the survivor set is deg0 minus its edges into
       // everything removed so far, so each round joins the edge list
-      // against only the JUST-REMOVED frame and subtracts. Round 1's
-      // removed frame is ~25% of all nodes (corpus-sized at scale), so
-      // that join is left to the planner — a hint would force the
-      // broadcast unconditionally; rounds 2+ shrink to the cascade
-      // residue and are hinted. The corpus-sized edge list is never
+      // against only the JUST-REMOVED frame and subtracts. No round's
+      // removed frame is provably small (round 1 is ~25% of all nodes;
+      // later cascades are bounded only by the rest), so every
+      // per-round join is left to planner + AQE, which broadcasts off
+      // the frame's real materialized size. The corpus-sized edge list is never
       // re-shuffled per round, unlike the recount formulation this
       // replaced (A/B warm 3rd-rep at sf0.1, same host: peeled 2.2 s
       // vs recount 3.6 s, identical 12,307-row output). k rides as a
@@ -152,15 +152,17 @@ object GraphOps {
         for (round <- 1 to 4) {
           val removed = frame.filter(col("deg") < col("k"))
             .select(col("id").as("dst"))
-          // round 1 strips ~25% of ALL nodes (k is the 25th-percentile
-          // degree), so its removed frame is corpus-sized — a broadcast
-          // hint is ALWAYS honored regardless of the size threshold, so
-          // hinting it would ship a fact-sized table to every executor.
-          // Leave round 1 to the planner (dst-keyed shuffle, ∝ removed-
-          // node edges); hint only rounds 2+ where the frame has shrunk
-          // to the cascade residue.
-          val removedSide = if (round == 1) removed else broadcast(removed)
-          val loss = edges.join(removedSide, Seq("dst"))
+          // NO forced broadcast in ANY round: round 1 strips ~25% of
+          // ALL nodes (k is the 25th-percentile degree) and the
+          // cascade residue of rounds 2+ is bounded only by the other
+          // ~75% — a pathological degree distribution can peel a
+          // corpus-proportional slab in any round, and a hint is
+          // honored unconditionally. AQE reads the removed frame's
+          // REAL materialized size each round and converts the join to
+          // broadcast exactly when the residue is small (the usual
+          // case from round 2 on), so the hint bought nothing the
+          // runtime doesn't already do safely.
+          val loss = edges.join(removed, Seq("dst"))
             .groupBy(col("src").as("id")).agg(count(lit(1)).as("lost"))
           frame = frame.filter(col("deg") >= col("k"))
             .join(loss, Seq("id"), "left")

@@ -364,7 +364,7 @@ object MultimodalOps {
             it.map(id => (id, syntheticVariantPng(id)))
           }
           .toDF("doc_id", "payload")
-        val path = s"$phashDir/${new java.io.File(dir).getName}"
+        val path = s"$phashDir/${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         val hashes = s.read.parquet(path)
           .select(col("doc_id").cast("long"), col("payload"))
@@ -477,7 +477,7 @@ object MultimodalOps {
             }
           }
           .toDF("doc_id", "payload")
-        val path = s"$pngDir/${new java.io.File(dir).getName}"
+        val path = s"$pngDir/${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         decodeImageMedia(s, s.read.parquet(path))
           .select(
@@ -535,7 +535,7 @@ object MultimodalOps {
             }
           }
           .toDF("doc_id", "payload")
-        val path = s"$jpegDir/${new java.io.File(dir).getName}"
+        val path = s"$jpegDir/${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         decodeImageMedia(s, s.read.parquet(path))
           .select(
@@ -595,7 +595,7 @@ object MultimodalOps {
       "q33f_binaryfile_ingest",
       (s, dir) => {
         import s.implicits._
-        val base = new java.io.File(dir).getName
+        val base = Relational.datasetKey(dir)
         val fdir = new java.io.File(s"$pngDir/${base}_files")
         // (re)materialize the file corpus deterministically
         if (fdir.exists()) fdir.listFiles().foreach(_.delete()) else fdir.mkdirs()
@@ -673,7 +673,7 @@ object MultimodalOps {
             }
           }
           .toDF("doc_id", "payload")
-        val path = s"$pngDir/resize_${new java.io.File(dir).getName}"
+        val path = s"$pngDir/resize_${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
           .select(col("doc_id").cast("long"), col("payload"))
@@ -715,7 +715,7 @@ object MultimodalOps {
             it.map(id => (id, syntheticVideo(id)))
           }
           .toDF("doc_id", "payload")
-        val path = s"$pngDir/video_${new java.io.File(dir).getName}"
+        val path = s"$pngDir/video_${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
           .select(col("doc_id").cast("long"), col("payload"))
@@ -759,7 +759,7 @@ object MultimodalOps {
         val ids = Tables(s, dir, "documents")
           .select(col("doc_id").cast("long")).as[Long]
         val media = ids.map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
-        val path = s"$wavDir/${new java.io.File(dir).getName}"
+        val path = s"$wavDir/${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
           .select(col("doc_id").cast("long"), col("payload"))
@@ -791,7 +791,7 @@ object MultimodalOps {
         val ids = Tables(s, dir, "documents")
           .select(col("doc_id").cast("long")).as[Long]
         val media = ids.map(id => (id, syntheticWavRamp(id))).toDF("doc_id", "payload")
-        val path = s"$wavDir/ramp_${new java.io.File(dir).getName}"
+        val path = s"$wavDir/ramp_${Relational.datasetKey(dir)}"
         media.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
           .select(col("doc_id").cast("long"), col("payload"))

@@ -39,15 +39,33 @@ object Relational {
     path
   }
 
+  /** Stable per-dataset key: the input dir's basename (readable) plus
+    * 8 hex chars of the md5 of its CANONICAL path — basename alone
+    * collides for two datasets named alike under different parents
+    * (e.g. /data/a/sf0.1 vs /data/b/sf0.1), which would recreate the
+    * q205 interleaved-overwrite race the scoping exists to prevent.
+    * Non-identifier chars are folded to '_' so the key is also legal
+    * in catalog table names.
+    */
+  private[graft] def datasetKey(inputDir: String): String = {
+    val canon = new java.io.File(inputDir).getCanonicalPath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+    val h = md5.take(4).map(b => f"$b%02x").mkString
+    val base = new java.io.File(inputDir).getName
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    s"${base}_$h"
+  }
+
   /** Dataset-scoped scratch path: every roundtrip query writes then
     * reads under its pid-scoped dir; keying additionally by the INPUT
-    * dataset name keeps interleaved runs over different sf dirs from
+    * dataset keeps interleaved runs over different sf dirs from
     * overwriting each other between the write and the read (the q205
     * race, applied uniformly across the scratch surface). The
     * pid-level shutdown hook removes the whole tree, subdirs included.
     */
   private[graft] def scoped(base: String, inputDir: String): String =
-    s"$base/${new java.io.File(inputDir).getName}"
+    s"$base/${datasetKey(inputDir)}"
 
   /** q03's scratch dir. */
   private[operators] lazy val csvRoundtripDir: String = roundtripDir("nation_tsv")

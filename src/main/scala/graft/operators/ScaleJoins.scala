@@ -106,8 +106,7 @@ object ScaleJoins {
     */
   private def bucketed(s: org.apache.spark.sql.SparkSession,
       df: DataFrame, key: String, table: String, dir: String): DataFrame = {
-    val ds = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
-    val t = s"${table}_$ds"
+    val t = s"${table}_${Relational.datasetKey(dir)}"
     df.write.mode("overwrite")
       .bucketBy(8, key).sortBy(key)
       .option("path", s"${Relational.scoped(bucketedDir, dir)}/$table")

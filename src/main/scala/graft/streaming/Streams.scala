@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * shuffle partitioning of the agg is the same hash partitioning as
   * batch. File-source ingest at 100 TB: maxFilesPerTrigger bounds each
   * micro-batch.
+  *
+  * Input contract (module-wide): event keys — `user_id`, `event_id`,
+  * `ts` — are NON-NULL, per the events fixture schema and every batch
+  * twin's key-grouped semantics. The typed twins encode into case
+  * classes with primitive `Long` keys, so a NULL key fails the encoder
+  * loudly at the row (not silently grouped under a null key, which is
+  * what the batch `groupBy` would do — the two modes genuinely differ
+  * on null keys, so the contract excludes them). A feed with nullable
+  * identity must filter or repair upstream of these twins.
   */
 object Streams {
 

@@ -88,10 +88,8 @@ class BroadcastConventionSpec extends AnyFunSuite {
     ("TemporalOps.scala", "broadcast(newPerDay)"),
     // single-row k threshold
     ("GraphOps.scala", "crossJoin(broadcast(kRow))"),
-    // q208 peel rounds ≥2 only: the removed frame shrinks monotonically
-    // after round 1; round 1 (corpus-sized) is left to the planner —
-    // the r11 ADVICE fix
-    ("GraphOps.scala", "if (round == 1) removed else broadcast(removed)"),
+    // (q208's per-round peel joins carry NO hint at all: no round's
+    // removed frame is provably bounded — AQE converts off real sizes)
     // per-supplier degrees — supplier dim
     ("GraphOps.scala", "broadcast(deg.withColumnRenamed(\"sk\", \"a\")"),
     ("GraphOps.scala", "broadcast(deg.withColumnRenamed(\"sk\", \"b\")"),
@@ -138,6 +136,26 @@ class BroadcastConventionSpec extends AnyFunSuite {
     ("Network.scala", "sparkContext.broadcast(probes)"),
   )
 
+  /** How many sites each entry is expected to match (default 1).
+    * Pinning the count closes the other half of the hole the
+    * dead-entry check leaves open: without it, a FUTURE hint in the
+    * same file whose line happens to contain a live entry's substring
+    * would inherit that entry's bound unreviewed. Adding a hint now
+    * always forces an edit here — either a new entry or an explicit
+    * count bump, both of which name the review question.
+    */
+  private val expectedSites: Map[(String, String), Int] = Map(
+    // ANN brute-force top-k + its IVF recall-audit twin
+    (("SimilarityOps.scala", "crossJoin(broadcast(q))"), 2),
+    // event-type dim joined in two temporal rollups
+    (("TemporalOps.scala", "broadcast(types)"), 2),
+    // customer / nation dims each enrich two window queries
+    (("WindowOps.scala", "broadcast(Tables(s, dir, \"customer\"))"), 2),
+    (("WindowOps.scala", "broadcast(Tables(s, dir, \"nation\"))"), 2),
+    // per-type median frame: used by the MAD build AND the final join
+    (("WindowOps.scala", "broadcast(med)"), 2),
+  ).withDefaultValue(1)
+
   test("every forced broadcast names its size bound in the allowlist") {
     val roots = Seq("src/main/scala/graft")
     def walk(f: java.io.File): Seq[java.io.File] =
@@ -148,7 +166,8 @@ class BroadcastConventionSpec extends AnyFunSuite {
     assert(files.nonEmpty, "main source discovery broke")
 
     var sites = 0
-    val used = scala.collection.mutable.Set.empty[(String, String)]
+    val matchCount = scala.collection.mutable.Map.empty[(String, String), Int]
+      .withDefaultValue(0)
     val hits = files.flatMap { f =>
       val lines = java.nio.file.Files.readAllLines(f.toPath)
       (0 until lines.size).flatMap { i =>
@@ -164,7 +183,7 @@ class BroadcastConventionSpec extends AnyFunSuite {
           val matching = allowed.filter { case (file, sub) =>
             f.getName == file && code.contains(sub)
           }
-          used ++= matching
+          matching.foreach(e => matchCount(e) += 1)
           if (matching.nonEmpty) None
           else Some(s"  ${f.getName}:${i + 1} $trimmed")
         }
@@ -177,14 +196,18 @@ class BroadcastConventionSpec extends AnyFunSuite {
         "scales with a fact table (drop the hint; planner + AQE decide) " +
         "or add an allowlist entry naming the bound:\n" +
         hits.mkString("\n"))
-    // A dead entry is a latent hole: it no longer documents any real
-    // site, and a FUTURE hint that happens to contain the same
-    // substring would inherit its bound unreviewed. Delete entries
-    // when their site goes away.
-    val dead = allowed.filterNot(used)
+    // Exact-count check: 0 matches = dead entry (its site went away —
+    // delete it); MORE matches than expected = a new hint in the same
+    // file silently inherited an existing entry's bound — review it
+    // and either add its own entry or bump the count deliberately.
+    val drift = allowed.flatMap { e =>
+      val (want, got) = (expectedSites(e), matchCount(e))
+      if (got == want) None
+      else Some(s"  (${e._1}, ${e._2}) expected $want site(s), found $got")
+    }
     assert(
-      dead.isEmpty,
-      "allowlist entries matching no broadcast site (delete them):\n" +
-        dead.map { case (f, s) => s"  ($f, $s)" }.mkString("\n"))
+      drift.isEmpty,
+      "allowlist entries out of sync with the actual hint sites:\n" +
+        drift.mkString("\n"))
   }
 }

@@ -15,10 +15,10 @@ class GzipSourceSpec extends SparkSpec {
     val out = SparkEntry.queries("q03g_gzip_roundtrip")(spark, sfDir)
     // the write produced 4 .gz parts; the read must plan exactly 4
     // partitions — gzip cannot split
-    val gzDir = new java.io.File(Relational.scoped(Relational.gzipRoundtripDir, "sf0.001"))
+    val gzDir = new java.io.File(Relational.scoped(Relational.gzipRoundtripDir, "/root/testdata/sf0.001"))
     val nFiles = gzDir.listFiles().count(_.getName.endsWith(".gz"))
     assert(nFiles == 4, s"expected 4 gz parts, found $nFiles")
-    val parts = spark.read.text(Relational.scoped(Relational.gzipRoundtripDir, "sf0.001")).rdd.getNumPartitions
+    val parts = spark.read.text(Relational.scoped(Relational.gzipRoundtripDir, "/root/testdata/sf0.001")).rdd.getNumPartitions
     assert(parts == nFiles, s"gzip read planned $parts partitions for $nFiles files")
     // lossless: same rows as the source projection
     val src = graft.Tables(spark, sfDir, "documents")

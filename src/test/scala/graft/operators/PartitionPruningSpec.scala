@@ -49,7 +49,7 @@ class PartitionPruningSpec extends SparkSpec {
     assert(flat.matches(".*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"), flat)
     // and the layout must actually be partitioned: multiple year dirs
     // (scratch paths are keyed per input dataset since r11)
-    val yearDirs = new java.io.File(Relational.partitionedDir, "sf0.001")
+    val yearDirs = new java.io.File(Relational.scoped(Relational.partitionedDir, "/root/testdata/sf0.001"))
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.contains("o_year=1996") && yearDirs.size > 1, yearDirs.toString)
   }
@@ -65,7 +65,7 @@ class PartitionPruningSpec extends SparkSpec {
     assert(flat.contains("dynamicpruning"),
       s"no dynamic pruning subquery in the fact scan: $flat")
     // and the layout offers >2 year dirs for the dim to prune down to 2
-    val yearDirs = new java.io.File(Relational.dppDir, "sf0.001")
+    val yearDirs = new java.io.File(Relational.scoped(Relational.dppDir, "/root/testdata/sf0.001"))
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.size > 2, yearDirs.toString)
   }

@@ -88,8 +88,9 @@ class ScaleJoinsSpec extends SparkSpec {
       assert(q.count() > 0)
       // the JOIN itself (before the c_mktsegment agg, which legitimately
       // shuffles) must be Exchange-free: both scans are bucket-aligned
-      val joined = s.table("graft_bkt_orders_sf0_001")
-        .join(s.table("graft_bkt_customer_sf0_001"),
+      val ds = Relational.datasetKey("/root/testdata/sf0.001")
+      val joined = s.table(s"graft_bkt_orders_$ds")
+        .join(s.table(s"graft_bkt_customer_$ds"),
           org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)

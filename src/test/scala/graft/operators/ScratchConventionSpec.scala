@@ -11,16 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * Streaming/OracleConventionSpec enforce their conventions: walk the
   * non-comment lines of `operators/` main sources and fail on any use
   * of a scratch val that is neither its definition nor dataset-keyed
-  * (via `Relational.scoped(...)` or the inline
-  * `new java.io.File(dir).getName` idiom). Exemptions are written
-  * here with a reason.
+  * via `Relational.scoped(...)` / `Relational.datasetKey(...)` — the
+  * bare `new java.io.File(dir).getName` idiom is NOT accepted: the
+  * basename alone collides for same-named datasets under different
+  * parents (e.g. /data/a/sf0.1 vs /data/b/sf0.1), recreating the
+  * race; datasetKey appends a canonical-path hash. Exemptions are
+  * written here with a reason.
   */
 class ScratchConventionSpec extends AnyFunSuite {
 
   /** (file, substring-of-line) pairs explicitly allowed. */
   private val exemptions: Set[(String, String)] = Set(
     // q33f keys by `base`, defined one line above as
-    // `new java.io.File(dir).getName` — same idiom, two lines
+    // `Relational.datasetKey(dir)` — same keying, two lines
     ("MultimodalOps.scala", "s\"$pngDir/${base}_files\""))
 
   test("every scratch-dir use is keyed by the input dataset") {
@@ -48,7 +51,7 @@ class ScratchConventionSpec extends AnyFunSuite {
           else raw.split("//", 2).head
         val used = scratchVals.filter(v => code.contains(v))
         val keyed = code.contains("lazy val") || code.contains("scoped(") ||
-          code.contains("new java.io.File(dir).getName")
+          code.contains("datasetKey(")
         if (used.nonEmpty && !keyed &&
           !exemptions.exists { case (ef, es) => ef == name && raw.contains(es) })
           Some((name, i + 1, trimmed, used))

@@ -67,7 +67,7 @@ class SortedExportSpec extends SparkSpec {
     // shutdown-hook cleaned), which is what this spec inspects
     graft.SparkEntry.queries("q88_zorder_layout")(s, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
-    val dir = Relational.scoped(Relational.zorderDir, "sf0.001")
+    val dir = Relational.scoped(Relational.zorderDir, "/root/testdata/sf0.001")
     val li = graft.Tables(s, "/root/testdata/sf0.001", "lineitem")
 
     // Per-file (min,max) of each dimension — the zone maps a 2-D
@@ -103,9 +103,9 @@ class SortedExportSpec extends SparkSpec {
     def parquetFiles(dir: String): Int =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .count(_.getName.endsWith(".parquet"))
-    assert(parquetFiles(Relational.scoped(Relational.fragmentedDir, "sf0.001")) == 64)
+    assert(parquetFiles(Relational.scoped(Relational.fragmentedDir, "/root/testdata/sf0.001")) == 64)
     // sf0.001 orders ≈ a few hundred KB: one 32 MB-target file
-    assert(parquetFiles(Relational.scoped(Relational.compactedDir, "sf0.001")) == 1,
+    assert(parquetFiles(Relational.scoped(Relational.compactedDir, "/root/testdata/sf0.001")) == 1,
       s"expected a single compacted file")
   }
 }
