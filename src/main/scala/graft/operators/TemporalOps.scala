@@ -466,10 +466,13 @@ object TemporalOps {
       // actives(w) = new + retained + resurrected and
       // churned(w) = actives(w−1) − retained(w). Everything derives
       // from the (user, week)-distinct frame: one combinable distinct,
-      // a users-sized first-week min, and ONE self-join shifted by
-      // 7 days for the prior-week test — no windows over the corpus,
-      // no per-week scans. ISO-Monday week truncation matches across
-      // engines.
+      // first-ever week as a min() WINDOW over the user partition
+      // (the frame is already user-keyed — no separate aggregate, no
+      // join, and crucially no users-sized broadcast: distinct users
+      // grow with the corpus, so replicating them to every executor
+      // is the q192/q208 defect class), and ONE self-join shifted by
+      // 7 days for the prior-week test — no per-week scans.
+      // ISO-Monday week truncation matches across engines.
       "q204_growth_accounting",
       (s, dir) => {
         val uw = Tables.events(s, dir)
@@ -482,11 +485,10 @@ object TemporalOps {
           // oracle), making all four ledger classes non-trivial
           .filter(pmod(col("user_id") + weekofyear(col("w")), lit(3)) =!= 0)
           .localCheckpoint(true)
-        val first = uw.groupBy("user_id").agg(min(col("w")).as("fw"))
         val prev = uw.select(col("user_id"), date_add(col("w"), 7).as("w"),
           lit(1L).as("was_prev"))
         val classified = uw
-          .join(broadcast(first), Seq("user_id"))
+          .withColumn("fw", min(col("w")).over(Window.partitionBy("user_id")))
           .join(prev, Seq("user_id", "w"), "left")
           .select(col("w"),
             when(col("fw") === col("w"), "new")

@@ -76,10 +76,11 @@ class BroadcastConventionSpec extends AnyFunSuite {
     ("CurationOps.scala", "broadcast(forget)"),
     // event-type dimension (schema-bounded)
     ("TemporalOps.scala", "broadcast(types)"),
-    // q204 first-week-per-user: users-sized — the engine's documented
-    // users-dim convention (same bound as the customer broadcasts and
-    // the streaming users-keyed state's "honest minimum")
-    ("TemporalOps.scala", "broadcast(first)"),
+    // (q204's first-week-per-user frame is users-sized — fact-derived,
+    // NOT a dim — so it carries no hint; it is now a window min over
+    // the user partition, which needs no join at all. The streaming
+    // "honest minimum" users-keyed STATE is partitioned across
+    // executors; a broadcast would have REPLICATED it to each.)
     // single-row basket count
     ("TemporalOps.scala", "crossJoin(broadcast(nb))"),
     // 24 hour-offset rows
