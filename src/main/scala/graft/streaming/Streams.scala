@@ -133,13 +133,18 @@ object Streams {
   }
 
   /** Stream-static enrichment join: every micro-batch joins against a
-    * static dimension frame. The static side is broadcast into each
-    * micro-batch — no streaming state at all (the dimension is simply
-    * re-read), which is why this is the default way to decorate a
-    * 100 TB/day event stream with reference data.
+    * static dimension frame — no streaming state at all (the dimension
+    * is simply re-read), which is why this is the default way to
+    * decorate a 100 TB/day event stream with reference data. The
+    * static side carries NO forced broadcast hint: `dim` is
+    * caller-supplied, and a hint is honored unconditionally — a
+    * users-scale profile table would be replicated into every
+    * executor. The planner broadcasts off the dim's own size stats
+    * exactly when it is genuinely small, and falls back to a shuffled
+    * join (scale-safe) when it is not.
     */
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), Seq("user_id"), "left")
+    events.join(dim, Seq("user_id"), "left")
 
   /** Stream-stream interval join (Flink's intervalJoin semantics):
     * pair each left event with same-user right events whose timestamp

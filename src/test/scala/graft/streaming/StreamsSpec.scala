@@ -274,7 +274,7 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+  test("stream-static enrichment joins each micro-batch against the static dim") {
     val s = spark; import s.implicits._
     implicit val sc = s.sqlContext
     val input = MemoryStream[Ev]
