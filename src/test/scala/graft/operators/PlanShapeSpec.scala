@@ -55,7 +55,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
-  test("q87 (CDC merge): the change-set anti-join broadcasts — base is never shuffled") {
+  test("q87 (CDC merge): a small change-set anti-join broadcasts — base is never shuffled") {
+    // the query carries NO broadcast hint (the fixture's change set is
+    // fact-proportional; BroadcastConventionSpec): this asserts the
+    // SMALL-regime plan, where the planner picks BHJ off the change
+    // set's real parquet stats. ScaleDegradationSpec asserts the
+    // other regime (threshold −1 → shuffle join, zero broadcasts).
     val p = plan("q87_merge_upsert")
     assert("BroadcastHashJoin \\S+, \\S+, LeftAnti".r.findFirstIn(p).isDefined, p.take(800))
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
@@ -199,8 +204,11 @@ class PlanShapeSpec extends SparkSpec {
     // hop 1 (orders ⋉ forget-set) is localCheckpoint-materialized so
     // its key set computes once for both the manifest count and hop 2
     // — it appears here as the ExistingRDD scan; hop 2 (lineitem ⋉
-    // affected orders) must be the broadcast semi-join, and nothing
-    // may sort-merge
+    // affected orders) carries NO hint (the frame is fact-proportional
+    // — BroadcastConventionSpec), so this BHJ is the PLANNER's choice
+    // off the checkpointed frame's real size: the small-regime plan.
+    // ScaleDegradationSpec pins the threshold −1 regime (shuffle
+    // join). Nothing may sort-merge here at this scale
     assert("BroadcastHashJoin \\S+, \\S+, LeftSemi".r.findAllIn(p).size == 1, p.take(1200))
     assert(p.contains("Scan ExistingRDD"), p.take(1200))
     assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(1200))
