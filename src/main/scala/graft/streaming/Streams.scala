@@ -40,9 +40,13 @@ object Streams {
   private def tsMicros(t: java.sql.Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 
-  /** Streaming file-source ingest of expression TSVs (S2's schema),
-    * sample recovered from the file name — the streaming twin of
-    * pipeline.Ingest.readType.
+  /** Streaming file-source ingest of expression TSVs (S2's schema) —
+    * the streaming twin of `pipeline.Ingest.readType`'s SCAN stage
+    * only: the `file` column carries the raw `input_file_name()` URI,
+    * and mapping it back to a sample (with readType's fail-loud check
+    * for files that map to no declared sample) is the caller's batch
+    * step, since the sample dictionary is a static frame joined per
+    * micro-batch, not streaming state.
     */
   def expressionFileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
@@ -94,7 +98,16 @@ object Streams {
   /** Streaming exact dedup: first occurrence of each (user_id, ts)
     * wins; duplicate arrivals within the watermark are dropped and
     * dedup state older than the watermark is evicted — bounded-state
-    * streaming twin of the batch q20/q25 dedup family.
+    * streaming twin of the batch q20/q25 dedup family. CONTRACT: the
+    * key identifies the content (replayed copies of one event are
+    * byte-equal, as in q25's hash dedup), so any survivor is the same
+    * row. For same-key rows that DIFFER in payload the retained
+    * representative is arrival-order-dependent (streaming
+    * dropDuplicates keeps whatever the shuffle delivers first) — such
+    * rows are not duplicates under this contract; callers needing a
+    * deterministic keep-latest/keep-first among them use upsertStream
+    * or firstSeenStream, which fold explicitly in (tsMicros,
+    * event_id) order.
     */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
@@ -106,7 +119,14 @@ object Streams {
     * across micro-batches — the escape hatch when built-in windows
     * can't express the state machine. State is per-key and lives in
     * the state store (RocksDB/HDFS-backed on a cluster), so state size
-    * scales with DISTINCT keys, not events.
+    * scales with DISTINCT keys, not events. The double sum folds in
+    * shuffle arrival order — the same unordered-fold contract as batch
+    * `groupBy(...).agg(sum(...))`, whose partial aggregates also
+    * combine in an engine-chosen order; both modes carry the identical
+    * FP-associativity error class, and the oracle convention (round
+    * fold-order-sensitive doubles) absorbs it. The sequential-
+    * recursion twins (ewma/cusum/attribution/twap) sort because their
+    * RESULT, not just its low-order bits, depends on order.
     */
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
@@ -228,6 +248,9 @@ object Streams {
       sigmas: Double = 3.0,
       minCount: Long = 10L,
   ): org.apache.spark.sql.Dataset[Anomaly] = {
+    // n−1 in the variance needs ≥2 observations; minCount = 1 would
+    // make sd NaN and silently flag NOTHING forever — fail loudly
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
@@ -243,6 +266,11 @@ object Streams {
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, v) =>
             if (n >= minCount) {
               val sd = math.sqrt(m2 / (n - 1))
+              // sd == 0 (constant history): a deviating value is
+              // infinitely many σ out — z = ±Infinity is the honest
+              // statistic and math.abs(Inf) > sigmas flags it; an
+              // EQUAL value gives 0/0 = NaN, and NaN > sigmas is
+              // false, so constants never self-flag
               val z = (v - mean) / sd
               if (math.abs(z) > sigmas) out += Anomaly(key, id, v, z)
             }
@@ -328,6 +356,16 @@ object Streams {
       events: DataFrame, // needs ts TIMESTAMP, user_id LONG, event_id LONG, value DOUBLE
       lateness: String = "1 hour",
   ): org.apache.spark.sql.Dataset[TwapRow] = {
+    // the day key `d` comes from session-timezone date_format while
+    // the finalize timeout is a UTC epoch-day boundary — the two only
+    // agree in a UTC session (the engine-wide convention GraftSession
+    // pins). A non-UTC session would finalize days 7h early/late or
+    // even die on setTimeoutTimestamp < watermark, so refuse loudly
+    // instead of silently emitting wrong day rollups.
+    require(
+      events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "twapStream requires spark.sql.session.timeZone=UTC: the day key " +
+        "and the day-end timeout must use the same clock")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // `ts` itself must survive the projection — the watermark tag
@@ -344,15 +382,26 @@ object Streams {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
+            // HALF_UP via BigDecimal-of-toString — bit-identical to
+            // batch q157's round(x, 6) (Spark's Round on doubles);
+            // math.rint would round ties half-to-even and diverge on
+            // any 6dp-tie value
             val twap =
-              if (st.accDurUs > 0) Some(math.rint(st.accW / st.accDurUs * 1e6) / 1e6)
+              if (st.accDurUs > 0)
+                Some(BigDecimal(st.accW / st.accDurUs)
+                  .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
               else None
             Iterator.single(TwapRow(uid, d, st.n, twap))
           } else {
-            var st = state.getOption.getOrElse(TwapState(-1L, 0.0, 0.0, 0.0, 0L))
+            // Long.MinValue = "no previous event": a -1/negative
+            // sentinel would misread any pre-1970 timestamp as
+            // uninitialized and silently drop its interval weight
+            var st = state.getOption
+              .getOrElse(TwapState(Long.MinValue, 0.0, 0.0, 0.0, 0L))
             rows.toSeq.sortBy(r => (tsMicros(r._3), r._4)).foreach { case (_, _, t, _, v) =>
               val tsUs = tsMicros(t)
-              if (st.prevTsUs >= 0) {
+              if (st.prevTsUs != Long.MinValue) {
                 val dur = (tsUs - st.prevTsUs).toDouble
                 st = st.copy(accW = st.accW + st.prevV * dur,
                   accDurUs = st.accDurUs + dur)
@@ -521,20 +570,6 @@ object Streams {
       user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
 
-  /** CDC keep-latest upsert — the streaming twin of batch q94: per
-    * key, retain the (ts, event_id)-max row across micro-batches and
-    * emit (Update mode) only when the winner CHANGES, so a sink
-    * applying the emissions as upserts materializes exactly the
-    * keep-latest table. Emissions are strictly monotone per key in
-    * (ts, event_id) — late/out-of-order rows that lose to the current
-    * state produce NO output — which makes the sink idempotent under
-    * replay: re-applying any emission suffix converges to the same
-    * table. State is one row per distinct key in the state store
-    * (RocksDB at scale), independent of stream length; with bounded
-    * key churn a TTL timeout would cap it, left NoTimeout here because
-    * the key domain (users) is the dimension being materialized.
-    */
-  /** One smoothed observation emission. */
   /** One CUSUM emission: the running statistic after this event. */
   final case class CusumPoint(
       event_type: String, event_id: Long, value: Double, s: Double, alarm: Boolean)
@@ -580,6 +615,7 @@ object Streams {
       }
   }
 
+  /** One smoothed observation emission. */
   final case class EwmaPoint(
       user_id: Long, event_id: Long, value: Double, ewma: Double)
 
@@ -607,15 +643,24 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[Double]) =>
           val out = Seq.newBuilder[EwmaPoint]
-          var y = state.getOption.getOrElse(Double.NaN)
+          // state.exists is the initialization flag — NOT a NaN
+          // sentinel, which would silently RESTART the filter after a
+          // NaN input and skip the state write; with an explicit
+          // Option, a NaN value poisons the recursion exactly like
+          // batch q185's sequential fold would
+          var yOpt: Option[Double] = state.getOption
           // full-microsecond order: getTime truncates to millis, and the
           // events fixture carries microsecond timestamps — two events in
           // the same millisecond must still process in batch-q185 order
           rows.toSeq.sortBy(r => (tsMicros(r.ts), r.event_id)).foreach { r =>
-            y = if (y.isNaN) r.value else alpha * r.value + (1 - alpha) * y
+            val y = yOpt match {
+              case None => r.value
+              case Some(p) => alpha * r.value + (1 - alpha) * p
+            }
+            yOpt = Some(y)
             out += EwmaPoint(user, r.event_id, r.value, y)
           }
-          if (!y.isNaN) state.update(y)
+          yOpt.foreach(state.update)
           out.result().iterator
       }
   }
@@ -657,7 +702,12 @@ object Streams {
               out += AttributedPurchase(user, r.event_id, channel, r.value)
             else if (r.event_type != "error") channel = r.event_type
           }
-          if (channel != "direct") state.update(channel)
+          // unconditional write: "direct" is the UNSET default, but it
+          // is also a legal event_type value — skipping the write when
+          // channel == "direct" (the old formulation) could never
+          // overwrite a stale stored channel with a genuine newer
+          // "direct" touch, mis-crediting every later purchase
+          state.update(channel)
           out.result().iterator
       }
   }
@@ -703,6 +753,19 @@ object Streams {
         to_date(col("ts")).as("first_day"))
   }
 
+  /** CDC keep-latest upsert — the streaming twin of batch q94: per
+    * key, retain the (ts, event_id)-max row across micro-batches and
+    * emit (Update mode) only when the winner CHANGES, so a sink
+    * applying the emissions as upserts materializes exactly the
+    * keep-latest table. Emissions are strictly monotone per key in
+    * (ts, event_id) — late/out-of-order rows that lose to the current
+    * state produce NO output — which makes the sink idempotent under
+    * replay: re-applying any emission suffix converges to the same
+    * table. State is one row per distinct key in the state store
+    * (RocksDB at scale), independent of stream length; with bounded
+    * key churn a TTL timeout would cap it, left NoTimeout here because
+    * the key domain (users) is the dimension being materialized.
+    */
   def upsertStream(
       events: DataFrame, // needs user_id, event_id, ts, event_type, value
   ): org.apache.spark.sql.Dataset[LatestRow] = {

@@ -90,4 +90,31 @@ class StreamingAttributionSpec extends SparkSpec {
         s"millis ordering would credit 'click'; got $got")
     } finally q.stop()
   }
+
+  test("a literal 'direct' touch overwrites the stored channel across batches") {
+    // 'direct' is the UNSET default, but it is also a legal
+    // event_type. A formulation that skips the state write when
+    // channel == "direct" can never replace a stored 'view' with a
+    // genuine newer 'direct' touch, so the later purchase would be
+    // credited to the stale 'view' — batch q186's LAST_VALUE credits
+    // 'direct'.
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Streams.LatestRow]
+    val q = Streams.attributionStream(input.toDF())
+      .writeStream.format("memory").queryName("attr_direct")
+      .outputMode("append").start()
+    try {
+      input.addData(Streams.LatestRow(8, 801, ts("2024-01-01 09:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Streams.LatestRow(8, 802, ts("2024-01-01 10:00:00"), "direct", 0.0))
+      q.processAllAvailable()
+      input.addData(Streams.LatestRow(8, 803, ts("2024-01-01 11:00:00"), "purchase", 25.0))
+      q.processAllAvailable()
+      val got = s.table("attr_direct").select("event_id", "channel")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(803L -> "direct"),
+        s"stale stored channel survived a newer 'direct' touch: $got")
+    } finally q.stop()
+  }
 }

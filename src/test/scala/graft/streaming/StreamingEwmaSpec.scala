@@ -94,4 +94,31 @@ class StreamingEwmaSpec extends SparkSpec {
         s"getTime(millis) ordering would give 175.0; got ${got(901)}")
     } finally q.stop()
   }
+
+  test("a NaN observation poisons the filter like the batch recursion — no silent restart") {
+    // batch q185's y' = αx + (1−α)y propagates a NaN input forever; a
+    // NaN-as-uninitialized-sentinel formulation instead RESTARTS the
+    // filter from the next value (discarding the key's history) and
+    // skips the state write — both silently. The third emission must
+    // be NaN, not a fresh seed of 5.0.
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val rows = Seq(
+      Streams.LatestRow(11, 1, ts("2024-01-01 10:00:00"), "view", 1.0),
+      Streams.LatestRow(11, 2, ts("2024-01-01 10:01:00"), "view", Double.NaN),
+      Streams.LatestRow(11, 3, ts("2024-01-01 10:02:00"), "view", 5.0))
+    val input = MemoryStream[Streams.LatestRow]
+    val q = Streams.ewmaStream(input.toDF())
+      .writeStream.format("memory").queryName("ewma_nan")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = s.table("ewma_nan").select("event_id", "ewma")
+        .as[(Long, Double)].collect().toMap
+      assert(got(1L) == 1.0)
+      assert(got(2L).isNaN, s"NaN input must surface as NaN: ${got(2L)}")
+      assert(got(3L).isNaN,
+        s"NaN sentinel would silently restart the filter at 5.0: ${got(3L)}")
+    } finally q.stop()
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 /** Streaming TWAP ≡ batch q157 (the DuckDB-oracle-gated query) on the
@@ -63,6 +64,40 @@ class StreamingTwapSpec extends SparkSpec {
           case other => fail(s"$k: twap nullability differs: $other")
         }
       }
+    } finally q.stop()
+  }
+
+  test("a 6dp rounding tie resolves HALF_UP exactly like batch round(x, 6)") {
+    // One interval of 2^23 µs at v = 0.1234565 (duration a power of
+    // two, so (v·dur)/dur is bit-exact): raw twap = the double nearest
+    // 0.1234565, whose toString is "0.1234565" — Spark's round(x, 6)
+    // (BigDecimal-of-toString, HALF_UP) gives 0.123457, while a
+    // math.rint formulation rounds the BINARY value (≈123456.49999…)
+    // half-to-even down to 0.123456. This pins the batch-q157
+    // convention on the exact tie the fixture never exercises.
+    val s = spark; import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, Double)]
+    val q = Streams.twapStream(
+      input.toDF().toDF("ts", "user_id", "event_id", "value"))
+      .writeStream.format("memory").queryName("twap_tie")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 09:00:00"), 5L, 1L, 0.1234565),
+        (Timestamp.valueOf("2024-01-01 09:00:08.388608"), 5L, 2L, 9.9))
+      q.processAllAvailable()
+      // sentinel two days out, twice: advance the watermark past the
+      // day end, then fire the timeout on the following batch
+      input.addData((Timestamp.valueOf("2024-01-03 09:00:00"), 999L, 3L, 0.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-03 09:00:01"), 999L, 4L, 0.0))
+      q.processAllAvailable()
+      val tw = s.table("twap_tie")
+        .filter(col("user_id") === 5L)
+        .select("twap").as[Option[Double]].collect()
+      assert(tw.length == 1 && tw.head.contains(0.123457),
+        s"HALF_UP tie must round to 0.123457, got ${tw.toSeq}")
     } finally q.stop()
   }
 }
