@@ -56,6 +56,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // nominal parallelism for the calibration + drift normalization —
+    // must match the session's core count (GraftSession reads the same
+    // env): hard-coding 32 on a 16-core run would burn 32 threads on 16
+    // cores, read eff ≈ 16, and "normalize" every time to HALF its
+    // honest value while claiming load_factor 2 on an idle host
+    val nominal = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.fromEnv()
     val specs = SparkEntry.specs
     def run(q: QuerySpec, dir: String): Unit =
@@ -78,9 +84,9 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       q.name -> (if (ok) Some(t) else None)
     }
-    val calPre = effectiveCores()
+    val calPre = effectiveCores(nominal)
     val (pass1, pass2) = (timedPass(), timedPass().toMap)
-    val calPost = effectiveCores()
+    val calPost = effectiveCores(nominal)
     val results = pass1.map { case (name, t1) =>
       val ts = (t1.toSeq ++ pass2(name).toSeq)
       // both passes failed → 0.0 with the error recorded in errors
@@ -110,14 +116,14 @@ object Bench {
     // pre/post calibrations is used; a large pre/post spread means the
     // load changed mid-run and the raw column is the honest one.
     val effMean = (calPre._1 + calPost._1) / 2
-    def norm(v: Double): Double = r3(v * effMean / 32.0)
+    def norm(v: Double): Double = r3(v * effMean / nominal)
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + norm(v) }
       .mkString("{", ",", "}")
     val normTotal = norm(results.map(_._2).sum)
     val cal =
       s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)},""" +
         s""""single_s":${r3(calPre._2)},"wall32_s":${r3(calPre._3)}},""" +
-        s""""load_factor":${r3(32.0 / effMean)},"value_normalized":$normTotal"""
+        s""""load_factor":${r3(nominal / effMean)},"value_normalized":$normTotal"""
     // the per-query normalized column goes ONLY to the durable artifact:
     // the driver keeps a bounded stdout tail, and a second 242-entry map
     // on the one-line contract would push the summary fields out of it

@@ -27,18 +27,35 @@ object BenchOne {
     // re-measures recorded in BASELINE.md carry the same effective-cores
     // context as full Bench runs (a repeated query name is the warm-rep
     // protocol: pass it N times, read reps 2+)
-    val calPre = Bench.effectiveCores()
+    val nominal = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val calPre = Bench.effectiveCores(nominal)
     println(f"== cal pre: effective_cores=${calPre._1}%.1f")
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     for (q <- args) {
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(q)(spark, sfDir)
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
-      df.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime - t0) / 1e9
-      val n = df.count()
-      println(s"== $q: rows=$n time=${secs}s")
+      val fn = SparkEntry.queries(q)
+      if (explain) {
+        // EXPLAIN mode is for READING plans, not recording times: the
+        // construction (incl. any eager scratch writes) and the plan
+        // dump run untimed, and only the noop execution is timed — so
+        // the dump's cost never pollutes a reading, at the price of
+        // construction-time exclusion. Comparable times come from the
+        // non-EXPLAIN path, which times construction + execution
+        // exactly like Bench.
+        val df = fn(spark, sfDir)
+        df.explain("formatted")
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime - t0) / 1e9
+        println(s"== $q: rows=${df.count()} time=${secs}s (explain mode: construction untimed)")
+      } else {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime - t0) / 1e9
+        println(s"== $q: rows=${df.count()} time=${secs}s")
+      }
     }
-    val calPost = Bench.effectiveCores()
+    val calPost = Bench.effectiveCores(nominal)
     println(f"== cal post: effective_cores=${calPost._1}%.1f")
     spark.stop()
   }

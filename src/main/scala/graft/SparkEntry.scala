@@ -5,34 +5,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** All declared operator queries, in registration order. */
-  def specs: Seq[QuerySpec] =
-    operators.Relational.specs ++
-      operators.TextOps.specs ++
-      operators.DedupOps.specs ++
-      operators.SimilarityOps.specs ++
-      operators.MultimodalOps.specs ++
-      operators.WindowOps.specs ++
-      operators.TemporalOps.specs ++
-      operators.PipelineOps.specs ++
-      operators.ScaleJoins.specs ++
-      operators.CurationOps.specs ++
-      operators.TypedOps.specs ++
-      operators.GraphOps.specs ++
-      operators.ModernSqlOps.specs ++
-      operators.GeoOps.specs ++
-      operators.StatsOps.specs
+  /** All declared operator queries, in registration order. lazy val,
+    * not def: Bench/BenchOne touch this inside timed paths, and a def
+    * would re-concatenate all 15 spec seqs per call.
+    */
+  lazy val specs: Seq[QuerySpec] = {
+    val all =
+      operators.Relational.specs ++
+        operators.TextOps.specs ++
+        operators.DedupOps.specs ++
+        operators.SimilarityOps.specs ++
+        operators.MultimodalOps.specs ++
+        operators.WindowOps.specs ++
+        operators.TemporalOps.specs ++
+        operators.PipelineOps.specs ++
+        operators.ScaleJoins.specs ++
+        operators.CurationOps.specs ++
+        operators.TypedOps.specs ++
+        operators.GraphOps.specs ++
+        operators.ModernSqlOps.specs ++
+        operators.GeoOps.specs ++
+        operators.StatsOps.specs
+    // A duplicate name would be silently dropped by `queries`' toMap:
+    // one implementation benched but never oracle-verified — and name
+    // collisions have happened twice in this project's history
+    // (q180/q117, q197/q114 at the concept level). Fail loudly instead.
+    val dup = all.groupBy(_.name).filter(_._2.sizeIs > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q05_join_multiway")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(s => s.name -> s.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     specs.flatMap(s => s.oracle.map(o => s.name -> o)).toMap
 }

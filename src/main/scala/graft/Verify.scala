@@ -11,12 +11,14 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession.fromEnv()
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run — otherwise the
         // oracle compare would silently grade old results as current.
@@ -35,5 +37,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a dump with missing queries must fail the gate chain, not just
+    // print to stderr: exit non-zero so `sbt runMain` (and close.sh)
+    // registers the failure even if the downstream compare is skipped
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -35,8 +35,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            # bytes (e.g. parquet binary) → hex for stable compare
-            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+            # bytes (e.g. parquet binary) → hex; list/array cells →
+            # their canonical cell string (raw ndarrays are unsortable
+            # and would crash sort_values with an ambiguous-truth-value
+            # error, aborting the whole run)
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                else cell_str(v) if isinstance(v, (list, np.ndarray))
+                else v)
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
     # Row alignment: sort on NON-float columns first (these are exact
@@ -67,13 +73,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def cell_str(v) -> str:
     """Driver-equivalent canonical cell string: floats rounded to 6dp
     (then repr'd, so 150.0 stays '150.0' and never equals int 150),
-    ints as plain digits, NULL/NaN unified, bytes hexed, timestamps at
-    microsecond ISO."""
+    ints as plain digits, NULL/NaN/NaT/NA unified, bools as
+    'true'/'false' regardless of Python-vs-numpy representation, bytes
+    hexed, timestamps at microsecond ISO."""
     if v is None:
         return "NULL"
+    # NaT / pd.NA (scalar check only — arrays are handled below)
+    if not isinstance(v, (list, np.ndarray)) and pd.isna(v):
+        return "NULL"
+    # BEFORE the int branch: bool is a subclass of int, so a Python
+    # True would stringify as '1' while np.bool_ True falls through to
+    # str -> 'True' — the same logical value diverging by representation
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if bool(v) else "false"
     if isinstance(v, float) or isinstance(v, np.floating):
-        if np.isnan(v):
-            return "NULL"
         r = round(float(v), 6)
         if r == 0.0:
             r = 0.0  # collapse -0.0
@@ -112,9 +125,15 @@ def exact_compare(got: pd.DataFrame, exp: pd.DataFrame):
 
 def normalize_ints(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64"):
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
             df[c] = df[c].astype("int64")
-        if str(df[c].dtype) in ("float32",):
+        elif str(df[c].dtype) == "uint64":
+            # astype('int64') would silently WRAP values >= 2^63 (e.g.
+            # DuckDB hash() UBIGINTs), making the tolerant mode pass on
+            # a wrapped bit pattern the exact mode fails. Python ints
+            # are exact at any width; both modes then agree.
+            df[c] = df[c].map(int).astype(object)
+        elif str(df[c].dtype) == "float32":
             df[c] = df[c].astype("float64")
     return df
 
@@ -128,6 +147,15 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = 0
+    # A query that failed in Verify has its stale output dir REMOVED, so
+    # iterating only existing dirs would silently skip it and the gate
+    # would pass with the query ungraded. Every declared oracle key must
+    # have an output directory. (Queries with no oracle SQL get the
+    # rows-only check when present; Verify's own non-zero exit covers
+    # them when absent.)
+    for name in sorted(set(oracles) - set(names)):
+        print(f"FAIL {name}: no spark output directory (query failed in Verify?)")
+        n_fail += 1
     for name in names:
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -147,7 +175,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        g, e = canon(normalize_ints(got)), canon(normalize_ints(exp))
+        try:
+            g, e = canon(normalize_ints(got)), canon(normalize_ints(exp))
+        except Exception as ex:
+            # e.g. sort_values on an array-valued column: fail THIS
+            # query instead of aborting the whole run (which would
+            # leave every later query ungraded)
+            print(f"FAIL {name}: canonicalization error: {ex}")
+            n_fail += 1
+            continue
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
             n_fail += 1
@@ -163,19 +199,38 @@ def main(sf_dir: str, out_dir: str) -> int:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
         except AssertionError as ex:
             tol_err = str(ex).splitlines()[-1] if str(ex) else "diff"
-        exact_err = exact_compare(got, exp)
+        except Exception as ex:
+            tol_err = f"compare error: {ex}"
+        try:
+            exact_err = exact_compare(got, exp)
+        except Exception as ex:
+            exact_err = f"compare error: {ex}"
         if tol_err is None and exact_err is None:
             print(f"pass {name} ({len(g)} rows)")
             n_pass += 1
         else:
             if tol_err is not None:
                 print(f"FAIL(tol) {name}: {tol_err}")
-                neq = (g != e) & ~(g.isna() & e.isna())
-                bad = neq.any(axis=1)
-                if bad.any():
-                    i = bad.idxmax()
-                    print("  spark:", g.loc[i].to_dict())
-                    print("  duck :", e.loc[i].to_dict())
+                try:
+                    # pick the first row that fails the TOLERANT compare,
+                    # not the first raw inequality — a benign 1e-12 float
+                    # delta on row 0 would otherwise misdirect the
+                    # diagnostic to a passing row
+                    neq = pd.DataFrame(index=g.index)
+                    for c in g.columns:
+                        if str(g[c].dtype).startswith("float") and \
+                                str(e[c].dtype).startswith("float"):
+                            neq[c] = ~(np.isclose(g[c], e[c], rtol=0, atol=1e-6) |
+                                       (g[c].isna() & e[c].isna()))
+                        else:
+                            neq[c] = (g[c] != e[c]) & ~(g[c].isna() & e[c].isna())
+                    bad = neq.any(axis=1)
+                    if bad.any():
+                        i = bad.idxmax()
+                        print("  spark:", g.loc[i].to_dict())
+                        print("  duck :", e.loc[i].to_dict())
+                except Exception:
+                    pass  # diagnostics must never mask the FAIL itself
             if exact_err is not None:
                 print(f"FAIL(exact) {name}: {exact_err[:400]}")
             n_fail += 1
