@@ -3,6 +3,14 @@ package graft
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
   *
+  * Since round 12 the PRIMARY timed layout is an 8-file rewrite of
+  * SPARK_GRAFT_SF_DIR (built fresh under /tmp each run): the driver
+  * fixture is one row group per table, a structural 1-task-scan floor
+  * (measured 1.7×/2.8× — BASELINE.md BenchScan) that real many-file
+  * data doesn't have. The single-file layout is still timed and
+  * recorded as `value_singlefile`/`queries_singlefile` for continuity
+  * with rounds ≤11.
+  *
   * Queries run in declared specs order (a Map would randomize order
   * between runs, attributing JVM/codegen warmup to arbitrary queries).
   * An untimed warmup pass at sf0.001 first-touches every query's code
@@ -70,12 +78,21 @@ object Bench {
       try run(q, warmDir)
       catch { case _: Throwable => () }
     }
+    // PRIMARY layout = the 8-file rewrite (VERDICT r11 #3): the
+    // driver's single-file fixture is one row group per table, so every
+    // scan is structurally a 1-task stage — a measured 1.7× total /
+    // 2.8× scan-bound floor (BASELINE.md BenchScan) that misattributes
+    // fixture layout to the plans. Real data has many files; the
+    // primary column should reflect the plans. The single-file run
+    // stays as a SECONDARY column for cross-round continuity.
+    val multiDir = s"/tmp/graft_bench_multi8/${operators.Relational.datasetKey(sfDir)}"
+    RewriteMulti.rewrite(spark, sfDir, multiDir, 8)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // time = None on failure: a fast-failing pass must not win min()
-    def timedPass(): Seq[(String, Option[Double])] = specs.map { q =>
+    def timedPass(dir: String): Seq[(String, Option[Double])] = specs.map { q =>
       val t0 = System.nanoTime()
       val ok =
-        try { run(q, sfDir); true }
+        try { run(q, dir); true }
         catch {
           case e: Throwable =>
             errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
@@ -84,14 +101,18 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       q.name -> (if (ok) Some(t) else None)
     }
-    val calPre = effectiveCores(nominal)
-    val (pass1, pass2) = (timedPass(), timedPass().toMap)
-    val calPost = effectiveCores(nominal)
-    val results = pass1.map { case (name, t1) =>
-      val ts = (t1.toSeq ++ pass2(name).toSeq)
-      // both passes failed → 0.0 with the error recorded in errors
-      name -> (if (ts.isEmpty) 0.0 else ts.min)
+    def minOf2(dir: String): Seq[(String, Double)] = {
+      val (pass1, pass2) = (timedPass(dir), timedPass(dir).toMap)
+      pass1.map { case (name, t1) =>
+        val ts = (t1.toSeq ++ pass2(name).toSeq)
+        // both passes failed → 0.0 with the error recorded in errors
+        name -> (if (ts.isEmpty) 0.0 else ts.min)
+      }
     }
+    val calPre = effectiveCores(nominal)
+    val results = minOf2(multiDir)
+    val resultsSingle = minOf2(sfDir)
+    val calPost = effectiveCores(nominal)
     // 3 decimals (ms resolution): full-precision doubles print ~17
     // significant digits and tripled the stdout line's length, which is
     // what got the driver artifact truncated in rounds 4-6
@@ -116,6 +137,12 @@ object Bench {
     // pre/post calibrations is used; a large pre/post spread means the
     // load changed mid-run and the raw column is the honest one.
     val effMean = (calPre._1 + calPost._1) / 2
+    // cal_stable mechanizes the "large pre/post spread → read the raw
+    // column" caveat (ADVICE r11): consumers can gate on it instead of
+    // re-deriving the rule from prose. 0.15 relative spread ≈ the
+    // band quiet hosts stay inside; a mid-run load change blows past it.
+    val calSpread = math.abs(calPre._1 - calPost._1) / effMean
+    val calStable = calSpread < 0.15
     def norm(v: Double): Double = r3(v * effMean / nominal)
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + norm(v) }
       .mkString("{", ",", "}")
@@ -123,15 +150,23 @@ object Bench {
     val cal =
       s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)},""" +
         s""""single_s":${r3(calPre._2)},"wall32_s":${r3(calPre._3)}},""" +
+        s""""cal_spread":${r3(calSpread)},"cal_stable":$calStable,""" +
         s""""load_factor":${r3(nominal / effMean)},"value_normalized":$normTotal"""
-    // the per-query normalized column goes ONLY to the durable artifact:
-    // the driver keeps a bounded stdout tail, and a second 242-entry map
-    // on the one-line contract would push the summary fields out of it
+    val totalSingle = r3(resultsSingle.map(_._2).sum)
+    // the per-query normalized + single-file columns go ONLY to the
+    // durable artifact: the driver keeps a bounded stdout tail, and
+    // extra 242-entry maps on the one-line contract would push the
+    // summary fields out of it. The stdout line carries the single-file
+    // continuity signal as ONE scalar (value_singlefile).
+    val qsSingle = resultsSingle.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val summary =
+      s""""layout":"multi8","value_singlefile":$totalSingle,"sf":"$sfDir",$cal$errJson"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$cal$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$summary}"""
     val artifact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_normalized":$qsNorm,"sf":"$sfDir",$cal$errJson}"""
+        s""""queries_normalized":$qsNorm,"queries_singlefile":$qsSingle,$summary}"""
     // per-query lines go to STDERR (human/progress view) so stdout stays
     // exactly the driver contract: one JSON line
     results.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${r3(v)}%.3f s") }

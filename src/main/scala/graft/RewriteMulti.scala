@@ -22,23 +22,33 @@ package graft
   *        SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench
   */
 object RewriteMulti {
+
+  /** Rewrite every fixture table under `sfDir` as an `nFiles`-part
+    * parquet directory under `outDir`. Callable (Bench uses it to
+    * build its primary multi-file layout); the main below is the
+    * standalone CLI the close chain drives.
+    */
+  def rewrite(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outDir: String, nFiles: Int): Unit = {
+    Views.tables.foreach { t =>
+      if (new java.io.File(s"$sfDir/$t.parquet").exists()) {
+        val df =
+          if (t == "events") Tables.events(spark, sfDir)
+          else Tables(spark, sfDir, t)
+        df.repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        val parts = Option(new java.io.File(s"$outDir/$t.parquet").listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        println(s"[rewrite] $t -> $parts part files")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val nFiles = if (args.length > 2) args(2).toInt else 8
     val spark = GraftSession.fromEnv()
-    try {
-      Views.tables.foreach { t =>
-        if (new java.io.File(s"$sfDir/$t.parquet").exists()) {
-          val df =
-            if (t == "events") Tables.events(spark, sfDir)
-            else Tables(spark, sfDir, t)
-          df.repartition(nFiles)
-            .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-          val parts = Option(new java.io.File(s"$outDir/$t.parquet").listFiles())
-            .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
-          println(s"[rewrite] $t -> $parts part files")
-        }
-      }
-    } finally spark.stop()
+    try rewrite(spark, sfDir, outDir, nFiles)
+    finally spark.stop()
   }
 }

@@ -33,7 +33,13 @@ object Verify {
       }
     }
     def q(s: String): String = "\"" + GraftSession.jsonEscape(s) + "\""
+    // dump only the ATTEMPTED subset's oracle SQL: check.py since r11
+    // FAILs every oracle key without an output dir, so a filtered local
+    // run that wrote the full 242-entry map would report ~200 spurious
+    // missing-dir FAILs (ADVICE r11). The driver passes no filter, so
+    // its gate still sees the full map.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -362,10 +362,18 @@ object Streams {
     // pins). A non-UTC session would finalize days 7h early/late or
     // even die on setTimeoutTimestamp < watermark, so refuse loudly
     // instead of silently emitting wrong day rollups.
+    // Normalized-offset check, not an exact string compare: Etc/UTC,
+    // GMT, +00:00, Z all resolve to a fixed zero offset and produce
+    // identical day keys/timeouts, so refusing them would reject
+    // sessions that are in fact UTC (ADVICE r11). Anything with DST
+    // rules or a nonzero offset still fails loudly.
+    val tzId = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    val tzRules = java.time.ZoneId.of(tzId, java.time.ZoneId.SHORT_IDS).getRules
     require(
-      events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-      "twapStream requires spark.sql.session.timeZone=UTC: the day key " +
-        "and the day-end timeout must use the same clock")
+      tzRules.isFixedOffset &&
+        tzRules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
+      s"twapStream requires a UTC-equivalent spark.sql.session.timeZone (got $tzId): " +
+        "the day key and the day-end timeout must use the same clock")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // `ts` itself must survive the projection — the watermark tag

@@ -14,11 +14,14 @@ class GzipSourceSpec extends SparkSpec {
     val sfDir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q03g_gzip_roundtrip")(spark, sfDir)
     // the write produced 4 .gz parts; the read must plan exactly 4
-    // partitions — gzip cannot split
-    val gzDir = new java.io.File(Relational.scoped(Relational.gzipRoundtripDir, "/root/testdata/sf0.001"))
+    // partitions — gzip cannot split. The scoped scratch path derives
+    // from the SAME sfDir the query ran against (ADVICE r11: a
+    // hardcoded copy here would inspect a different dataset's dir if
+    // the fixture path ever changed).
+    val gzDir = new java.io.File(Relational.scoped(Relational.gzipRoundtripDir, sfDir))
     val nFiles = gzDir.listFiles().count(_.getName.endsWith(".gz"))
     assert(nFiles == 4, s"expected 4 gz parts, found $nFiles")
-    val parts = spark.read.text(Relational.scoped(Relational.gzipRoundtripDir, "/root/testdata/sf0.001")).rdd.getNumPartitions
+    val parts = spark.read.text(Relational.scoped(Relational.gzipRoundtripDir, sfDir)).rdd.getNumPartitions
     assert(parts == nFiles, s"gzip read planned $parts partitions for $nFiles files")
     // lossless: same rows as the source projection
     val src = graft.Tables(spark, sfDir, "documents")

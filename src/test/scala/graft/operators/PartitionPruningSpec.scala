@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   */
 class PartitionPruningSpec extends SparkSpec {
 
+  // single source of truth for the fixture path: the scoped-scratch
+  // assertions below must derive from the SAME dir the queries ran
+  // against (ADVICE r11 — a hardcoded copy diverges silently if the
+  // fixture path changes)
+  private val sfDir = "/root/testdata/sf0.001"
+
   test("hive-style partitioned write → partition-pruned scan") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = graft.Tables.events(s, "/root/testdata/sf0.001")
+    val events = graft.Tables.events(s, sfDir)
       .withColumn("day", to_date(col("ts")))
     events.write.mode("overwrite")
       .partitionBy("day", "event_type").parquet(s"$dir/events_by_type")
@@ -42,14 +48,14 @@ class PartitionPruningSpec extends SparkSpec {
   test("q60's year predicate prunes partitions at the scan") {
     val s = spark
     val q = graft.SparkEntry
-      .queries("q60_partition_pruned")(s, "/root/testdata/sf0.001")
+      .queries("q60_partition_pruned")(s, sfDir)
     val flat = q.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
     // the o_year filter must land in PartitionFilters (directory
     // pruning at planning time), not a post-scan Filter
     assert(flat.matches(".*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"), flat)
     // and the layout must actually be partitioned: multiple year dirs
     // (scratch paths are keyed per input dataset since r11)
-    val yearDirs = new java.io.File(Relational.scoped(Relational.partitionedDir, "/root/testdata/sf0.001"))
+    val yearDirs = new java.io.File(Relational.scoped(Relational.partitionedDir, sfDir))
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.contains("o_year=1996") && yearDirs.size > 1, yearDirs.toString)
   }
@@ -57,7 +63,7 @@ class PartitionPruningSpec extends SparkSpec {
   test("q205's dim join prunes fact partitions DYNAMICALLY") {
     val s = spark
     val q = graft.SparkEntry
-      .queries("q205_dynamic_partition_pruning")(s, "/root/testdata/sf0.001")
+      .queries("q205_dynamic_partition_pruning")(s, sfDir)
     val flat = q.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
     // the fact scan's PartitionFilters must carry a dynamicpruning
     // subquery (runtime directory pruning from the joined dim), not a
@@ -65,7 +71,7 @@ class PartitionPruningSpec extends SparkSpec {
     assert(flat.contains("dynamicpruning"),
       s"no dynamic pruning subquery in the fact scan: $flat")
     // and the layout offers >2 year dirs for the dim to prune down to 2
-    val yearDirs = new java.io.File(Relational.scoped(Relational.dppDir, "/root/testdata/sf0.001"))
+    val yearDirs = new java.io.File(Relational.scoped(Relational.dppDir, sfDir))
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(yearDirs.size > 2, yearDirs.toString)
   }
