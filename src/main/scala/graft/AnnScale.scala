@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN-family scale audit (VERDICT r11 #5): a measured recall-vs-nprobe
+  * curve for the q31 IVF operator — the dedup family's saturation
+  * sweeps, applied to similarity search.
+  *
+  * The driver fixture's embeddings are near-isotropic (labels are NOT
+  * cosine clusters — measured in SimilarityRecallSpec), so recall there
+  * can never beat the scanned fraction and says nothing about the
+  * operator. This main synthesizes what production corpora actually
+  * have — cluster structure — DETERMINISTICALLY (hash-derived centers
+  * and noise, no RNG), at 5k and 50k points (fixture scale and 10×),
+  * then drives the REAL `SimilarityOps.ivfTopK` across nprobe = 1..5
+  * and reports, per (scale, nprobe):
+  *
+  *  - recall@5 against the brute-force exact top-5 on the same corpus
+  *  - the measured candidate (scanned) fraction — probed-cell rows per
+  *    query over corpus size, i.e. what the pruning actually buys
+  *    (balanced cells ⇒ ≈ nprobe/ncells; the synthesized cells are
+  *    hash-sized, so the measured number is the honest one)
+  *
+  * The claim under audit: at nprobe=2 of 10 cells the operator scans
+  * ~20% of candidates with recall ≥ 0.9 on clustered data, and the
+  * curve holds at 10× the corpus (cells grow with the corpus; the
+  * geometry doesn't change).
+  *
+  * Usage: runMain graft.AnnScale [nPoints ...]   (default: 5000 50000)
+  */
+object AnnScale {
+
+  private val d = 64
+  private val nCells = 10
+  private val k = 5
+  private val nQueries = 20
+
+  /** Deterministic clustered corpus: `label` = point's true cluster,
+    * point = G·global + delta_label + noise, all components md5-derived
+    * U[-4, 4]^d (no RNG). The shared global component makes the cells
+    * ANGULARLY close (cos between centers ≈ G²/(G²+1) ≈ 0.9 at G=3) —
+    * the real-embedding regime where topical clusters share a domain
+    * direction — and noise at the delta's own scale pushes boundary
+    * points' true cosine neighbors into the 2nd/3rd-nearest cell.
+    * That is what makes recall actually DEPEND on nprobe: the first
+    * cut of this corpus used orthogonal well-separated centers and
+    * read recall 1.0 at nprobe=1 everywhere — a saturated instrument.
+    * Same construction at every scale, so scaling N only adds points
+    * to the same 10 clusters — exactly the "corpus grows, geometry
+    * doesn't" regime the claim is about.
+    */
+  private[graft] def corpus(s: org.apache.spark.sql.SparkSession, n: Int): DataFrame =
+    s.range(n.toLong).toDF("vec_id")
+      .withColumn("label", pmod(col("vec_id"), lit(nCells.toLong)))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${d - 1}), i ->
+           |  CAST(3.0D * (CAST(conv(substr(md5(concat('g:', i)), 1, 6), 16, 10) AS BIGINT) % 2000 - 1000) / 250.0 AS FLOAT)
+           |  + CAST((CAST(conv(substr(md5(concat('c', label, ':', i)), 1, 6), 16, 10) AS BIGINT) % 2000 - 1000) / 250.0 AS FLOAT)
+           |  + CAST((CAST(conv(substr(md5(concat('p', vec_id, ':', i)), 1, 6), 16, 10) AS BIGINT) % 2000 - 1000) / 250.0 AS FLOAT))"""
+          .stripMargin))
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 50000)
+    val spark = GraftSession.fromEnv()
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    try {
+      sizes.foreach { n =>
+        val e = corpus(spark, n).localCheckpoint()
+        val q = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+          .localCheckpoint()
+        // exact top-k (the q30 brute-force shape) = ground truth
+        val en = e.withColumn("nn", expr("SQRT(float_dot(embedding, embedding))"))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        val exact = en.crossJoin(broadcast(q.withColumn(
+            "qn", expr("SQRT(float_dot(qemb, qemb))"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine",
+            expr("float_dot(embedding, qemb)") / (col("nn") * col("qn")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val cellSizes = e.groupBy("label").agg(count(lit(1)).as("cn"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // centroids are nprobe-independent: compute once per scale,
+        // exactly as ivfTopK derives them
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy("label", "i")
+          .agg(round(avg(col("v").cast("double")), 9).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
+          .localCheckpoint()
+        (1 to 5).foreach { nprobe =>
+          val t0 = System.nanoTime()
+          val got = operators.SimilarityOps.ivfTopK(e, q, nprobe = nprobe, k = k)
+            .select("qid", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          val wall = (System.nanoTime() - t0) / 1e9
+          val recall = exact.map { case (qid, truth) =>
+            truth.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / truth.size
+          }.sum / exact.size
+          // measured scanned fraction: rows inside each query's probed
+          // cells (the probe set is recomputed exactly as ivfTopK picks
+          // it — by centroid dot product) over nQueries × n
+          val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
+          val scanned = q.crossJoin(broadcast(centroids))
+            .withColumn("cscore", expr("float_dot(qemb, cemb)"))
+            .withColumn("crk", row_number().over(wq)).filter(col("crk") <= nprobe)
+            .select("qid", "label")
+            .collect().map(r => cellSizes(r.getLong(1))).sum
+          val frac = scanned.toDouble / (nQueries.toLong * n)
+          def r3(v: Double): Double = math.rint(v * 1000) / 1000
+          println(
+            s"""{"metric":"ann_scale","n":$n,"nprobe":$nprobe,"recall_at_$k":${r3(recall)},""" +
+              s""""scanned_fraction":${r3(frac)},"wall_s":${r3(wall)}}""")
+        }
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph-family scale audit (VERDICT r11 #2): the tradeEdges queries'
+  * scale claims, measured as curves instead of argued in comments.
+  *
+  * Claims under audit (`operators/GraphOps.scala`):
+  *  - q97/q109/q110 pair generation "fans out PER ORDER, so output is
+  *    Σ_orders deg·(deg−1) with deg bounded by order size" — i.e. work
+  *    grows LINEARLY in orders, never suppliers².
+  *  - q91/q155 iteration bodies shuffle node-sized rank/label frames,
+  *    so per-query shuffle volume grows with nodes+edges, not
+  *    quadratically.
+  *  - q208's peel joins the edge list against removed-so-far only.
+  *
+  * Corpus growth model (`dir@xN`): every order is replicated N×
+  * deterministically (no RNG); replica k > 0 re-ids the ORDER
+  * (o_orderkey·N + k) and maps the customer to a NEW customer id
+  * (o_custkey + k·C, C = max custkey) while suppliers stay fixed —
+  * the marketplace shape (buyers grow with the corpus, the supplier
+  * catalog doesn't). Per-order fan-out is unchanged by construction,
+  * so the fan-out-bounded claim predicts: pair-generation output and
+  * shuffle volume grow ~N×, never supplier²; the customer-side node
+  * frames grow ~N×; the distinct edge set grows ~N× (each new
+  * customer brings its own (cust, supp) pairs).
+  *
+  * Per (scale, query) this main reports wall seconds, output rows,
+  * and total shuffle read/write bytes (task-level metrics summed via
+  * a listener — listener delivery is asynchronous, so counters are
+  * read after a short settle; the per-run error is ≪ the 10×
+  * between-scale signal being measured).
+  *
+  * Usage: runMain graft.GraphScale [dir|dir@xN ...]
+  *        (default: sf0.1 and sf0.1@x10)
+  */
+object GraphScale {
+
+  private val queries = Seq(
+    "q91_pagerank", "q155_label_propagation", "q208_kcore",
+    "q97_cooccur", "q109_backbone_triangles")
+
+  /** Materialize the N× replicated corpus under /tmp; returns its dir.
+    * Only the two tables the graph family reads are written.
+    */
+  private def synthesize(spark: org.apache.spark.sql.SparkSession, srcDir: String, xf: Int): String = {
+    val out = s"/tmp/graft_graph_scale/${operators.Relational.datasetKey(srcDir)}_x$xf"
+    val ord = Tables(spark, srcDir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables(spark, srcDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val maxCust = ord.agg(max("o_custkey")).head().getLong(0)
+    ord.crossJoin(spark.range(xf).toDF("k"))
+      .select(
+        (col("o_orderkey") * xf + col("k")).as("o_orderkey"),
+        (col("o_custkey") + col("k") * maxCust).as("o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    li.crossJoin(spark.range(xf).toDF("k"))
+      .select(
+        (col("l_orderkey") * xf + col("k")).as("l_orderkey"),
+        col("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val specs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/testdata/sf0.1@x10")
+    val spark = GraftSession.fromEnv()
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+    })
+    try {
+      specs.foreach { spec =>
+        val (dir, label) = spec.split("@x", 2) match {
+          case Array(src, n) =>
+            (synthesize(spark, src, n.toInt), s"${new java.io.File(src).getName}_x$n")
+          case _ => (spec, new java.io.File(spec).getName)
+        }
+        val nOrders = Tables(spark, dir, "orders").count()
+        // the structural quantity every claim is phrased against
+        val nEdges = Tables(spark, dir, "lineitem")
+          .join(Tables(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct().count()
+        queries.foreach { q =>
+          val fn = SparkEntry.queries(q)
+          // warm rep: classloading/codegen/scan cache out of the reading
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          Thread.sleep(1000)
+          shufRead.set(0); shufWrite.set(0)
+          val t0 = System.nanoTime()
+          val df = fn(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000) // listener settle
+          // snapshot BEFORE the untimed row-count action re-executes
+          // the plan and pollutes the counters
+          val (sr, sw) = (shufRead.get, shufWrite.get)
+          val rows = df.count()
+          def mb(b: Long): Double = math.rint(b / 1048.576) / 1000
+          println(
+            s"""{"metric":"graph_scale","sf":"$label","query":"$q","n_orders":$nOrders,""" +
+              s""""n_edges":$nEdges,"wall_s":${math.rint(wall * 1000) / 1000},"rows":$rows,""" +
+              s""""shuffle_read_mb":${mb(sr)},"shuffle_write_mb":${mb(sw)}}""")
+        }
+      }
+    } finally spark.stop()
+  }
+}

@@ -62,6 +62,23 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(r >= 0.9, s"clustered recall $r")
   }
 
+  test("nprobe=2 point of the AnnScale recall curve: >= 0.9 at ~20% scanned, and nprobe=1 is genuinely worse") {
+    // the overlapping-angle corpus (shared global direction, noise at
+    // the cluster-delta scale — graft.AnnScale's construction, reused
+    // so the gate can't drift from the recorded curve in BASELINE.md);
+    // 2k points keeps this fast while preserving the geometry
+    val e = graft.AnnScale.corpus(spark, 2000).localCheckpoint()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exact = topkSets(bruteTopK(e, q, 5))
+    val r1 = recall(exact, topkSets(SimilarityOps.ivfTopK(e, q, nprobe = 1, k = 5)))
+    val r2 = recall(exact, topkSets(SimilarityOps.ivfTopK(e, q, nprobe = 2, k = 5)))
+    assert(r2 >= 0.9, s"nprobe=2 recall $r2 below the recorded curve's claim")
+    // the curve must be a CURVE: if nprobe=1 already achieves 0.9 the
+    // corpus has degenerated back into the saturated instrument
+    assert(r1 < 0.9 && r2 > r1, s"saturated instrument: r1=$r1 r2=$r2")
+  }
+
   test("fixture sanity: IVF beats the random-cell baseline (0.2 scanned fraction)") {
     val dir = "/root/testdata/sf0.01"
     val exact = topkSets(
