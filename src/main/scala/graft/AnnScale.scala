@@ -86,14 +86,9 @@ object AnnScale {
         val cellSizes = e.groupBy("label").agg(count(lit(1)).as("cn"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // centroids are nprobe-independent: compute once per scale,
-        // exactly as ivfTopK derives them
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-          .groupBy("label", "i")
-          .agg(round(avg(col("v").cast("double")), 9).as("c"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
-          .localCheckpoint()
+        // via the operator's OWN quantizer (shared helper — a copy
+        // here could silently desynchronize from what ivfTopK probes)
+        val centroids = operators.SimilarityOps.ivfCentroids(e).localCheckpoint()
         (1 to 5).foreach { nprobe =>
           val t0 = System.nanoTime()
           val got = operators.SimilarityOps.ivfTopK(e, q, nprobe = nprobe, k = k)
@@ -105,12 +100,9 @@ object AnnScale {
             truth.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / truth.size
           }.sum / exact.size
           // measured scanned fraction: rows inside each query's probed
-          // cells (the probe set is recomputed exactly as ivfTopK picks
-          // it — by centroid dot product) over nQueries × n
-          val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
-          val scanned = q.crossJoin(broadcast(centroids))
-            .withColumn("cscore", expr("float_dot(qemb, cemb)"))
-            .withColumn("crk", row_number().over(wq)).filter(col("crk") <= nprobe)
+          // cells — the probe set comes from the operator's OWN
+          // ivfProbe, so this measures what ivfTopK actually scans
+          val scanned = operators.SimilarityOps.ivfProbe(q, centroids, nprobe)
             .select("qid", "label")
             .collect().map(r => cellSizes(r.getLong(1))).sum
           val frac = scanned.toDouble / (nQueries.toLong * n)

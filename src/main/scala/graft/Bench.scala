@@ -85,24 +85,44 @@ object Bench {
     // fixture layout to the plans. Real data has many files; the
     // primary column should reflect the plans. The single-file run
     // stays as a SECONDARY column for cross-round continuity.
-    val multiDir = s"/tmp/graft_bench_multi8/${operators.Relational.datasetKey(sfDir)}"
-    RewriteMulti.rewrite(spark, sfDir, multiDir, 8)
+    // SPARK_GRAFT_MULTI_DIR reuses an existing rewrite (close.sh step 3
+    // already built one — no second fixture-sized write in the gate
+    // chain); otherwise the rewrite is PID-SCOPED and removed on exit:
+    // a shared overwrite-in-place dir would let a second Bench delete
+    // part files under the first one's timed scan (the q205 race class
+    // the Relational scratch discipline exists for).
+    val (multiDir, ownsMultiDir) = sys.env.get("SPARK_GRAFT_MULTI_DIR") match {
+      case Some(d) if new java.io.File(d).isDirectory => (d, false)
+      case _ =>
+        val d = s"/tmp/graft_bench_multi8/pid${ProcessHandle.current().pid()}_" +
+          operators.Relational.datasetKey(sfDir)
+        RewriteMulti.rewrite(spark, sfDir, d, 8)
+        (d, true)
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // time = None on failure: a fast-failing pass must not win min()
-    def timedPass(dir: String): Seq[(String, Option[Double])] = specs.map { q =>
+    // time = None on failure: a fast-failing pass must not win min().
+    // Errors are layout-tagged and first-write-wins per (query, layout)
+    // so a later single-file failure can't mask which layout broke.
+    def timedPass(dir: String, layout: String): Seq[(String, Option[Double])] = specs.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { run(q, dir); true }
         catch {
           case e: Throwable =>
-            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+            val msg = s"[$layout] " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+            errors(q.name) = errors.get(q.name) match {
+              case Some(prev) if !prev.startsWith(s"[$layout]") => s"$prev | $msg".take(260)
+              case Some(prev) => prev
+              case None => msg
+            }
             false
         }
       val t = (System.nanoTime() - t0) / 1e9
       q.name -> (if (ok) Some(t) else None)
     }
-    def minOf2(dir: String): Seq[(String, Double)] = {
-      val (pass1, pass2) = (timedPass(dir), timedPass(dir).toMap)
+    def minOf2(dir: String, layout: String): Seq[(String, Double)] = {
+      val (pass1, pass2) = (timedPass(dir, layout), timedPass(dir, layout).toMap)
       pass1.map { case (name, t1) =>
         val ts = (t1.toSeq ++ pass2(name).toSeq)
         // both passes failed → 0.0 with the error recorded in errors
@@ -110,9 +130,16 @@ object Bench {
       }
     }
     val calPre = effectiveCores(nominal)
-    val results = minOf2(multiDir)
-    val resultsSingle = minOf2(sfDir)
+    val results = minOf2(multiDir, "multi8")
+    val resultsSingle = minOf2(sfDir, "single")
     val calPost = effectiveCores(nominal)
+    if (ownsMultiDir) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(multiDir))
+    }
     // 3 decimals (ms resolution): full-precision doubles print ~17
     // significant digits and tripled the stdout line's length, which is
     // what got the driver artifact truncated in rounds 4-6

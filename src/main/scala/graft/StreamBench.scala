@@ -60,6 +60,10 @@ object StreamBench {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val xf = if (args.length > 1) args(1).toInt else 10
     val spark = GraftSession.fromEnv()
+    // recentProgress is a BOUNDED rolling buffer (default 100): at
+    // large xf the drop(before) accounting below would silently slice
+    // an arbitrary suffix of batches. Size it past any plausible run.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

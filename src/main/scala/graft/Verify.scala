@@ -9,6 +9,14 @@ object Verify {
     // iteration (the driver always runs the full surface)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a misspelled filter name must fail LOUDLY: it matches nothing, so
+    // zero queries would run, the filtered oracle dump would omit the
+    // key, and check.py would pass vacuously — the silently-ungraded
+    // class the r11 hardening closed for the unfiltered path
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s) in filter: ${unknown.mkString(",")}")
+    }
     val spark = GraftSession.fromEnv()
     new java.io.File(outDir).mkdirs()
     var nFailed = 0

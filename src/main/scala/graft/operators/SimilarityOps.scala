@@ -59,6 +59,37 @@ object SimilarityOps {
     * SimilarityRecallSpec: ≥0.9 on clustered data, and on unclustered
     * data no cell scheme can do better than the scanned fraction.
     */
+  /** The coarse quantizer exactly as [[ivfTopK]] derives it — shared
+    * with the AnnScale recall audit so the measured scanned fraction
+    * can never desynchronize from what the operator actually probes.
+    *
+    * round(avg, 9): avg's partial-merge order is nondeterministic at
+    * ULP level (run-to-run AND vs the oracle's sequential AVG); a
+    * near-tied pair of cells at the nprobe boundary could otherwise
+    * flip the probe set. 9 decimals is far above fp noise (~1e-16)
+    * and far below any real centroid separation.
+    */
+  private[graft] def ivfCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    .groupBy("label", "i")
+    .agg(round(avg(col("v").cast("double")), 9).as("c"))
+    .groupBy("label")
+    .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
+
+  /** The probe set exactly as [[ivfTopK]] picks it: each query's
+    * `nprobe` best cells by centroid dot product (label asc breaks
+    * exact ties) — (qid, qemb, label). Shared with AnnScale.
+    */
+  private[graft] def ivfProbe(q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(q.sparkSession)
+    val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
+    q.crossJoin(broadcast(centroids)) // cells-sized: bounded by the label dim
+      .withColumn("cscore", dot("qemb", "cemb"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= nprobe)
+      .select("qid", "qemb", "label")
+  }
+
   def ivfTopK(
       e: DataFrame,
       q: DataFrame,
@@ -66,24 +97,7 @@ object SimilarityOps {
       k: Int,
   ): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
-    // round(avg, 9): avg's partial-merge order is nondeterministic at
-    // ULP level (run-to-run AND vs the oracle's sequential AVG); a
-    // near-tied pair of cells at the nprobe boundary could otherwise
-    // flip the probe set. 9 decimals is far above fp noise (~1e-16)
-    // and far below any real centroid separation.
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy("label", "i")
-      .agg(round(avg(col("v").cast("double")), 9).as("c"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)").as("cemb"))
-    val wq = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
-    val probed = q
-      .crossJoin(broadcast(centroids))
-      .withColumn("cscore", dot("qemb", "cemb"))
-      .withColumn("crk", row_number().over(wq))
-      .filter(col("crk") <= nprobe)
-      .select("qid", "qemb", "label")
+    val probed = ivfProbe(q, ivfCentroids(e), nprobe)
     val en = e.withColumn("n", expr(norm))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     en.join(broadcast(probed), Seq("label"))

@@ -136,6 +136,10 @@ class BroadcastConventionSpec extends AnyFunSuite {
     // broadcast, entered only under the measured memory budget)
     ("Network.scala", "sparkContext.broadcast(z)"),
     ("Network.scala", "sparkContext.broadcast(probes)"),
+    // AnnScale audit main: the 20-query batch (nQueries constant) in
+    // the brute-force ground-truth pass; the centroid/probe hints live
+    // in the shared SimilarityOps helpers above
+    ("AnnScale.scala", "crossJoin(broadcast(q.withColumn("),
   )
 
   /** How many sites each entry is expected to match (default 1).

@@ -63,27 +63,51 @@ class IterativeLoopConventionSpec extends AnyFunSuite {
       decl.findAllMatchIn(l).map(m => m.group(1) -> i)
     }.toMap
     // the statement chunk starting at line i: the line plus successive
-    // continuation lines (repo style: continuations open with '.')
+    // continuation lines — repo style opens continuations with '.',
+    // and a line ENDING at '=' (RHS pushed down by a formatter)
+    // continues on the next line unconditionally
     def chunk(i: Int): String = {
       val b = new StringBuilder(code(i))
       var j = i + 1
-      while (j < code.length && code(j).trim.startsWith(".")) {
+      while (j < code.length &&
+          (code(j).trim.startsWith(".") || code(j - 1).trim.endsWith("="))) {
         b.append(' ').append(code(j)); j += 1
       }
       b.toString
     }
-    def isFrame(name: String, i: Int): Boolean =
-      planCalls.exists(chunk(i).contains) ||
-        declared.get(name).exists(d => planCalls.exists(chunk(d).contains))
-    // nearest enclosing statement above at strictly smaller indent —
-    // if it's a loop header, the reassignment is loop-carried
-    def enclosingLoop(i: Int): Option[String] = {
-      var j = i - 1
-      while (j >= 0 && (code(j).trim.isEmpty || indent(code(j)) >= indent(code(i)))) j -= 1
-      if (j >= 0 && (code(j).contains("while (") || code(j).contains("for ("))) Some(code(j).trim)
-      else None
+    // "frame" = the declaration + reassignment chunks together use ≥2
+    // DISTINCT plan-building calls: every real DataFrame loop in main
+    // chains several (join/groupBy/agg/select/...), while a Scala
+    // collection var that happens to use ONE shared-name method
+    // (e.g. `state.getOption.getOrElse(Nil).filter(...)` in a
+    // flatMapGroupsWithState fold) must not be flagged
+    def isFrame(name: String, i: Int): Boolean = {
+      val text = chunk(i) + declared.get(name).map(d => " " + chunk(d)).getOrElse("")
+      planCalls.count(text.contains) >= 2
     }
-    val reassign = raw"""^(\s*)(\w+)\s*=[^=]""".r
+    def isLoopHeader(l: String): Boolean =
+      l.contains("while (") || l.contains("for (") || l.contains("for {") ||
+        l.contains(".foreach")
+    // walk OUTWARD through enclosing blocks (if/match/try nesting must
+    // not hide a loop — the single-step version was blind to
+    // `while { if (..) { frame = ... } }`), stopping at a def/val
+    // boundary: a reassignment not under any loop header isn't
+    // loop-carried
+    def enclosingLoop(i: Int): Option[String] = {
+      var cur = indent(code(i))
+      var j = i - 1
+      while (j >= 0 && cur > 0) {
+        val l = code(j)
+        if (l.trim.nonEmpty && indent(l) < cur) {
+          if (isLoopHeader(l)) return Some(l.trim)
+          if (l.contains("def ") || l.contains("object ") || l.contains("class ")) return None
+          cur = indent(l)
+        }
+        j -= 1
+      }
+      None
+    }
+    val reassign = raw"""^(\s*)(\w+)\s*=(?!=)""".r
     val fixedSmall = raw""".*for \(\w+ <- 1 to ([1-6])\).*""".r
     code.zipWithIndex.flatMap { case (l, i) =>
       reassign.findFirstMatchIn(l).toSeq.collect {
@@ -122,6 +146,39 @@ class IterativeLoopConventionSpec extends AnyFunSuite {
     // but a LARGE fixed count is not "small": lineage still stacks
     val big = seeded.updated(2, "  for (r <- 1 to 40) {")
     assert(scan("Seeded.scala", big).map(_._2) == Seq("frame"))
+    // nesting must not hide the loop: reassignment inside an if-block
+    // within the while is still loop-carried
+    val nested = Seq(
+      "def bad(s: SparkSession): DataFrame = {",
+      "  var frame = edges.select(col(\"src\").as(\"id\")).distinct()",
+      "  while (changed > 0) {",
+      "    if (round % 2 == 0) {",
+      "      frame = frame.join(next, Seq(\"id\"))",
+      "        .groupBy(\"id\").agg(min(col(\"d\")).as(\"d\"))",
+      "    }",
+      "  }",
+      "  frame",
+      "}")
+    assert(scan("Seeded.scala", nested).map(_._2) == Seq("frame"),
+      "if-nesting hid the loop from the scanner")
+    // an RHS pushed to the next line by a formatter is still a
+    // reassignment statement
+    val pushed = Seq(
+      "def bad(s: SparkSession): DataFrame = {",
+      "  var frame = edges.select(col(\"src\").as(\"id\")).distinct()",
+      "  while (changed > 0) {",
+      "    frame =",
+      "      frame.join(next, Seq(\"id\")).groupBy(\"id\").agg(min(col(\"d\")).as(\"d\"))",
+      "  }",
+      "  frame",
+      "}")
+    assert(scan("Seeded.scala", pushed).map(_._2) == Seq("frame"),
+      "next-line RHS evaded the reassignment regex")
+    // and a reassignment NOT under any loop (straight-line rebind) is
+    // not loop-carried — the def boundary stops the outward walk
+    val straight = seeded.patch(2, Seq("  if (cond) {"), 1)
+    assert(scan("Seeded.scala", straight).isEmpty,
+      "non-loop rebind under an if was misflagged")
   }
 
   test("every loop-carried DataFrame var in main checkpoints, is bounded, or is exempted") {

@@ -40,14 +40,15 @@ python3 tools/check.py "$SF01" "$WORK/verify_multi" > "$WORK/check_multi.log" 2>
   || { echo "FAIL: check multi"; fail=1; }
 tail -1 "$WORK/check_multi.log"
 
-step "4/5 bench at sf0.1 (records effective-cores calibration in target/bench.json)"
-if SPARK_GRAFT_SF_DIR="$SF01" sbt "runMain graft.Bench" > "$WORK/bench.log" 2>&1; then
+step "4/5 bench at sf0.1 (primary = 8-file layout since r12; reuses step 3's rewrite; records calibration in target/bench.json)"
+if SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_MULTI_DIR="$WORK/sf01_multi8" sbt "runMain graft.Bench" > "$WORK/bench.log" 2>&1; then
   python3 - <<'EOF'
 import json
 d = json.load(open('target/bench.json'))
-print(f"bench total {d['value']} s raw / {d.get('value_normalized')} s "
-      f"drift-normalized (load_factor {d.get('load_factor')}) / "
-      f"{len(d['queries'])} queries; "
+print(f"bench [{d.get('layout')}] total {d['value']} s raw / {d.get('value_normalized')} s "
+      f"drift-normalized (load_factor {d.get('load_factor')}, "
+      f"cal_stable {d.get('cal_stable')}) / {len(d['queries'])} queries; "
+      f"single-file continuity total {d.get('value_singlefile')} s; "
       f"effective_cores {d.get('effective_cores')}; errors: {d.get('errors')}")
 EOF
 else
