@@ -82,10 +82,18 @@ object Bpe {
   private val mergeStrs: Array[(String, String, String)] =
     merges.map { case (l, r) => (l, r, l + r) }.toArray
 
-  /** Tokenize one word; returns the number of BPE tokens. */
+  /** Tokenize one word; returns the number of BPE tokens.
+    *
+    * Base symbols are CODEPOINTS, not UTF-16 code units: an astral
+    * character (emoji, rare CJK) must count as ONE un-merged symbol —
+    * `word.map(_.toString)` would split it into two surrogate halves
+    * and diverge from the DuckDB oracle's per-character substr walk.
+    * Identical on ASCII/BMP text, so gated results are unchanged.
+    */
   def tokenizeWordCount(word: String): Int = {
     if (word.isEmpty) return 0
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var m = 0
     while (m < mergeStrs.length && syms.length > 1) {
       val (l, r, lr) = mergeStrs(m)

@@ -23,11 +23,19 @@ import org.apache.spark.sql.types._
   * Semantics match the composition exactly: sequential fold in index
   * order, each float widened to double before multiply (bit-identical
   * results, so oracle comparisons are unaffected). Null arrays → null;
-  * null ELEMENTS are not expected (embedding columns) and evaluate as
-  * 0 contributions.
+  * MISMATCHED lengths → null, exactly like the composition (zip_with
+  * pads the shorter array with nulls → null product → null sum) — a
+  * silently truncated partial dot product would hand a ragged
+  * embedding a plausible-but-wrong cosine instead of the NULL that
+  * surfaces the data problem. Null ELEMENTS are not expected
+  * (embedding columns) and evaluate as 0 contributions.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // nullable even when both children are: a length mismatch yields
+  // NULL regardless of child nullability
+  override def nullable: Boolean = true
 
   private def elemOk(t: DataType) = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -49,8 +57,9 @@ case class FloatDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val (lf, rf) = (isFloat(left.dataType), isFloat(right.dataType))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -72,14 +81,18 @@ case class FloatDot(left: Expression, right: Expression)
       def get(v: String, t: DataType) =
         if (isFloat(t)) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |    $acc += ${get(x, left.dataType)} * ${get(y, right.dataType)};
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |      $acc += ${get(x, left.dataType)} * ${get(y, right.dataType)};
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

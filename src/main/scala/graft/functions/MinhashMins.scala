@@ -80,6 +80,12 @@ object MinhashMins {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Per-thread (stop ArrayData instance → materialized set) cache —
+    * see the note in [[compute]].
+    */
+  private val stopCache =
+    new ThreadLocal[(ArrayData, java.util.HashSet[String])]
+
   /** Compiled kernel — public static so generated code can call it. */
   def compute(text: UTF8String, stopArr: ArrayData): ArrayData = {
     // Spark split semantics: single-space regex, limit -1 (KEEP empty
@@ -88,11 +94,22 @@ object MinhashMins {
     if (toks.length < 3) return null
     var stop: java.util.HashSet[String] = null
     if (stopArr.numElements() > 0) {
-      stop = new java.util.HashSet[String](stopArr.numElements() * 2)
-      var i = 0
-      while (i < stopArr.numElements()) {
-        if (!stopArr.isNullAt(i)) stop.add(stopArr.getUTF8String(i).toString)
-        i += 1
+      // the stop array is a literal in every gated query, so the SAME
+      // ArrayData instance arrives every row — cache the materialized
+      // set per thread instead of rebuilding k strings + a HashSet per
+      // document (pure per-row overhead in the kernel whose reason to
+      // exist is speed). Reference-keyed: a non-literal input just
+      // misses and pays the old cost.
+      val cached = stopCache.get()
+      if (cached != null && (cached._1 eq stopArr)) stop = cached._2
+      else {
+        stop = new java.util.HashSet[String](stopArr.numElements() * 2)
+        var i = 0
+        while (i < stopArr.numElements()) {
+          if (!stopArr.isNullAt(i)) stop.add(stopArr.getUTF8String(i).toString)
+          i += 1
+        }
+        stopCache.set((stopArr, stop))
       }
     }
     val md = digest.get()

@@ -41,8 +41,17 @@ object MultimodalOps {
     * with a real codec (javax.imageio / ffmpeg bindings) to productionize;
     * the signature and the surrounding plumbing stay unchanged.
     */
+  /** One MD5 engine per thread (digest() resets it after each use):
+    * the stub/chunk/frame paths hash per ROW or finer, and a JCA
+    * provider lookup per call is exactly the per-row init cost the
+    * surrounding mapPartitions comments promise to avoid (same pattern
+    * as functions/MinhashMins).
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def decodeStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val md = md5Local.get().digest(payload)
     val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
     val hist = new Array[Double](4)
     payload.foreach(b => hist((b & 0xff) / 64) += 1.0)
@@ -283,8 +292,12 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder init happens HERE (codec handles, model
-        // weights, ...) — once per task, not once per row
-        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+        // weights, ...) — once per task, not once per row.
+        // NULL payload drops its row (the real-decoder contract) —
+        // digesting a null array would NPE the task 4× and abort the job
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null) None else Some(decodeStub(id, bytes))
+        }
       }
       .toDF()
   }
@@ -300,8 +313,9 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          bytes.grouped(chunkBytes).zipWithIndex.map { case (chunk, idx) =>
-            val md = java.security.MessageDigest.getInstance("MD5").digest(chunk)
+          if (bytes == null) Iterator.empty // null blob drops its row, never the task
+          else bytes.grouped(chunkBytes).zipWithIndex.map { case (chunk, idx) =>
+            val md = md5Local.get().digest(chunk)
             (id, idx.toLong, chunk.length.toLong, md.map("%02x".format(_)).mkString)
           }
         }
@@ -326,12 +340,15 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-          Iterator.range(0, nFrames, stride).map { i =>
-            val frame = java.util.Arrays.copyOfRange(
-              bytes, i * frameBytes, math.min((i + 1) * frameBytes, bytes.length))
-            val md = java.security.MessageDigest.getInstance("MD5").digest(frame)
-            (id, i.toLong, frame.length.toLong, md.map("%02x".format(_)).mkString)
+          if (bytes == null) Iterator.empty // null blob drops its row, never the task
+          else {
+            val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+            Iterator.range(0, nFrames, stride).map { i =>
+              val frame = java.util.Arrays.copyOfRange(
+                bytes, i * frameBytes, math.min((i + 1) * frameBytes, bytes.length))
+              val md = md5Local.get().digest(frame)
+              (id, i.toLong, frame.length.toLong, md.map("%02x".format(_)).mkString)
+            }
           }
         }
       }
@@ -893,18 +910,24 @@ object MultimodalOps {
     */
   def sampleVideoFrames(
       docId: Long, payload: Array[Byte], stride: Int): Iterator[VideoFrame] = {
+    // builder OUTSIDE the try: an unexpected throw mid-walk must still
+    // return the frames already decoded — "no rows for the BAD part",
+    // not "a bad frame erases the good ones"
+    val out = Seq.newBuilder[VideoFrame]
     try {
       if (payload == null || payload.length < 8) return Iterator.empty
       def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
         ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
       if (new String(payload, 0, 4, "US-ASCII") != "GVID") return Iterator.empty
       val n = le32(4)
-      val out = Seq.newBuilder[VideoFrame]
       var off = 8
       var f = 0
       while (f < n && off + 4 <= payload.length) {
         val len = le32(off); off += 4
-        if (len < 0 || off + len > payload.length) return out.result().iterator
+        // overflow-safe form: `off + len > payload.length` wraps
+        // negative for a crafted len near Int.MaxValue and would let
+        // the walk run off the container
+        if (len < 0 || len > payload.length - off) return out.result().iterator
         if (f % stride == 0) {
           val img =
             try javax.imageio.ImageIO.read(
@@ -933,7 +956,7 @@ object MultimodalOps {
         f += 1
       }
       out.result().iterator
-    } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+    } catch { case scala.util.control.NonFatal(_) => out.result().iterator }
   }
 
   /** One decoded audio clip: header facts + scan features. */
@@ -962,6 +985,16 @@ object MultimodalOps {
       data(2 * i + 1) = ((sv >> 8) & 0xff).toByte
       i += 1
     }
+    pcm16Wav(data)
+  }
+
+  /** The ONE place the synthetic RIFF/WAVE container format lives:
+    * PCM16 mono 8 kHz header + the given sample bytes. Both synthetic
+    * generators (square wave and ramp) wrap through here — two verbatim
+    * copies of the header block would let a future header fix apply to
+    * one and silently diverge the other.
+    */
+  private def pcm16Wav(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
@@ -999,6 +1032,11 @@ object MultimodalOps {
       var dataOff = -1; var dataLen = -1
       while (off + 8 <= payload.length) {
         val id = tag(off); val sz = le32(off + 4)
+        // a negative chunk size (crafted/corrupt LE32) would make the
+        // offset increment zero (sz = -8/-9) or walk backwards —
+        // 8 + (-8) + 0 spins this loop FOREVER and no catch can save
+        // a hang; reject instead (drop the row, never the task)
+        if (sz < 0) return None
         if (id == "fmt " && off + 24 <= payload.length) {
           ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
         } else if (id == "data") { dataOff = off + 8; dataLen = sz }
@@ -1060,19 +1098,7 @@ object MultimodalOps {
       data(2 * i + 1) = ((sv >> 8) & 0xff).toByte
       i += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    def le32(v: Int): Unit = {
-      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
-      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
-    }
-    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
-    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
-    bos.write("WAVE".getBytes("US-ASCII"))
-    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
-    le16(1); le16(1); le32(8000); le32(8000 * 2); le16(2); le16(16)
-    bos.write("data".getBytes("US-ASCII")); le32(data.length)
-    bos.write(data, 0, data.length)
-    bos.toByteArray
+    pcm16Wav(data)
   }
 
   /** Decode + fixed-width framing: peak and RMS per `frame`-sample

@@ -66,6 +66,16 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.countTokens("") == 0)
   }
 
+  test("astral (non-BMP) characters count as ONE base symbol, not two surrogate halves") {
+    // old formulation split on UTF-16 code units: U+1F600 counted as 2
+    // symbols, diverging from any codepoint-walking oracle. Masked by
+    // the ASCII fixture — pinned here so it stays closed.
+    assert(Bpe.tokenizeWordCount("😀") == 1, "single emoji must be 1 token")
+    assert(Bpe.tokenizeWordCount("a😀b") == 3, "a+emoji+b = 3 un-merged symbols")
+    // ASCII behavior unchanged (the merge table still fires)
+    assert(Bpe.tokenizeWordCount("the") == 1)
+  }
+
   test("bpe_token_count expression runs codegen'd and matches the kernel") {
     val s = spark; import s.implicits._
     GraftFunctions.ensureRegistered(s)

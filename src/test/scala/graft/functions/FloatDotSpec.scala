@@ -27,6 +27,32 @@ class FloatDotSpec extends SparkSpec {
     }
   }
 
+  test("float_dot: MISMATCHED lengths → null, matching the composition (was: silent truncation)") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    // old formulation returned 3.0 (partial dot over min(n, m)) — a
+    // plausible-but-wrong cosine for a ragged embedding; the
+    // composition yields NULL (zip_with pads with nulls), and the
+    // native expression must agree on BOTH engine paths
+    val both = df.select(
+      expr("float_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "0D, (acc, v) -> acc + v)").as("composed"))
+    val r = both.head()
+    assert(r.isNullAt(0), s"native returned ${r.get(0)} on ragged input")
+    assert(r.isNullAt(1), "composition contract changed?")
+    // interpreted path too (codegen fallback must not diverge)
+    val fd = FloatDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f, 3.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 1.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(fd.eval(null) == null && fd.nullable)
+  }
+
   test("float_dot: null array → null; registered via extensions class too") {
     val s = spark; import s.implicits._
     GraftFunctions.ensureRegistered(s)
