@@ -98,16 +98,36 @@ final case class AsOfJoinExec(
     val lti = left.output.indexWhere(_.exprId == leftTs.exprId)
     val rki = right.output.indexWhere(_.exprId == rightKey.exprId)
     val rti = right.output.indexWhere(_.exprId == rightTs.exprId)
+    // CROSS-SIDE type parity: the getters extract raw longs, so a
+    // DateType left ts (days) against a TimestampType right ts (µs)
+    // would compare incompatible units and return silently wrong rows
+    // (every right ts "after" every left ts). Exact-type equality —
+    // not just both-supported — is the contract.
+    require(left.output(lki).dataType == right.output(rki).dataType,
+      s"asof: key types differ — left ${left.output(lki).dataType} vs " +
+        s"right ${right.output(rki).dataType}: raw-long comparison would be meaningless")
+    require(left.output(lti).dataType == right.output(rti).dataType,
+      s"asof: ts types differ — left ${left.output(lti).dataType} vs " +
+        s"right ${right.output(rti).dataType}: units would not match")
     val lKeyGet = longGetter(left.output(lki).dataType)
     val lTsGet = longGetter(left.output(lti).dataType)
     val rKeyGet = longGetter(right.output(rki).dataType)
     val rTsGet = longGetter(right.output(rti).dataType)
     val rightWidth = right.output.size
 
+    val allAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
         private val joined = new JoinedRow
+        // SparkPlan.execute()'s contract is UnsafeRow output — a bare
+        // JoinedRow crashes getByteArrayRdd (ClassCastException) when
+        // this exec is the ROOT of a collect, which the gated queries
+        // never were (they always project on top). Same resultProj
+        // pattern as SortMergeJoinExec.
+        private val resultProj =
+          org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(allAttrs, allAttrs)
         // rHead: the next not-yet-consumed right row (copied — sorter
         // iterators reuse row objects); curMatch: the best right row
         // for the current key so far (copied for the same reason)
@@ -115,38 +135,43 @@ final case class AsOfJoinExec(
         private var curMatch: InternalRow = null
         private var curMatchKey = 0L
 
-        private def nextRight(): Unit = {
-          rHead = null
-          while (rHead == null && rIt.hasNext) {
-            val r = rIt.next()
-            // null right key/ts can never satisfy the asof predicate
-            if (!r.isNullAt(rki) && !r.isNullAt(rti)) rHead = r.copy()
-          }
-        }
-
         override def hasNext: Boolean = lIt.hasNext
 
         override def next(): InternalRow = {
           val l = lIt.next()
-          if (l.isNullAt(lki) || l.isNullAt(lti)) return joined(l, nullRight)
+          if (l.isNullAt(lki) || l.isNullAt(lti)) return resultProj(joined(l, nullRight))
           val lk = lKeyGet(l, lki)
           val lt = lTsGet(l, lti)
-          // advance the right side to the last row with
-          // (r.key < lk) — discarded — or (r.key == lk && r.ts <= lt)
+          // advance the right side: rows with r.key < lk (or null
+          // key/ts) are discarded, rows with (r.key == lk && r.ts <= lt)
+          // become the running match, the first row BEYOND stops the
+          // walk and is buffered. copy() happens ONLY for rows that
+          // survive as curMatch/rHead — the sorter reuses row objects,
+          // but a discarded row is examined in place and never
+          // allocated (a copy-on-ingest walk paid O(|R|) garbage for
+          // right keys absent from the left partition's range).
           var advancing = true
           while (advancing) {
-            if (rHead == null && rIt.hasNext) nextRight()
-            if (rHead == null) advancing = false
-            else {
+            if (rHead != null) {
               val rk = rKeyGet(rHead, rki)
-              if (rk < lk) { rHead = null } // skip: key already passed
+              if (rk < lk) rHead = null // buffered row's key passed
               else if (rk == lk && rTsGet(rHead, rti) <= lt) {
                 curMatch = rHead; curMatchKey = rk; rHead = null
               } else advancing = false
-            }
+            } else if (rIt.hasNext) {
+              val r = rIt.next() // REUSED object: examine before copying
+              // null right key/ts can never satisfy the asof predicate
+              if (!r.isNullAt(rki) && !r.isNullAt(rti)) {
+                val rk = rKeyGet(r, rki)
+                if (rk < lk) () // skip: key already passed, no copy
+                else if (rk == lk && rTsGet(r, rti) <= lt) {
+                  curMatch = r.copy(); curMatchKey = rk
+                } else { rHead = r.copy(); advancing = false }
+              }
+            } else advancing = false
           }
-          if (curMatch != null && curMatchKey == lk) joined(l, curMatch)
-          else joined(l, nullRight)
+          if (curMatch != null && curMatchKey == lk) resultProj(joined(l, curMatch))
+          else resultProj(joined(l, nullRight))
         }
       }
     }
@@ -160,7 +185,10 @@ final case class AsOfJoinExec(
 /** DataFrame-level API + strategy registration. */
 object AsOfJoin {
 
-  def ensureInjected(spark: SparkSession): Unit = {
+  // synchronized: spark.experimental carries no locking of its own, so
+  // an unguarded check-then-append from two threads (the bench drives
+  // queries concurrently) could lose one of the writes
+  def ensureInjected(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -169,7 +197,12 @@ object AsOfJoin {
 
   /** `left ASOF LEFT JOIN right ON l.key = r.key AND l.ts >= r.ts`,
     * appending ALL right columns (nullable). Rename right columns
-    * beforehand to avoid duplicate names in the result.
+    * beforehand to avoid duplicate names in the result. A SELF-join
+    * (both sides sharing plan attributes) is rejected loudly: unlike
+    * Join, this node has no DeduplicateRelations support, so shared
+    * exprIds would mis-bind ordinals or crash at planning — alias the
+    * right side's columns (`right.select(cols.map(c => col(c)
+    * .as(c + "_r")): _*)`) to give it fresh attribute ids.
     */
   def asof(
       left: DataFrame, right: DataFrame,
@@ -178,6 +211,10 @@ object AsOfJoin {
     val spark = left.sparkSession
     ensureInjected(spark)
     val (la, ra) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
+    val shared = la.outputSet.intersect(ra.outputSet)
+    require(shared.isEmpty,
+      s"asof: left and right share attributes ${shared.toSeq.map(_.name).mkString(", ")} " +
+        "(self-join?) — alias the right side's columns to fresh ids first")
     def res(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"asof: column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))

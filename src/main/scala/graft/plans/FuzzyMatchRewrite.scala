@@ -51,11 +51,20 @@ object FuzzyMatchRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewritten(lev: Levenshtein, k: Int): Expression = {
-    val guard = LessThanOrEqual(
-      Abs(Subtract(Length(lev.left), Length(lev.right))), Literal(k))
     val banded = GreaterThanOrEqual(
       Levenshtein(lev.left, lev.right, Some(Literal(k))), Literal(0))
-    And(guard, banded)
+    // The length guard DUPLICATES each operand (once in Length, once in
+    // the DP) — legal only for deterministic operands, exactly the gate
+    // Catalyst's own duplication rewrites apply: a nondeterministic
+    // operand (uuid(), rand()-derived) would be evaluated twice and the
+    // guard would test a DIFFERENT string than the DP measures. For
+    // those, keep the banded DP alone — single evaluation, still the
+    // O(k·min(m,n)) win; only the O(1) short-circuit is forgone.
+    if (lev.left.deterministic && lev.right.deterministic) {
+      val guard = LessThanOrEqual(
+        Abs(Subtract(Length(lev.left), Length(lev.right))), Literal(k))
+      And(guard, banded)
+    } else banded
   }
 
   private def rewriteCond(cond: Expression): Expression = cond.transformUp {
@@ -76,9 +85,13 @@ object FuzzyMatchRewrite extends Rule[LogicalPlan] {
   * spark-submit route is `GraftExtensions`).
   */
 object GraftRules {
-  def ensureInjected(spark: SparkSession): Unit =
+  // synchronized: spark.experimental has no locking, so an unguarded
+  // check-then-append from concurrent first uses could lose a write
+  // (same guard as AsOfJoin.ensureInjected)
+  def ensureInjected(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(FuzzyMatchRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuzzyMatchRewrite
     }
+  }
 }

@@ -76,6 +76,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.size == 400) // left join: every left row exactly once
   }
 
+  test("cross-side ts type mismatch is rejected loudly (was: silent wrong-unit compare)") {
+    val s = spark; import s.implicits._
+    // left ts = DateType (days since epoch), right ts = TimestampType
+    // (microseconds): the old raw-long walk compared 20000 days against
+    // 1.7e15 µs and returned all-null right sides with no error
+    val left = Seq((1L, "2024-01-02", 10L)).toDF("k", "ts", "lv")
+      .withColumn("ts", to_date(col("ts")))
+    val right = mkDf(Seq((1L, 50L, 20L)), ("rk", "rts", "rv"))
+    val e = intercept[Exception] {
+      AsOfJoin.asof(left, right, "k", "rk", "ts", "rts").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("ts types differ"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("self-join with shared attributes is rejected loudly (no DeduplicateRelations support)") {
+    val left = mkDf(Seq((1L, 100L, 10L)), ("k", "ts", "v"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, left, "k", "k", "ts", "ts")
+    }
+    assert(e.getMessage.contains("alias the right side"), e.getMessage)
+    // and the documented fix works: fresh ids via per-column aliases
+    val renamed = left.select(
+      col("k").as("k2"), col("ts").as("ts2"), col("v").as("v2"))
+    val ok = AsOfJoin.asof(left, renamed, "k", "k2", "ts", "ts2").collect()
+    assert(ok.length == 1 && !ok(0).isNullAt(3), "aliased self-join must match itself")
+  }
+
   test("null left keys emit null-right rows; null right keys are discarded") {
     val s = spark; import s.implicits._
     val left = Seq((Some(1L), 100L, 1L), (None, 200L, 2L))

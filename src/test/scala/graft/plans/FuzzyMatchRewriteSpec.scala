@@ -20,8 +20,31 @@ class FuzzyMatchRewriteSpec extends SparkSpec {
     assert(levs.exists(_.threshold.isDefined),
       s"no thresholded levenshtein in:\n$optimized")
     val s = optimized.toString
-    assert(s.contains("abs((length(") || s.contains("abs((length("),
-      s"no length guard in:\n$s")
+    // (a past copy-paste had this condition OR'd with itself — one
+    // spelling is the real gate)
+    assert(s.contains("abs((length("), s"no length guard in:\n$s")
+  }
+
+  test("nondeterministic operands get the banded DP but NOT the duplicating length guard") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    GraftRules.ensureInjected(s)
+    // uuid() is nondeterministic: the old rewrite duplicated it into
+    // Length (guard) and the DP — two independent evaluations of a
+    // different string, so the guard could pass/fail rows the DP
+    // disagrees with. The banded threshold alone evaluates each operand
+    // once and is always sound. Parquet-backed frame: a LocalRelation
+    // would be constant-folded before the Filter survives to assert on.
+    val df = graft.Tables(s, dir, "documents")
+      .filter(expr("levenshtein(concat(lang, substr(uuid(), 0, 0)), source) <= 2"))
+    val optimized = df.queryExecution.optimizedPlan
+    val levs = optimized.expressions
+      .flatMap(_.collect { case l: org.apache.spark.sql.catalyst.expressions.Levenshtein => l })
+    assert(levs.exists(_.threshold.isDefined),
+      s"banded DP must still fire:\n$optimized")
+    assert(!optimized.toString.contains("abs((length("),
+      s"duplicating guard on a nondeterministic operand:\n$optimized")
+    // deterministic operands keep the guard (the q92 plan gate above)
   }
 
   test("rewrite preserves the result set exactly") {
