@@ -35,18 +35,13 @@ object BenchScan {
       f.delete(): Unit
     }
     try {
-      // rewrite every table into nFiles parquet part-files (round-robin
-      // repartition — even sizes, no skew from the source layout)
-      val tables = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      tables.foreach { t =>
-        val src = s"$sfDir/$t.parquet"
-        if (new java.io.File(src).exists()) {
-          spark.read.parquet(src)
-            .repartition(nFiles)
-            .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
-        }
-      }
+      // ONE rewrite implementation (RewriteMulti): a private copy here
+      // once drifted — it hard-coded its own table list (a new fixture
+      // table would be silently omitted) and read events RAW, so on
+      // nanos-typed fixtures its multi-file layout carried a different
+      // on-disk ts schema than RewriteMulti's and the two "same"
+      // layouts benched different decoders
+      RewriteMulti.rewrite(spark, sfDir, multiDir, nFiles)
 
       val specs = SparkEntry.specs.filter(q => headline.contains(q.name))
       def run(q: QuerySpec, dir: String): Double = {

@@ -23,9 +23,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
-      // read as long and normalize in Tables.events (DuckDB truncates to
-      // micros the same way).
+      // OLDER driver fixture generations carried TIMESTAMP(NANOS) —
+      // Spark has no nanos type, so read as long and normalize in
+      // Tables.events (DuckDB truncates to micros the same way). The
+      // CURRENT generations are TIMESTAMP(MICROS), where this flag is
+      // inert and inferTimestampNTZ below is the load-bearing one; both
+      // stay set because the driver may regenerate fixtures either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Fixture timestamps are timezone-less micros; Spark 4 would infer
       // TIMESTAMP_NTZ, which breaks epoch casts and streaming watermarks.
@@ -37,10 +40,26 @@ object GraftSession {
     spark
   }
 
-  /** Cores from the driver's SPARK_GRAFT_CPUS env, default 32. */
+  /** Cores from the driver's SPARK_GRAFT_CPUS env, default 32.
+    * Validated with the env var NAMED in the error: a bare toInt on
+    * '' / '32 ' / '-1' would fail every harness main with an opaque
+    * NumberFormatException or an invalid local[-1] master.
+    */
   def fromEnv(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = raw.trim.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"SPARK_GRAFT_CPUS is not an integer: '$raw'"))
+    require(cpus > 0, s"SPARK_GRAFT_CPUS must be positive, got $cpus")
     local(cpus, cpus)
+  }
+
+  /** True iff the id resolves to a fixed zero UTC offset (UTC, Etc/UTC,
+    * GMT, +00:00, Z) — the engine-wide timestamp convention. Shared by
+    * the batch-surface guard (SparkEntry) and the streaming twins.
+    */
+  def isUtcEquivalent(tz: String): Boolean = {
+    val rules = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+    rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC
   }
 
   /** JSON string escape shared by the harness mains: backslash, quote,

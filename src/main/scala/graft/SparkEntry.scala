@@ -39,9 +39,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q05_join_multiway")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each fn is wrapped with a UTC-equivalence guard on the CALLER's
+    * session: GraftSession pins UTC for every session built here, but
+    * the driver contract passes sessions built elsewhere, and a
+    * non-UTC session would make every temporal operator bucket in the
+    * host zone — loud for oracle-gated queries (hash mismatch) but
+    * SILENT for the rows-only ones. Streaming twins carry the same
+    * guard (Streams.scala); one conf read per query call is noise.
+    */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    specs.map(s => s.name -> s.fn).toMap
+    specs.map { s =>
+      s.name -> { (spark: SparkSession, dir: String) =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(GraftSession.isUtcEquivalent(tz),
+          s"graft queries require a UTC-equivalent spark.sql.session.timeZone (got $tz): " +
+            "temporal semantics are pinned to the UTC oracle convention")
+        s.fn(spark, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -14,13 +14,21 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS). Spark reads it as a nanos
-    * long (spark.sql.legacy.parquet.nanosAsLong); normalize to a
-    * microsecond TimestampType column exactly as DuckDB truncates
-    * nanos→micros, so oracle comparisons line up.
+  /** `events.ts` normalization across fixture generations: OLDER
+    * driver fixtures carried parquet TIMESTAMP(NANOS) — read as a
+    * nanos long (spark.sql.legacy.parquet.nanosAsLong) and truncated
+    * to microseconds exactly as DuckDB does; CURRENT fixtures carry
+    * TIMESTAMP(MICROS), which takes the pass-through branch. Both
+    * reader flags are set DEFENSIVELY here because this method is the
+    * events entry point for driver-built sessions that didn't come
+    * through GraftSession: on Spark 4 the micros fixtures would
+    * otherwise infer TIMESTAMP_NTZ (inferTimestampNTZ defaults true),
+    * breaking epoch casts and streaming watermarks — that flag, not
+    * nanosAsLong, is the load-bearing one for the current files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = apply(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       // integer division — `/` on longs is double division and loses

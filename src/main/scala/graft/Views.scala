@@ -15,12 +15,26 @@ object Views {
     functions.GraftFunctions.ensureRegistered(spark)
     functions.PearsonAgg.register(spark)
     functions.SimhashAggs.register(spark)
+    // the SQL surface gets the optimizer rules too — without this, an
+    // ad-hoc `levenshtein(a, b) <= k` over the views would run the
+    // full O(m·n) DP that FuzzyMatchRewrite exists to prevent,
+    // silently diverging from the GraftExtensions spark-submit route
+    plans.GraftRules.ensureInjected(spark)
+    // existence via the path's OWN filesystem: java.io.File.exists is
+    // false for every hdfs://a/s3a:// path, which would "successfully"
+    // register zero views and surface as TABLE_OR_VIEW_NOT_FOUND far
+    // from the cause
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var registered = 0
     tables.foreach { t =>
-      val path = s"$dir/$t.parquet"
-      if (new java.io.File(path).exists()) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      if (path.getFileSystem(hconf).exists(path)) {
         val df = if (t == "events") Tables.events(spark, dir) else Tables(spark, dir, t)
         df.createOrReplaceTempView(t)
+        registered += 1
       }
     }
+    require(registered > 0,
+      s"Views.register: no fixture tables found under '$dir' — wrong dir or filesystem?")
   }
 }

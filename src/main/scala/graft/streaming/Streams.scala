@@ -366,12 +366,10 @@ object Streams {
     // GMT, +00:00, Z all resolve to a fixed zero offset and produce
     // identical day keys/timeouts, so refusing them would reject
     // sessions that are in fact UTC (ADVICE r11). Anything with DST
-    // rules or a nonzero offset still fails loudly.
+    // rules or a nonzero offset still fails loudly. (Shared helper —
+    // the batch surface applies the same guard in SparkEntry.)
     val tzId = events.sparkSession.conf.get("spark.sql.session.timeZone")
-    val tzRules = java.time.ZoneId.of(tzId, java.time.ZoneId.SHORT_IDS).getRules
-    require(
-      tzRules.isFixedOffset &&
-        tzRules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
+    require(graft.GraftSession.isUtcEquivalent(tzId),
       s"twapStream requires a UTC-equivalent spark.sql.session.timeZone (got $tzId): " +
         "the day key and the day-end timeout must use the same clock")
     import events.sparkSession.implicits._

@@ -11,18 +11,10 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Match GraftSession: fixture timestamps read as TIMESTAMP, not NTZ.
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // Built THROUGH GraftSession (small core/partition counts for test
+  // speed) — a hand-copied conf here drifted once already (adaptive
+  // was pinned in GraftSession but absent in the copy), and every
+  // future semantic conf added there must apply to specs too, or the
+  // suite green-lights behavior production sessions don't have.
+  lazy val session: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
 }
