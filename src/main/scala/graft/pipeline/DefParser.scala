@@ -20,9 +20,15 @@ package graft.pipeline
   *                              sample NAME (last file per (NAME,T) wins,
   *                              reference quirk Q4 — kept, documented)
   *
-  * Deviations from the reference (SURVEY §8 quirk Q5): unknown `def`
-  * subcommands raise a loud error instead of a MatchError / silent skip,
-  * and samples registered both `sample` and `predictive` are rejected.
+  * Deviations from the reference (SURVEY §8 quirk Q5) — all three turn
+  * silent data loss into loud errors:
+  *   1. unknown `def` subcommands raise instead of MatchError/skip;
+  *   2. samples registered both `sample` and `predictive` are rejected;
+  *   3. file attachments for UNDECLARED sample-types are rejected
+  *      (the reference silently ignores them, `Input.scala:90` — but a
+  *      typo'd keyword row like `diagnose NAME TN` parses as a file
+  *      attachment of type "diagnose" there and the diagnosis quietly
+  *      vanishes; here it aborts with the offending types named).
   */
 object DefParser {
 
@@ -45,7 +51,10 @@ object DefParser {
   }
 
   def parseFile(path: String): PipelineConfig = {
-    val src = scala.io.Source.fromFile(path)
+    // explicit UTF-8: the reference's Flink CSV reader decodes UTF-8;
+    // the platform-default charset would mis-decode non-ASCII sample
+    // names on a POSIX-locale JVM and silently garble the role joins
+    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
     try parse(src.getLines().toSeq)
     finally src.close()
   }

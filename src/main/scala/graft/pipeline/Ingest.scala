@@ -69,14 +69,24 @@ object Ingest {
     }
     spark.read
       .option("sep", "\t")
-      .option("header", "true") // drops each file's header line
+      // header=FALSE is the faithful leniency (reference Input.scala
+      // lenient=true drops rows only when the VALUE column fails the
+      // Double parse): a header line like "miRNA_ID\tread_count" fails
+      // the cast below and is dropped identically — but header=true
+      // would eat the first DATA row of a headerless export, turning
+      // an observed cell into a missing one for ALS to fabricate
+      .option("header", "false")
       .schema(StructType(Seq( // S2: only cols 0-1 reach the plan
         StructField("probe_name", StringType),
         StructField("raw_value", StringType),
       )))
       .csv(paths: _*)
       .withColumn("sample_name", lookup(input_file_name()))
-      .withColumn("value", col("raw_value").cast(DoubleType))
+      // try_cast, not cast: under Spark 4's ANSI default a plain cast
+      // THROWS on any non-numeric value (including the header line that
+      // now flows through as data) — the reference's lenient parse
+      // DROPS such rows, which is exactly try_cast-to-NULL + the filter
+      .withColumn("value", expr("try_cast(raw_value AS DOUBLE)"))
       .filter(col("value").isNotNull && col("probe_name").isNotNull) // lenient
       .select("sample_name", "probe_name", "value")
   }

@@ -218,30 +218,37 @@ object Network {
       (materialized.select("probe", "component"),
         materialized.filter(col("improved")).count())
     }
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val (next, c) = round(labels)
-      labels = next
-      changed = c
-      iter += 1
-    }
-    // loud non-convergence: a component with diameter > maxIter would
-    // otherwise return silently wrong labels (the GraphX path runs
-    // uncapped to convergence, so only this loop needs the guard).
-    // If the LAST permitted round still improved, the labels may
-    // nevertheless be final (the improvement could have been the
-    // convergence step) — one extra probe round distinguishes
-    // converged-at-the-wire from genuinely truncated.
-    if (changed > 0) {
-      val (_, residual) = round(labels)
-      require(
-        residual == 0,
-        s"connectedComponentsDF did not converge in $maxIter iterations " +
-          s"($residual labels still improving) — raise maxIter")
-    }
-    sym.unpersist()
-    labels
+    // try/finally: the non-convergence require below (or any failure
+    // mid-round) must not leak the persisted MEMORY_AND_DISK edge set
+    // for the session's lifetime — a retry loop probing maxIter would
+    // otherwise accumulate cached copies until executors evict. The
+    // labels rows are localCheckpointed, so unpersisting sym before
+    // returning them is safe.
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val (next, c) = round(labels)
+        labels = next
+        changed = c
+        iter += 1
+      }
+      // loud non-convergence: a component with diameter > maxIter would
+      // otherwise return silently wrong labels (the GraphX path runs
+      // uncapped to convergence, so only this loop needs the guard).
+      // If the LAST permitted round still improved, the labels may
+      // nevertheless be final (the improvement could have been the
+      // convergence step) — one extra probe round distinguishes
+      // converged-at-the-wire from genuinely truncated.
+      if (changed > 0) {
+        val (_, residual) = round(labels)
+        require(
+          residual == 0,
+          s"connectedComponentsDF did not converge in $maxIter iterations " +
+            s"($residual labels still improving) — raise maxIter")
+      }
+      labels
+    } finally sym.unpersist(): Unit
   }
 
   /** One representative probe per component (A6, deterministic `min`),
@@ -253,7 +260,12 @@ object Network {
       matrix: DataFrame,
       components: DataFrame,
   ): DataFrame = {
-    val reps = components.groupBy("component").agg(min(col("probe")).as("probe"))
+    // invariant of BOTH CC implementations (GraphX labels with the min
+    // vertex id; the DF loop converges to the min probe): component ==
+    // min(probe in component), so the rep set IS the distinct component
+    // ids — no groupBy-min aggregation needed (NetworkSpec pins the two
+    // implementations equal, which pins this invariant)
+    val reps = components.select(col("component").as("probe")).distinct()
     val inGraph = components.select("probe")
     // no broadcast hint: survivors ≈ all probes minus merged duplicates
     // — near nProbes rows, which must NOT be forced onto the driver at

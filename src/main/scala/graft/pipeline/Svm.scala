@@ -25,10 +25,17 @@ object Svm {
 
   /** Per-sample dense feature vectors from the completed COO matrix:
     * values sorted by probe id (A7's `sortBy`), asserted equal-length
-    * (matrix completeness — the reference silently relies on it).
+    * (matrix completeness — the reference silently relies on it; a
+    * DUPLICATE (sample, probe) observation upstream also trips this
+    * guard, by design: fabricating or arbitrarily picking one of two
+    * conflicting observations would be silent data loss).
     */
   def assembleFeatures(matrix: DataFrame): DataFrame = {
     val toVec = udf { (vs: Seq[Double]) => Vectors.dense(vs.toArray) }
+    // localCheckpoint: the completeness count below is a full action
+    // over this aggregation — the heaviest post-network stage — and the
+    // caller's materialization would otherwise run it a SECOND time
+    // (the frame is samples-sized, so materializing it is cheap)
     val assembled = matrix
       .groupBy("sample")
       .agg(
@@ -40,10 +47,13 @@ object Svm {
         // silently garbled features (quirk Q2's positional bug again)
         expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(probe, value))), x -> x.probe)))")
           .as("probe_sig"))
+      .localCheckpoint()
     val sigs = assembled.select("probe_sig").distinct().count()
     require(
       sigs == 1,
-      s"samples cover $sigs distinct probe sets — matrix incomplete, feature positions would misalign")
+      s"samples cover $sigs distinct probe sets — matrix incomplete (or a " +
+        "duplicate (sample, probe) observation survived ingest); feature " +
+        "positions would misalign")
     assembled.select(col("sample"), toVec(col("values")).as("features"))
   }
 

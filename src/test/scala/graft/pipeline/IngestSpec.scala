@@ -59,6 +59,26 @@ class IngestSpec extends SparkSpec {
         r.probeDict.orderBy("probe").collect().toSeq)
   }
 
+  test("a HEADERLESS expression file keeps its first data row (faithful leniency)") {
+    // the reference drops rows only when the VALUE fails the Double
+    // parse (lenient=true); a Spark header=true read ate the first
+    // DATA row of a headerless export — an observed cell silently
+    // became a missing one for ALS to fabricate (red against the old
+    // formulation). A headered file must read identically either way.
+    val dir = Files.createTempDirectory("graft_headerless")
+    Files.writeString(dir.resolve("nohdr.txt"),
+      "p000\t1.5\np001\t2.5\n")
+    Files.writeString(dir.resolve("hdr.txt"),
+      "probe_id\traw_count\np000\t1.5\np001\t2.5\n")
+    def rows(f: String) = Ingest
+      .readType(spark, dir.toString, Map(f -> "S1"))
+      .orderBy("probe_name")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val want = Seq(("p000", 1.5), ("p001", 2.5))
+    assert(rows("nohdr.txt") == want, "headerless file lost a data row")
+    assert(rows("hdr.txt") == want, "header line not dropped leniently")
+  }
+
   test("typed Dataset[MatrixEntry] view supports typed transforms") {
     val s = spark; import s.implicits._
     val df = Seq((0, 1, 2.5), (1, 0, 3.5)).toDF("sample", "probe", "value")
