@@ -92,7 +92,30 @@ object Bench {
     // part files under the first one's timed scan (the q205 race class
     // the Relational scratch discipline exists for).
     val (multiDir, ownsMultiDir) = sys.env.get("SPARK_GRAFT_MULTI_DIR") match {
-      case Some(d) if new java.io.File(d).isDirectory => (d, false)
+      case Some(d) if new java.io.File(d).isDirectory =>
+        // a caller-supplied rewrite is TRUSTED data: a stale env var or
+        // a rewrite of a different dataset would silently bench the
+        // wrong rows while the JSON still labels the run with sfDir
+        // (ADVICE r12). Cheap consistency gate: identical table set,
+        // and an exact row-count match on one small table.
+        Views.tables.foreach { t =>
+          val (src, dst) =
+            (new java.io.File(s"$sfDir/$t.parquet").exists(),
+              new java.io.File(s"$d/$t.parquet").exists())
+          require(src == dst,
+            s"SPARK_GRAFT_MULTI_DIR=$d is not a rewrite of $sfDir: " +
+              s"table $t present in ${if (src) "source only" else "rewrite only"}")
+        }
+        val probe = Views.tables.find(t =>
+          t != "events" && new java.io.File(s"$sfDir/$t.parquet").exists())
+        probe.foreach { t =>
+          val (nSrc, nDst) =
+            (Tables(spark, sfDir, t).count(), Tables(spark, d, t).count())
+          require(nSrc == nDst,
+            s"SPARK_GRAFT_MULTI_DIR=$d row count mismatch on $t: " +
+              s"source $nSrc vs rewrite $nDst — stale or foreign rewrite")
+        }
+        (d, false)
       case _ =>
         val d = s"/tmp/graft_bench_multi8/pid${ProcessHandle.current().pid()}_" +
           operators.Relational.datasetKey(sfDir)
@@ -129,17 +152,15 @@ object Bench {
         name -> (if (ts.isEmpty) 0.0 else ts.min)
       }
     }
+    // try/finally around the timed passes AND output emission: any
+    // uncaught throw in calibration or the JSON/artifact writes must
+    // still remove the pid-scoped rewrite, or each failed run leaks a
+    // fixture-sized /tmp directory (ADVICE r12)
+    try {
     val calPre = effectiveCores(nominal)
     val results = minOf2(multiDir, "multi8")
     val resultsSingle = minOf2(sfDir, "single")
     val calPost = effectiveCores(nominal)
-    if (ownsMultiDir) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(multiDir))
-    }
     // 3 decimals (ms resolution): full-precision doubles print ~17
     // significant digits and tripled the stdout line's length, which is
     // what got the driver artifact truncated in rounds 4-6
@@ -187,8 +208,12 @@ object Bench {
     // continuity signal as ONE scalar (value_singlefile).
     val qsSingle = resultsSingle.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // multi_dir in the JSON: the consistency gate above catches a
+    // foreign rewrite, but the artifact should still RECORD which
+    // directory was actually timed (ADVICE r12)
     val summary =
-      s""""layout":"multi8","value_singlefile":$totalSingle,"sf":"$sfDir",$cal$errJson"""
+      s""""layout":"multi8","multi_dir":"${GraftSession.jsonEscape(multiDir)}",""" +
+        s""""value_singlefile":$totalSingle,"sf":"$sfDir",$cal$errJson"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$summary}"""
     val artifact =
@@ -209,6 +234,15 @@ object Bench {
         System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
     println(json)
-    spark.stop()
+    } finally {
+      if (ownsMultiDir) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(multiDir))
+      }
+      spark.stop()
+    }
   }
 }

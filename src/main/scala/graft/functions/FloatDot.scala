@@ -132,14 +132,20 @@ object GraftFunctions {
 
   /** Imperative registration into an existing session (the driver
     * builds its own SparkSession without extensions; queries call this
-    * idempotently).
+    * idempotently). Check-before-register: re-registering an existing
+    * name is harmless in effect but logs a `SimpleFunctionRegistry ...
+    * replaced a previously registered function` warning on EVERY call
+    * — and this is called from every operator entry point, so an
+    * unguarded registerFunction spams one warning per function per
+    * query (VERDICT r12 polish item).
     */
-  def ensureRegistered(spark: SparkSession): Unit = fns.foreach {
-    case (name, className, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo(className, name),
-        builder)
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { case (name, className, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, new ExpressionInfo(className, name), builder)
+    }
   }
 }
 

@@ -42,14 +42,23 @@ case class MinhashMins(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_mins"
 
+  // The per-thread stop-set cache below is identity-keyed, which is
+  // only sound when the SAME ArrayData instance always carries the
+  // SAME contents. That is guaranteed exactly when the stop child is
+  // foldable (a Literal after optimization — one immutable instance
+  // for the plan's lifetime); any other producer may lawfully reuse a
+  // buffer with different backing contents, so the cache must not be
+  // consulted (ADVICE r12).
+  private lazy val stopIsStable: Boolean = right.foldable
+
   override def nullSafeEval(t: Any, stopAny: Any): Any =
     MinhashMins.compute(
-      t.asInstanceOf[UTF8String], stopAny.asInstanceOf[ArrayData])
+      t.asInstanceOf[UTF8String], stopAny.asInstanceOf[ArrayData], stopIsStable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, s) => {
       s"""
-         |${ev.value} = graft.functions.MinhashMins.compute($t, $s);
+         |${ev.value} = graft.functions.MinhashMins.compute($t, $s, $stopIsStable);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -86,8 +95,27 @@ object MinhashMins {
   private val stopCache =
     new ThreadLocal[(ArrayData, java.util.HashSet[String])]
 
-  /** Compiled kernel — public static so generated code can call it. */
-  def compute(text: UTF8String, stopArr: ArrayData): ArrayData = {
+  private def buildStopSet(stopArr: ArrayData): java.util.HashSet[String] = {
+    val stop = new java.util.HashSet[String](stopArr.numElements() * 2)
+    var i = 0
+    while (i < stopArr.numElements()) {
+      if (!stopArr.isNullAt(i)) stop.add(stopArr.getUTF8String(i).toString)
+      i += 1
+    }
+    stop
+  }
+
+  /** Compiled kernel — public static so generated code can call it.
+    * `stableStop` = the caller KNOWS the stop ArrayData instance is
+    * immutable for the plan's lifetime (the expression passes
+    * `right.foldable`). Only then is the identity-keyed per-thread
+    * cache consulted: an engine path that reuses one ArrayData buffer
+    * with different backing contents would otherwise be served a stale
+    * stop set and silently corrupt signatures (ADVICE r12). Unstable
+    * inputs rebuild the set per row — the pre-cache cost, never a
+    * wrong answer.
+    */
+  def compute(text: UTF8String, stopArr: ArrayData, stableStop: Boolean): ArrayData = {
     // Spark split semantics: single-space regex, limit -1 (KEEP empty
     // tokens) — must match `split(text, ' ')` exactly
     val toks = text.toString.split(" ", -1)
@@ -98,19 +126,15 @@ object MinhashMins {
       // ArrayData instance arrives every row — cache the materialized
       // set per thread instead of rebuilding k strings + a HashSet per
       // document (pure per-row overhead in the kernel whose reason to
-      // exist is speed). Reference-keyed: a non-literal input just
-      // misses and pays the old cost.
-      val cached = stopCache.get()
-      if (cached != null && (cached._1 eq stopArr)) stop = cached._2
-      else {
-        stop = new java.util.HashSet[String](stopArr.numElements() * 2)
-        var i = 0
-        while (i < stopArr.numElements()) {
-          if (!stopArr.isNullAt(i)) stop.add(stopArr.getUTF8String(i).toString)
-          i += 1
+      // exist is speed)
+      if (stableStop) {
+        val cached = stopCache.get()
+        if (cached != null && (cached._1 eq stopArr)) stop = cached._2
+        else {
+          stop = buildStopSet(stopArr)
+          stopCache.set((stopArr, stop))
         }
-        stopCache.set((stopArr, stop))
-      }
+      } else stop = buildStopSet(stopArr)
     }
     val md = digest.get()
     val seen = new java.util.HashSet[String](toks.length * 2)

@@ -111,9 +111,16 @@ object SimhashAggs {
     override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
   }
 
-  /** SQL registration (idempotent), mirroring `pearson_udaf`. */
+  /** SQL registration, mirroring `pearson_udaf`: check-first so repeat
+    * calls are true no-ops instead of warning-logging registry REPLACEs.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("simhash32_agg", org.apache.spark.sql.functions.udaf(Simhash32Agg))
-    spark.udf.register("simhash64_agg", org.apache.spark.sql.functions.udaf(Simhash64Agg))
+    val registry = spark.sessionState.functionRegistry
+    def absent(n: String) =
+      !registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (absent("simhash32_agg"))
+      spark.udf.register("simhash32_agg", org.apache.spark.sql.functions.udaf(Simhash32Agg))
+    if (absent("simhash64_agg"))
+      spark.udf.register("simhash64_agg", org.apache.spark.sql.functions.udaf(Simhash64Agg))
   }
 }

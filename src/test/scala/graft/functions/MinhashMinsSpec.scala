@@ -66,6 +66,31 @@ class MinhashMinsSpec extends SparkSpec {
     assert(rows.exists(_.get(1) == null) && rows.exists(_.get(1) != null))
   }
 
+  test("stop-set cache is gated on a stable input — a reused, mutated buffer is re-read (ADVICE r12)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // one ArrayData INSTANCE whose backing contents change between rows —
+    // the buffer-reusing accessor shape the identity-keyed cache cannot
+    // distinguish. With stableStop=false the kernel must re-read it.
+    val backing = Array[Any](UTF8String.fromString("a b c"))
+    val arr = new GenericArrayData(backing)
+    val text = UTF8String.fromString("a b c d") // shingles: "a b c", "b c d"
+    val minsStopAbc = MinhashMins.compute(text, arr, false)
+    backing(0) = UTF8String.fromString("b c d") // same instance, new contents
+    val minsStopBcd = MinhashMins.compute(text, arr, false)
+    assert(minsStopAbc != null && minsStopBcd != null)
+    // surviving shingle differs ("b c d" vs "a b c") → signatures differ;
+    // a stale cached set would return identical arrays for both calls
+    assert(!minsStopAbc.asInstanceOf[GenericArrayData].array
+        .sameElements(minsStopBcd.asInstanceOf[GenericArrayData].array),
+      "stale stop set served after the backing buffer was mutated")
+    // and the stable path agrees with a fresh build of the same contents
+    val fresh = new GenericArrayData(Array[Any](UTF8String.fromString("b c d")))
+    val minsStable = MinhashMins.compute(text, fresh, true)
+    assert(minsStable.asInstanceOf[GenericArrayData].array
+      .sameElements(minsStopBcd.asInstanceOf[GenericArrayData].array))
+  }
+
   test("kernel bands equal the grouped fold on the sf0.001 fixture") {
     val s = spark
     val sfDir = "/root/testdata/sf0.001"
