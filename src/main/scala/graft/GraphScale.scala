@@ -65,15 +65,30 @@ object GraphScale {
     val specs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/root/testdata/sf0.1@x10")
+    // 100 ms executor memory polling (default = heartbeat-only, which a
+    // short task never samples) so taskExecutorMetrics carries a real
+    // JVM-heap peak. System property: must exist BEFORE the SparkConf
+    // is built, and fromEnv owns the builder.
+    System.setProperty("spark.executor.metrics.pollingInterval", "100ms")
     val spark = GraftSession.fromEnv()
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    // memory-pressure figure (VERDICT r12 stretch): peak JVM heap
+    // (executor-level, polled) and peak per-task execution memory
+    // (shuffle/agg data structures — the number that predicts spill)
+    val peakHeap = new java.util.concurrent.atomic.AtomicLong
+    val peakTaskExec = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         Option(te.taskMetrics).foreach { m =>
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          peakTaskExec.accumulateAndGet(m.peakExecutionMemory, math.max): Unit
         }
+        Option(te.taskExecutorMetrics).foreach { em =>
+          peakHeap.accumulateAndGet(em.getMetricValue("JVMHeapMemory"), math.max): Unit
+        }
+      }
     })
     try {
       specs.foreach { spec =>
@@ -94,6 +109,7 @@ object GraphScale {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           Thread.sleep(1000)
           shufRead.set(0); shufWrite.set(0)
+          peakHeap.set(0); peakTaskExec.set(0)
           val t0 = System.nanoTime()
           val df = fn(spark, dir)
           df.write.format("noop").mode("overwrite").save()
@@ -102,12 +118,14 @@ object GraphScale {
           // snapshot BEFORE the untimed row-count action re-executes
           // the plan and pollutes the counters
           val (sr, sw) = (shufRead.get, shufWrite.get)
+          val (ph, pe) = (peakHeap.get, peakTaskExec.get)
           val rows = df.count()
           def mb(b: Long): Double = math.rint(b / 1048.576) / 1000
           println(
             s"""{"metric":"graph_scale","sf":"$label","query":"$q","n_orders":$nOrders,""" +
               s""""n_edges":$nEdges,"wall_s":${math.rint(wall * 1000) / 1000},"rows":$rows,""" +
-              s""""shuffle_read_mb":${mb(sr)},"shuffle_write_mb":${mb(sw)}}""")
+              s""""shuffle_read_mb":${mb(sr)},"shuffle_write_mb":${mb(sw)},""" +
+              s""""peak_heap_mb":${mb(ph)},"peak_task_exec_mb":${mb(pe)}}""")
         }
       }
     } finally spark.stop()

@@ -7,6 +7,8 @@ import java.sql.Timestamp
 // types (same note as the streaming specs)
 final case class SbSigEv(doc_id: Long, simhash: Long, ts: Timestamp)
 final case class SbDocEv(doc_id: Long, text: String, ts: Timestamp)
+final case class SbEvRow(
+    user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
 /** Streaming throughput measure (VERDICT r11 #6): every streaming
   * claim so far is correctness/state-bound; this main records rows/sec
@@ -59,6 +61,10 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val xf = if (args.length > 1) args(1).toInt else 10
+    // host-load calibration, same protocol as Bench: rows/sec deltas
+    // across runs mean nothing without it (the r12 noise episodes)
+    val nominal = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val calPre = Bench.effectiveCores(nominal)
     val spark = GraftSession.fromEnv()
     // recentProgress is a BOUNDED rolling buffer (default 100): at
     // large xf the drop(before) accounting below would silently slice
@@ -75,6 +81,36 @@ object StreamBench {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         Option(te.taskMetrics).foreach(m => taskMs.addAndGet(m.executorRunTime): Unit)
     })
+
+    /** Shared measurement protocol: feed `events` in `chunkSize` chunks
+      * through a fresh MemoryStream into `mk`'s query, first chunk an
+      * untimed warm batch (stream start + state-store load), timed
+      * window = all remaining chunks, noop sink.
+      */
+    def benchTwin[T: org.apache.spark.sql.Encoder](
+        twin: String, events: Seq[T], chunkSize: Int, mode: String = "append")(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+      val in = MemoryStream[T]
+      val q = mk(in.toDF())
+        .writeStream.format("noop").outputMode(mode).start()
+      try {
+        // adaptive floor: a fixture smaller than one chunk would put
+        // EVERYTHING in the untimed warm batch and report rows=0 — keep
+        // at least ~5 chunks so the timed window is never empty
+        val cs = math.max(1, math.min(chunkSize, events.length / 5))
+        val chunks = events.grouped(cs).toSeq
+        in.addData(chunks.head: _*); q.processAllAvailable() // warm
+        val before = q.recentProgress.length
+        Thread.sleep(500); taskMs.set(0)
+        val t0 = System.nanoTime()
+        chunks.tail.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener settle
+        report(twin, events.length - chunks.head.length, wall,
+          taskMs.get, q.recentProgress.drop(before).toSeq)
+      } finally q.stop()
+    }
+
     try {
       // ---- twin 1: nearDupPairsStream (banded simhash matcher) ----
       // input = the q28 stateless signature stage's output, replicated
@@ -87,22 +123,9 @@ object StreamBench {
       }.zipWithIndex.map { case ((id, sh), i) =>
         SbSigEv(id, sh, new Timestamp(base + i * 1000L))
       }
-      val in1 = MemoryStream[SbSigEv]
-      val q1 = graft.streaming.Streams
-        .nearDupPairsStream(in1.toDF(), watermarkMs = 3600000L)
-        .writeStream.format("noop").outputMode("append").start()
-      try {
-        val chunks = sigEvents.grouped(2000).toSeq
-        in1.addData(chunks.head: _*); q1.processAllAvailable() // warm
-        val before = q1.recentProgress.length
-        Thread.sleep(500); taskMs.set(0)
-        val t0 = System.nanoTime()
-        chunks.tail.foreach { c => in1.addData(c: _*); q1.processAllAvailable() }
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500) // listener settle
-        report("neardup_pairs", sigEvents.length - chunks.head.length, wall,
-          taskMs.get, q1.recentProgress.drop(before).toSeq)
-      } finally q1.stop()
+      benchTwin("neardup_pairs", sigEvents, 2000) { df =>
+        graft.streaming.Streams.nearDupPairsStream(df, watermarkMs = 3600000L)
+      }
 
       // ---- twin 2: incrementalDedupStream (corpus-probe decisions) ----
       // q128's split: corpus = doc_id % 10 != 0 (static signature
@@ -124,22 +147,56 @@ object StreamBench {
       }.zipWithIndex.map { case ((id, t), i) =>
         SbDocEv(id, t, new Timestamp(base + i * 1000L))
       }
-      val in2 = MemoryStream[SbDocEv]
-      val q2 = graft.streaming.Streams
-        .incrementalDedupStream(in2.toDF(), corpusFp, corpusBands, stop, "1 hour")
-        .writeStream.format("noop").outputMode("append").start()
-      try {
-        val chunks = docEvents.grouped(500).toSeq
-        in2.addData(chunks.head: _*); q2.processAllAvailable() // warm
-        val before = q2.recentProgress.length
-        Thread.sleep(500); taskMs.set(0)
-        val t0 = System.nanoTime()
-        chunks.tail.foreach { c => in2.addData(c: _*); q2.processAllAvailable() }
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500) // listener settle
-        report("incremental_dedup", docEvents.length - chunks.head.length, wall,
-          taskMs.get, q2.recentProgress.drop(before).toSeq)
-      } finally q2.stop()
+      benchTwin("incremental_dedup", docEvents, 500) { df =>
+        graft.streaming.Streams
+          .incrementalDedupStream(df, corpusFp, corpusBands, stop, "1 hour")
+      }
+      // same twin at 4× the batch size: mean batch latency ~0.8 s is
+      // dominated by micro-batch fixed cost at 500-doc batches, so the
+      // service-regime throughput question is how rows/sec responds to
+      // batch size, not to state
+      benchTwin("incremental_dedup_2k", docEvents, 2000) { df =>
+        graft.streaming.Streams
+          .incrementalDedupStream(df, corpusFp, corpusBands, stop, "1 hour")
+      }
+
+      // ---- events-keyed twins (VERDICT r12 #4): the remaining
+      // stateful twins had asserted state BOUNDS but no recorded
+      // rows/sec. Input = the full events fixture replayed
+      // chronologically (the twins' documented contract), same
+      // warm-first-chunk protocol. Per-key state for all six is a few
+      // numbers (or one row) per distinct key — users/event_types —
+      // so state_share here reads the flatMapGroupsWithState fold +
+      // state-store commit cost, not eviction dynamics.
+      val evRows = Tables.events(spark, sfDir)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect()
+        .map(r => SbEvRow(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3), r.getDouble(4)))
+        .sortBy(r => (r.ts.getTime, r.event_id))
+        .toSeq
+      // mu0/h for cusum: pinned constants (any reference level measures
+      // the same per-row fold work; alarms just reset the running sum)
+      val evMean = evRows.iterator.map(_.value).sum / evRows.length.max(1)
+      benchTwin("twap", evRows, 10000)(df =>
+        graft.streaming.Streams.twapStream(df, lateness = "1 hour"))
+      benchTwin("upsert", evRows, 10000, mode = "update")(df =>
+        graft.streaming.Streams.upsertStream(df))
+      benchTwin("attribution", evRows, 10000)(df =>
+        graft.streaming.Streams.attributionStream(df))
+      benchTwin("ewma", evRows, 10000)(df =>
+        graft.streaming.Streams.ewmaStream(df, alpha = 0.25))
+      benchTwin("cusum", evRows, 10000)(df =>
+        graft.streaming.Streams.cusumStream(df, mu0 = evMean, slack = 0.0,
+          h = 50.0 * math.max(1.0, math.abs(evMean))))
+      benchTwin("first_seen", evRows, 10000)(df =>
+        graft.streaming.Streams.firstSeenStream(df))
+
+      val calPost = Bench.effectiveCores(nominal)
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      println(
+        s"""{"metric":"stream_bench_cal","effective_cores_pre":${r1(calPre._1)},""" +
+          s""""effective_cores_post":${r1(calPost._1)},"nominal":$nominal}""")
     } finally spark.stop()
   }
 }

@@ -543,9 +543,32 @@ object Streams {
       .select(
         col("doc_id"), col("ts"), col("fp"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Prepare the static probe tables ONCE, at stream declaration: a
+    // stream-static join re-executes its static SUBPLAN every
+    // micro-batch, so without materialization each batch re-paid the
+    // two corpus-sized distinct() shuffles — measured as the dominant
+    // per-batch cost (261 rows/s, execution-bound; BASELINE.md r12
+    // streaming table, VERDICT r12 #1). localCheckpoint (eager)
+    // truncates lineage to executor-resident blocks, so each batch's
+    // static-side "re-execution" is a cached-block scan feeding the
+    // probe join and nothing else. At a corpus too large for executor
+    // storage, the same once-not-per-batch discipline is a bucketed
+    // signature TABLE (sorted on the probe key) prepared by the batch
+    // side — the localCheckpoint here is the single-box form of it.
+    // The sortWithinPartitions matters: localCheckpoint's LogicalRDD
+    // captures the physical plan's outputPartitioning AND
+    // outputOrdering, so a sort-merge probe join finds the static side
+    // already distributed (the distinct's hash partitioning on the
+    // join keys) and already sorted — the per-batch work on the corpus
+    // side drops to the cached-block scan itself.
     val cb = corpusBands.select(col("cband"), col("csig")).distinct()
       .withColumn("near_hit", lit(1L))
-    val cf = corpusFp.select(col("cfp")).distinct().withColumn("exact_hit", lit(1L))
+      .sortWithinPartitions(col("cband"), col("csig"))
+      .localCheckpoint()
+    val cf = corpusFp.select(col("cfp")).distinct()
+      .withColumn("exact_hit", lit(1L))
+      .sortWithinPartitions(col("cfp"))
+      .localCheckpoint()
     bandRows
       .join(cb, col("band") === col("cband") && col("sig") === col("csig"), "left")
       .join(cf, col("fp") === col("cfp"), "left")

@@ -5,9 +5,13 @@
 # correctness gates use tools/check.py, whose exit code since round 10
 # gates on the driver-exact mode, not just the 1e-6-tolerant compare.
 #
-# Usage: tools/close.sh [workdir=/tmp/graft_close]
+# Usage: tools/close.sh [workdir=/tmp/graft_close] [round=N]
 set -u
 WORK="${1:-/tmp/graft_close}"
+# round number for the in-repo bench artifact (VERDICT r12 #2): default
+# = the highest driver BENCH_r artifact + 1 (close runs before the
+# driver writes this round's)
+ROUND="${2:-$(ls BENCH_r*.json 2>/dev/null | sed 's/[^0-9]*//g' | sort -n | tail -1 | awk '{print $1+1}')}"
 SF001=/root/testdata/sf0.01
 SF01=/root/testdata/sf0.1
 mkdir -p "$WORK"
@@ -53,6 +57,18 @@ print(f"bench [{d.get('layout')}] total {d['value']} s raw / {d.get('value_norma
 EOF
 else
   echo "FAIL: bench"; fail=1
+fi
+
+# Commit the COMPLETE per-query bench map in-repo (VERDICT r12 #2): the
+# driver's BENCH_rN.json keeps only a truncated stdout tail, so
+# cross-round per-query regression checks need this durable copy (both
+# layouts + normalized columns + calibration).
+if [ -f target/bench.json ] && [ -n "$ROUND" ]; then
+  mkdir -p bench
+  cp target/bench.json "bench/bench_r${ROUND}.json"
+  echo "bench artifact -> bench/bench_r${ROUND}.json (commit it with the close record)"
+else
+  echo "WARN: no target/bench.json or no round number — in-repo bench artifact not written"
 fi
 
 step "5/5 summary"
