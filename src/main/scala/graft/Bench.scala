@@ -106,8 +106,12 @@ object Bench {
             s"SPARK_GRAFT_MULTI_DIR=$d is not a rewrite of $sfDir: " +
               s"table $t present in ${if (src) "source only" else "rewrite only"}")
         }
-        val probe = Views.tables.find(t =>
-          t != "events" && new java.io.File(s"$sfDir/$t.parquet").exists())
+        // probe a SCALE-DEPENDENT table: region/nation have identical
+        // row counts at every SF (region = 5 rows at sf0.01 AND sf0.1),
+        // so probing them would pass the exact wrong-dataset case this
+        // gate exists for. customer/orders/documents all grow with SF.
+        val probe = Seq("customer", "orders", "documents", "lineitem").find(t =>
+          new java.io.File(s"$sfDir/$t.parquet").exists())
         probe.foreach { t =>
           val (nSrc, nDst) =
             (Tables(spark, sfDir, t).count(), Tables(spark, d, t).count())

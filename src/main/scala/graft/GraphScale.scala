@@ -73,9 +73,14 @@ object GraphScale {
     val spark = GraftSession.fromEnv()
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
-    // memory-pressure figure (VERDICT r12 stretch): peak JVM heap
-    // (executor-level, polled) and peak per-task execution memory
-    // (shuffle/agg data structures — the number that predicts spill)
+    // memory-pressure figure (VERDICT r12 stretch): peak per-task
+    // execution memory (shuffle/agg data structures — the number that
+    // predicts spill) is PER-QUERY attributable; peak JVM heap is a
+    // JVM-GLOBAL gauge — in local mode one heap serves driver +
+    // executor and uncollected garbage from query A inflates query B's
+    // polled reading, so heap is reported once PER SCALE, never
+    // per query (the instrument could not read low after a heavy
+    // query — the falsifiability failure class).
     val peakHeap = new java.util.concurrent.atomic.AtomicLong
     val peakTaskExec = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -103,13 +108,14 @@ object GraphScale {
           .join(Tables(spark, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
           .select("o_custkey", "l_suppkey").distinct().count()
+        peakHeap.set(0) // per-SCALE window (see the JVM-global note above)
         queries.foreach { q =>
           val fn = SparkEntry.queries(q)
           // warm rep: classloading/codegen/scan cache out of the reading
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           Thread.sleep(1000)
           shufRead.set(0); shufWrite.set(0)
-          peakHeap.set(0); peakTaskExec.set(0)
+          peakTaskExec.set(0)
           val t0 = System.nanoTime()
           val df = fn(spark, dir)
           df.write.format("noop").mode("overwrite").save()
@@ -118,15 +124,19 @@ object GraphScale {
           // snapshot BEFORE the untimed row-count action re-executes
           // the plan and pollutes the counters
           val (sr, sw) = (shufRead.get, shufWrite.get)
-          val (ph, pe) = (peakHeap.get, peakTaskExec.get)
+          val pe = peakTaskExec.get
           val rows = df.count()
           def mb(b: Long): Double = math.rint(b / 1048.576) / 1000
           println(
             s"""{"metric":"graph_scale","sf":"$label","query":"$q","n_orders":$nOrders,""" +
               s""""n_edges":$nEdges,"wall_s":${math.rint(wall * 1000) / 1000},"rows":$rows,""" +
               s""""shuffle_read_mb":${mb(sr)},"shuffle_write_mb":${mb(sw)},""" +
-              s""""peak_heap_mb":${mb(ph)},"peak_task_exec_mb":${mb(pe)}}""")
+              s""""peak_task_exec_mb":${mb(pe)}}""")
         }
+        // JVM-global heap peak across this scale's whole query family
+        val heapMb = math.rint(peakHeap.get / 1048.576) / 1000
+        println(
+          s"""{"metric":"graph_scale_mem","sf":"$label","peak_heap_mb":$heapMb}""")
       }
     } finally spark.stop()
   }

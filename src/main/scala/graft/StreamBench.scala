@@ -41,7 +41,7 @@ object StreamBench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
   private def report(
-      twin: String, rows: Long, wall: Double, taskMs: Long,
+      twin: String, rows: Long, wall: Double, taskMs: Long, batchRows: Int,
       progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit = {
     val timed = progresses.filter(_.numInputRows > 0)
     val addBatch = timed.flatMap(p => Option(p.durationMs.get("addBatch")).map(_.toLong))
@@ -50,6 +50,7 @@ object StreamBench {
       o.allUpdatesTimeMs + o.allRemovalsTimeMs + o.commitTimeMs).sum
     println(
       s"""{"metric":"stream_bench","twin":"$twin","rows":$rows,"wall_s":${r3(wall)},""" +
+        s""""batch_rows":$batchRows,""" +
         s""""rows_per_sec":${math.rint(rows / wall)},"n_batches":${timed.size},""" +
         s""""mean_batch_ms":${if (addBatch.isEmpty) 0 else addBatch.sum / addBatch.size},""" +
         s""""state_ms":$stateMs,"task_ms":$taskMs,""" +
@@ -96,8 +97,15 @@ object StreamBench {
       try {
         // adaptive floor: a fixture smaller than one chunk would put
         // EVERYTHING in the untimed warm batch and report rows=0 — keep
-        // at least ~5 chunks so the timed window is never empty
+        // at least ~5 chunks so the timed window is never empty. The
+        // EFFECTIVE size is emitted as batch_rows (and warned when it
+        // differs from the request): a silently capped parameter
+        // mislabels the experiment (this bit the first _2k run, which
+        // actually measured 1,000-doc batches).
         val cs = math.max(1, math.min(chunkSize, events.length / 5))
+        if (cs != chunkSize) System.err.println(
+          s"[stream-bench] $twin: requested chunk $chunkSize capped to $cs " +
+            s"(input ${events.length} rows)")
         val chunks = events.grouped(cs).toSeq
         in.addData(chunks.head: _*); q.processAllAvailable() // warm
         val before = q.recentProgress.length
@@ -107,7 +115,7 @@ object StreamBench {
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // listener settle
         report(twin, events.length - chunks.head.length, wall,
-          taskMs.get, q.recentProgress.drop(before).toSeq)
+          taskMs.get, cs, q.recentProgress.drop(before).toSeq)
       } finally q.stop()
     }
 
@@ -151,11 +159,12 @@ object StreamBench {
         graft.streaming.Streams
           .incrementalDedupStream(df, corpusFp, corpusBands, stop, "1 hour")
       }
-      // same twin at 4× the batch size: mean batch latency ~0.8 s is
+      // same twin at a larger batch size (capped by the ÷5 floor — the
+      // emitted batch_rows is the truth): mean batch latency ~0.8 s is
       // dominated by micro-batch fixed cost at 500-doc batches, so the
       // service-regime throughput question is how rows/sec responds to
       // batch size, not to state
-      benchTwin("incremental_dedup_2k", docEvents, 2000) { df =>
+      benchTwin("incremental_dedup_big", docEvents, 2000) { df =>
         graft.streaming.Streams
           .incrementalDedupStream(df, corpusFp, corpusBands, stop, "1 hour")
       }

@@ -130,23 +130,43 @@ object GraftFunctions {
           exprs(0), exprs(1))),
   )
 
+  /** Once-per-session guard shared by every registration entry point
+    * (GraftFunctions / PearsonAgg / SimhashAggs). Two requirements pull
+    * in opposite directions: repeat calls must be true no-ops (an
+    * unconditional registerFunction logs a `SimpleFunctionRegistry ...
+    * replaced a previously registered function` warning per function
+    * per query — VERDICT r12 polish item), but the FIRST call per
+    * session must register UNCONDITIONALLY — a check-before-register
+    * (`functionExists`) would silently keep a same-named foreign entry
+    * (e.g. a future Spark builtin colliding with `might_contain`) and
+    * run different semantics with no error. So: track completion per
+    * (session, registrar) in a weak map; first caller registers and may
+    * legitimately warn once on a genuine collision, later callers
+    * no-op. WeakHashMap so dropped sessions don't pin.
+    */
+  private val doneBySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  private[functions] def oncePerSession(
+      spark: SparkSession, registrar: String)(body: => Unit): Unit = {
+    val set = doneBySession.synchronized {
+      doneBySession.computeIfAbsent(
+        spark, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    }
+    if (set.add(registrar)) body
+  }
+
   /** Imperative registration into an existing session (the driver
     * builds its own SparkSession without extensions; queries call this
-    * idempotently). Check-before-register: re-registering an existing
-    * name is harmless in effect but logs a `SimpleFunctionRegistry ...
-    * replaced a previously registered function` warning on EVERY call
-    * — and this is called from every operator entry point, so an
-    * unguarded registerFunction spams one warning per function per
-    * query (VERDICT r12 polish item).
+    * idempotently — see [[oncePerSession]] for the guard's contract).
     */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    fns.foreach { case (name, className, builder) =>
-      val id = FunctionIdentifier(name)
-      if (!registry.functionExists(id))
-        registry.registerFunction(id, new ExpressionInfo(className, name), builder)
+  def ensureRegistered(spark: SparkSession): Unit =
+    oncePerSession(spark, "graft_functions") {
+      fns.foreach { case (name, className, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(
+          FunctionIdentifier(name), new ExpressionInfo(className, name), builder)
+      }
     }
-  }
 }
 
 /** Deployment route for spark-submit:

@@ -111,16 +111,12 @@ object SimhashAggs {
     override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
   }
 
-  /** SQL registration, mirroring `pearson_udaf`: check-first so repeat
-    * calls are true no-ops instead of warning-logging registry REPLACEs.
+  /** SQL registration, mirroring `pearson_udaf`: once per session
+    * ([[GraftFunctions.oncePerSession]] for the guard's contract).
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    def absent(n: String) =
-      !registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-    if (absent("simhash32_agg"))
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.oncePerSession(spark, "simhash_aggs") {
       spark.udf.register("simhash32_agg", org.apache.spark.sql.functions.udaf(Simhash32Agg))
-    if (absent("simhash64_agg"))
       spark.udf.register("simhash64_agg", org.apache.spark.sql.functions.udaf(Simhash64Agg))
-  }
+    }
 }

@@ -79,4 +79,19 @@ class RegistrationIdempotencySpec extends SparkSpec {
     assert(s.sql("SELECT float_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
       .head().getDouble(0) == 11.0)
   }
+
+  test("first registration per session replaces a foreign same-named entry") {
+    // the precedence half of the guard's contract: skipping-if-exists
+    // would silently keep a colliding foreign function (wrong
+    // semantics, no error); the FIRST ensureRegistered per session
+    // must assert the engine's implementation
+    val s2 = spark.newSession()
+    s2.udf.register("float_dot", (a: Seq[Float], b: Seq[Float]) => -1.0)
+    assert(s2.sql("SELECT float_dot(array(1.0F), array(1.0F))").head().getDouble(0) == -1.0,
+      "foreign registration did not take — precondition broken")
+    GraftFunctions.ensureRegistered(s2)
+    assert(s2.sql("SELECT float_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      .head().getDouble(0) == 11.0,
+      "graft registration must override a foreign same-named function on first call")
+  }
 }

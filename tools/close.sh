@@ -45,7 +45,12 @@ python3 tools/check.py "$SF01" "$WORK/verify_multi" > "$WORK/check_multi.log" 2>
 tail -1 "$WORK/check_multi.log"
 
 step "4/5 bench at sf0.1 (primary = 8-file layout since r12; reuses step 3's rewrite; records calibration in target/bench.json)"
+# remove any stale artifact FIRST: a failed bench must not let a
+# previous run's numbers get copied below under this round's name
+rm -f target/bench.json
+bench_ok=0
 if SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_MULTI_DIR="$WORK/sf01_multi8" sbt "runMain graft.Bench" > "$WORK/bench.log" 2>&1; then
+  bench_ok=1
   python3 - <<'EOF'
 import json
 d = json.load(open('target/bench.json'))
@@ -62,8 +67,9 @@ fi
 # Commit the COMPLETE per-query bench map in-repo (VERDICT r12 #2): the
 # driver's BENCH_rN.json keeps only a truncated stdout tail, so
 # cross-round per-query regression checks need this durable copy (both
-# layouts + normalized columns + calibration).
-if [ -f target/bench.json ] && [ -n "$ROUND" ]; then
+# layouts + normalized columns + calibration). Gated on THIS run's
+# bench having succeeded — never copy a stale artifact.
+if [ "$bench_ok" -eq 1 ] && [ -f target/bench.json ] && [ -n "$ROUND" ]; then
   mkdir -p bench
   cp target/bench.json "bench/bench_r${ROUND}.json"
   echo "bench artifact -> bench/bench_r${ROUND}.json (commit it with the close record)"
