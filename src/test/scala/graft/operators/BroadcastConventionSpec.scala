@@ -162,36 +162,46 @@ class BroadcastConventionSpec extends AnyFunSuite {
     (("WindowOps.scala", "broadcast(med)"), 2),
   ).withDefaultValue(1)
 
+  /** Every spelling of a forced broadcast (r13 gate-instrument review:
+    * the bare `broadcast(` literal missed `.hint("broadcast")`, SQL
+    * hint comments — which SURVIVE the comment stripper because they
+    * live inside string literals — and an import rename that would take
+    * every subsequent use out of scan reach). Case-insensitive on the
+    * SQL/hint-name forms; `\b` keeps autoBroadcastJoinThreshold (a
+    * config handle, not a hint) out.
+    */
+  private val siteRe =
+    ("""(?i)\bbroadcast\s*\(|\b(?:broadcastjoin|mapjoin)\s*\(""" +
+      """|hint\(\s*"(?:broadcast|broadcastjoin|mapjoin)"""" +
+      """|\bbroadcast\s*=>""").r
+
   test("every forced broadcast names its size bound in the allowlist") {
-    val roots = Seq("src/main/scala/graft")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".scala")) Seq(f)
-      else Seq.empty
-    val files = roots.flatMap(r => walk(new java.io.File(r))).sortBy(_.getName)
+    val files = graft.ConventionScan.scalaFiles("src/main/scala/graft")
     assert(files.nonEmpty, "main source discovery broke")
 
     var sites = 0
     val matchCount = scala.collection.mutable.Map.empty[(String, String), Int]
       .withDefaultValue(0)
     val hits = files.flatMap { f =>
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      (0 until lines.size).flatMap { i =>
-        val raw = lines.get(i)
-        val trimmed = raw.trim
-        val code =
-          if (trimmed.startsWith("*") || trimmed.startsWith("/*") ||
-            trimmed.startsWith("//")) ""
-          else raw.split("//", 2).head
-        if (!code.contains("broadcast(")) None
+      val lines = graft.ConventionScan.codeLines(f)
+      lines.indices.flatMap { i =>
+        val code = lines(i)
+        val n = siteRe.findAllIn(code).size
+        if (n == 0) None
         else {
-          sites += 1
-          val matching = allowed.filter { case (file, sub) =>
-            f.getName == file && code.contains(sub)
+          sites += n
+          if (n > 1)
+            // one line, one reviewed site: a second hint sharing a line
+            // with an allowlisted one would inherit its bound unseen
+            Some(s"  ${f.getName}:${i + 1} [$n sites on one line — split them] ${code.trim}")
+          else {
+            val matching = allowed.filter { case (file, sub) =>
+              f.getName == file && code.contains(sub)
+            }
+            matching.foreach(e => matchCount(e) += 1)
+            if (matching.nonEmpty) None
+            else Some(s"  ${f.getName}:${i + 1} ${code.trim}")
           }
-          matching.foreach(e => matchCount(e) += 1)
-          if (matching.nonEmpty) None
-          else Some(s"  ${f.getName}:${i + 1} $trimmed")
         }
       }
     }

@@ -18,31 +18,30 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class StreamingConventionSpec extends AnyFunSuite {
 
-  /** Millisecond-truncating patterns banned on state/sort paths. Any
-    * legitimate wall-clock use (there is none today) gets a written
+  /** Millisecond-truncating patterns banned on state/sort paths: every
+    * accessor spelling, not just the java.sql one (r13 gate-instrument
+    * review — a java.time refactor would have reintroduced the
+    * truncation via toEpochMilli with the old two-entry list green).
+    * Any legitimate wall-clock use (there is none today) gets a written
     * exemption below, keyed by (file, substring-of-line).
     */
-  private val banned = Seq(".getTime", "System.currentTimeMillis")
+  private val banned = Seq(
+    ".getTime", "System.currentTimeMillis", ".toEpochMilli",
+    "Clock.millis", "unix_millis(", ".getMillis")
 
   private val exemptions: Set[(String, String)] = Set.empty
 
   test("streaming main sources never truncate event time to milliseconds") {
-    val dir = new java.io.File("src/main/scala/graft/streaming")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".scala")).sortBy(_.getName)
-    assert(files.nonEmpty, s"no streaming sources under $dir — path convention changed?")
-    val hits = files.toSeq.flatMap { f =>
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      (0 until lines.size).flatMap { i =>
-        val raw = lines.get(i)
-        val trimmed = raw.trim
-        // strip scaladoc/block-comment lines and trailing // comments:
-        // the convention is about CODE, and the docs legitimately name
-        // getTime to warn against it
-        val code =
-          if (trimmed.startsWith("*") || trimmed.startsWith("/*")) ""
-          else raw.split("//", 2).head
-        banned.filter(code.contains).map(b => (f.getName, i + 1, raw.trim, b))
+    // recursive + comment-aware (ConventionScan): a flat listFiles()
+    // skipped any future subpackage; the old stripper skipped live
+    // code sharing a line with a block comment
+    val files = graft.ConventionScan.scalaFiles("src/main/scala/graft/streaming")
+    assert(files.nonEmpty, "no streaming sources — path convention changed?")
+    val hits = files.flatMap { f =>
+      val lines = graft.ConventionScan.codeLines(f)
+      lines.indices.flatMap { i =>
+        val code = lines(i)
+        banned.filter(code.contains).map(b => (f.getName, i + 1, code.trim, b))
       }
     }.filterNot { case (file, _, line, _) =>
       exemptions.exists { case (ef, es) => ef == file && line.contains(es) }

@@ -78,7 +78,17 @@ def cell_str(v) -> str:
     hexed, timestamps at microsecond ISO."""
     if v is None:
         return "NULL"
-    # NaT / pd.NA (scalar check only — arrays are handled below)
+    # NaT / pd.NA / float NaN (scalar check only — arrays are handled
+    # below). ADJUDICATED (r13 gate-instrument review): this unifies a
+    # float NaN with SQL NULL, which is a real cross-engine semantic
+    # difference — but the distinction is UNOBSERVABLE on this path:
+    # pandas materializes a parquet NULL in a float64 column AS np.nan
+    # (both for our read_parquet and for DuckDB's .df()), so by the
+    # time a cell reaches here the two cases are the same object, for
+    # this checker and for the driver's pandas-based hash alike. A
+    # query whose correctness hinges on NaN-vs-NULL must surface the
+    # distinction as its own boolean/int column (isnan(x), x IS NULL)
+    # rather than rely on the float cell.
     if not isinstance(v, (list, np.ndarray)) and pd.isna(v):
         return "NULL"
     # BEFORE the int branch: bool is a subclass of int, so a Python
