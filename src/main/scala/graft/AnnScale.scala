@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *
   *  - recall@5 against the brute-force exact top-5 on the same corpus
   *  - the measured candidate (scanned) fraction — probed-cell rows per
-  *    query over corpus size, i.e. what the pruning actually buys
-  *    (balanced cells ⇒ ≈ nprobe/ncells; the synthesized cells are
-  *    hash-sized, so the measured number is the honest one)
+  *    query over corpus size, i.e. what the pruning actually buys.
+  *    Cell sizes are deliberately SKEWED (hash-triangular, ~1:19
+  *    smallest:largest) so this column is a real measurement: the
+  *    first cut assigned labels round-robin, making every cell exactly
+  *    n/10 rows and the "measured" fraction arithmetically nprobe/10
+  *    for any possible probe set — a column that could not read cell
+  *    skew at all (the saturated-instrument class, r13 review)
   *
   * The claim under audit: at nprobe=2 of 10 cells the operator scans
   * ~20% of candidates with recall ≥ 0.9 on clustered data, and the
@@ -52,7 +56,13 @@ object AnnScale {
     */
   private[graft] def corpus(s: org.apache.spark.sql.SparkSession, n: Int): DataFrame =
     s.range(n.toLong).toDF("vec_id")
-      .withColumn("label", pmod(col("vec_id"), lit(nCells.toLong)))
+      // skewed cell assignment: u = md5-uniform in [0,1), label =
+      // floor(10·sqrt(u)) ⇒ P(label=j) = (2j+1)/100 — sizes ramp ~1:19
+      // across the 10 cells, the regime where scanned_fraction depends
+      // on WHICH cells the probes pick instead of collapsing to
+      // nprobe/10 by balance
+      .withColumn("label", expr(
+        "CAST(floor(10.0D * sqrt((CAST(conv(substr(md5(concat('l:', vec_id)), 1, 6), 16, 10) AS BIGINT) % 10000) / 10000.0D)) AS BIGINT)"))
       .withColumn("embedding", expr(
         s"""transform(sequence(0, ${d - 1}), i ->
            |  CAST(3.0D * (CAST(conv(substr(md5(concat('g:', i)), 1, 6), 16, 10) AS BIGINT) % 2000 - 1000) / 250.0 AS FLOAT)
@@ -89,6 +99,13 @@ object AnnScale {
         // via the operator's OWN quantizer (shared helper — a copy
         // here could silently desynchronize from what ivfTopK probes)
         val centroids = operators.SimilarityOps.ivfCentroids(e).localCheckpoint()
+        // untimed warm rep: the first ivfTopK execution pays codegen/
+        // classload/broadcast first-touch; without it the nprobe=1 row
+        // absorbed that cold cost and the recorded wall-vs-nprobe curve
+        // spiked exactly where scan cost should be lowest (r13 review —
+        // the warm-first protocol every other bench main follows)
+        operators.SimilarityOps.ivfTopK(e, q, nprobe = 1, k = k)
+          .write.format("noop").mode("overwrite").save()
         (1 to 5).foreach { nprobe =>
           val t0 = System.nanoTime()
           val got = operators.SimilarityOps.ivfTopK(e, q, nprobe = nprobe, k = k)

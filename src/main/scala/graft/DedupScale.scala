@@ -19,21 +19,34 @@ import org.apache.spark.sql.functions._
   *
   * A `dir@xN` argument synthesizes an N× corpus from `dir` by
   * DETERMINISTIC hash-derived token mutation (no RNG): variant k of a
-  * document replaces ~20% of its tokens — those where a fixed integer
-  * hash of (position, doc_id, k) lands in residue 0 mod 5 — with
-  * md5-derived replacements, then re-ids as doc_id·N + k. Each
-  * replaced token kills its 3 covering shingles, so variants share a
-  * minority of shingles with their parent: the synthesized corpus
-  * grows the DISTINCT signature population (what band saturation is
-  * about) rather than stacking exact copies into the same buckets.
-  * The fixture's 5k docs @ sf0.1 → 50k docs @ x10: one scale step
-  * past where SimHash32 already saturated.
+  * document replaces ~20% of its tokens — those where
+  * xxhash64(position, doc_id, k) lands in residue 0 mod 5 — with
+  * md5-derived replacements, then re-ids as doc_id·N + k. (The first
+  * cut used i·2654435761 + doc_id·1000003·k mod 5 — but 2654435761 ≡ 1
+  * and 1000003 ≡ 3 mod 5, so that "hash" degenerated to a pure
+  * position STRIDE: variants k and k+5 replaced identical position
+  * sets and every doc_id ≡ 0 mod 5 mutated the same stride across all
+  * its variants, correlating signatures the design claims are
+  * independent — r13 instrument review.) Each replaced token kills its
+  * 3 covering shingles, so variants share a minority of shingles with
+  * their parent: the synthesized corpus grows the DISTINCT signature
+  * population (what band saturation is about) rather than stacking
+  * exact copies into the same buckets. The fixture's 5k docs @ sf0.1 →
+  * 50k docs @ x10: one scale step past where SimHash32 already
+  * saturated.
   */
 object DedupScale {
 
-  /** Materialize the N× mutated corpus under /tmp and return its dir. */
+  /** Materialize the N× mutated corpus under /tmp and return its dir.
+    * Pid-scoped, caller removes on exit (main's finally): a fixed
+    * shared path let a concurrent run's overwrite delete part files
+    * under this run's in-flight scan — the q205 race class — and each
+    * run leaked a fixture-sized copy (r13 instrument review; same fix
+    * as Bench's rewrite).
+    */
   private def synthesize(spark: org.apache.spark.sql.SparkSession, srcDir: String, xf: Int): String = {
-    val out = s"/tmp/graft_dedup_scale/${operators.Relational.datasetKey(srcDir)}_x$xf"
+    val out = s"/tmp/graft_dedup_scale/pid${ProcessHandle.current().pid()}_" +
+      s"${operators.Relational.datasetKey(srcDir)}_x$xf"
     val base = Tables(spark, srcDir, "documents")
     base
       .crossJoin(spark.range(xf).toDF("k"))
@@ -42,7 +55,7 @@ object DedupScale {
         "toks2",
         expr(
           "transform(toks, (t, i) -> CASE WHEN k > 0 AND " +
-            "pmod(i * 2654435761 + doc_id * 1000003 * k, 5) = 0 " +
+            "pmod(xxhash64(i, doc_id, k), 5) = 0 " +
             "THEN substr(md5(concat(t, ':', CAST(doc_id AS STRING), ':', CAST(k AS STRING))), 1, 8) " +
             "ELSE t END)"))
       .select(
@@ -59,17 +72,26 @@ object DedupScale {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv()
+    val synthesized = scala.collection.mutable.Buffer.empty[String]
     try {
       specs.foreach { spec =>
         val (dir, label) = spec.split("@x", 2) match {
           case Array(src, n) =>
-            (synthesize(spark, src, n.toInt), s"${new java.io.File(src).getName}_x$n")
+            val d = synthesize(spark, src, n.toInt)
+            synthesized += d
+            (d, s"${new java.io.File(src).getName}_x$n")
           case _ => (spec, new java.io.File(spec).getName)
         }
         val sf = label
         val nDocs = Tables(spark, dir, "documents").count()
 
-        def report(family: String, buckets: org.apache.spark.sql.DataFrame): Unit = {
+        // nJoined: the doc population the family's join actually runs
+        // over — the ppjoin/containment frames DOUBLE the corpus (each
+        // doc + an 85%-prefix twin), so labeling their bucket stats
+        // with the base nDocs understated the joined population 2×
+        // (r13 instrument review)
+        def report(family: String, buckets: org.apache.spark.sql.DataFrame,
+            nJoined: Long = nDocs): Unit = {
           // buckets: one row per (bucket key, n docs in bucket)
           val stats = buckets
             .agg(
@@ -80,6 +102,7 @@ object DedupScale {
             .head()
           println(
             s"""{"metric":"dedup_scale","sf":"$sf","family":"$family","n_docs":$nDocs,""" +
+              s""""n_docs_joined":$nJoined,""" +
               s""""n_buckets":${stats.getLong(0)},"max_bucket":${stats.getLong(1)},""" +
               s""""p99_bucket":${stats.getDouble(2)},"cand_pairs":${stats.getLong(3)}}""")
         }
@@ -88,18 +111,18 @@ object DedupScale {
           graft.operators.DedupOps.minhashBands(spark, dir)
             .groupBy("band", "sig").agg(count(lit(1)).as("n")))
 
+        // banding via the operators' OWN simhashBandRows — a copy here
+        // once carried `& 255` vs q29's `% 256` (equal only while the
+        // signature stays non-negative); one implementation means the
+        // audit measures the buckets the joins actually key on
         val sig32 = SparkEntry.queries("q28_simhash")(spark, dir).localCheckpoint()
         report("simhash32_4x8",
-          sig32
-            .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
-            .withColumn("bv", expr("shiftright(simhash, 8 * b) & 255"))
+          graft.operators.DedupOps.simhashBandRows(sig32, "simhash", nBands = 4, width = 8)
             .groupBy("b", "bv").agg(count(lit(1)).as("n")))
 
         val sig64 = SparkEntry.queries("q28b_simhash64")(spark, dir).localCheckpoint()
         report("simhash64_4x16",
-          sig64
-            .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 3)")).as("b"))
-            .withColumn("bv", expr("shiftright(simhash64, 16 * b) & 65535"))
+          graft.operators.DedupOps.simhashBandRows(sig64, "simhash64", nBands = 4, width = 16)
             .groupBy("b", "bv").agg(count(lit(1)).as("n")))
 
         // q29c's widened banding: 2 bands × 32 bits (2^32 buckets per
@@ -108,9 +131,7 @@ object DedupScale {
         // occupancy stays ~zero (max bucket = true near-identical
         // collisions, not hash crowding).
         report("simhash64_2x32",
-          sig64
-            .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 1)")).as("b"))
-            .withColumn("bv", expr("shiftright(simhash64, 32 * b) & 4294967295"))
+          graft.operators.DedupOps.simhashBandRows(sig64, "simhash64", nBands = 2, width = 32)
             .groupBy("b", "bv").agg(count(lit(1)).as("n")))
 
         // q142 PPJoin: buckets are the inverted lists candidate
@@ -120,10 +141,11 @@ object DedupScale {
         // pruning factor, and its growth across scales is the claim
         // under audit.
         val (allSh, prefix, _, _) = graft.operators.DedupOps.ppjoinFrames(spark, dir)
+        val ppDocs = allSh.select("doc_id").distinct().count()
         report("ppjoin_prefix",
-          prefix.groupBy("sh").agg(count(lit(1)).as("n")))
+          prefix.groupBy("sh").agg(count(lit(1)).as("n")), nJoined = ppDocs)
         report("inverted_all",
-          allSh.groupBy("sh").agg(count(lit(1)).as("n")))
+          allSh.groupBy("sh").agg(count(lit(1)).as("n")), nJoined = ppDocs)
 
         // q177 containment join: ASYMMETRIC prefix — each doc's
         // L = n−⌈0.8n⌉+1 rarest shingles joined against FULL inverted
@@ -135,6 +157,7 @@ object DedupScale {
         // inverted_all row above.
         val (csh, cprefix, _, _) =
           graft.operators.DedupOps.containmentFrames(spark, dir)
+        val cDocs = csh.select("doc_id").distinct().count()
         val cstats = cprefix.groupBy("sh").agg(count(lit(1)).as("np"))
           .join(csh.groupBy("sh").agg(count(lit(1)).as("nf")), "sh")
           .agg(
@@ -145,9 +168,17 @@ object DedupScale {
           .head()
         println(
           s"""{"metric":"dedup_scale","sf":"$sf","family":"containment_prefix","n_docs":$nDocs,""" +
+            s""""n_docs_joined":$cDocs,""" +
             s""""n_buckets":${cstats.getLong(0)},"max_bucket":${cstats.getLong(1)},""" +
             s""""p99_bucket":${cstats.getDouble(2)},"cand_pairs":${cstats.getLong(3)}}""")
       }
-    } finally spark.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      synthesized.foreach(d => rm(new java.io.File(d)))
+      spark.stop()
+    }
   }
 }

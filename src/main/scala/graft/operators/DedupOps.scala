@@ -178,6 +178,29 @@ object DedupOps {
         col("bs.band").cast("int").as("band"),
         col("bs.sig").as("sig"))
 
+  /** SimHash banding shared by the q29 family's joins AND the
+    * DedupScale bucket audit — ONE implementation so the measured
+    * bucket statistics can never silently desynchronize from the band
+    * keys the joins actually use (r13 instrument review: DedupScale
+    * carried a hand-copied `& 255` vs q29's `% 256` — equal today only
+    * because the 32-bit signature is non-negative). Returns one row
+    * per (doc, band): (doc_id, <sigCol>, b, bv). The 8-bit slice keeps
+    * `% 256` (the spelling the DuckDB oracle uses — identical to
+    * `& 255` for the non-negative 32-bit signature); wider slices use
+    * arithmetic shift + mask, where sign-fill lands above the mask so
+    * negative 64-bit signatures band identically cross-engine.
+    */
+  private[graft] def simhashBandRows(
+      sig: DataFrame, sigCol: String, nBands: Int, width: Int): DataFrame = {
+    val slice =
+      if (width == 8) s"shiftright($sigCol, 8 * b) % 256"
+      else s"shiftright($sigCol, $width * b) & ${(1L << width) - 1}"
+    sig
+      .select(col("doc_id"), col(sigCol),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("b"))
+      .withColumn("bv", expr(slice))
+  }
+
   /** The original grouped signature fold — all 16 permutation minima
     * as aggregate columns of one map-side-combinable groupBy over the
     * exploded shingle stream. Kept as the independent reference
@@ -405,12 +428,7 @@ object DedupOps {
       "q29b_simhash64_pairs",
       (s, dir) => {
         val sig = simhashSig64(s, dir).localCheckpoint()
-        val bands = sig
-          .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 3)")).as("b"))
-          // arithmetic shift + mask extracts bits 16b..16b+15 even for
-          // negative signatures (sign-fill lands above the mask) —
-          // verified identical in Spark and DuckDB
-          .withColumn("bv", expr("shiftright(simhash64, 16 * b) & 65535"))
+        val bands = simhashBandRows(sig, "simhash64", nBands = 4, width = 16)
         bands.as("a")
           .join(
             bands.as("b"),
@@ -449,11 +467,7 @@ object DedupOps {
       "q29c_simhash64_wide_pairs",
       (s, dir) => {
         val sig = simhashSig64(s, dir).localCheckpoint()
-        val bands = sig
-          .select(col("doc_id"), col("simhash64"), explode(expr("sequence(0, 1)")).as("b"))
-          // arithmetic shift + 32-bit mask: sign-fill lands above the
-          // mask, so negative signatures band identically cross-engine
-          .withColumn("bv", expr("shiftright(simhash64, 32 * b) & 4294967295"))
+        val bands = simhashBandRows(sig, "simhash64", nBands = 2, width = 32)
         bands.as("a")
           .join(
             bands.as("b"),
@@ -489,9 +503,7 @@ object DedupOps {
         // self-join must not recompute the 2-shuffle simhash pipeline
         // on both sides
         val sig = simhashSig(s, dir).localCheckpoint()
-        val bands = sig
-          .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("bv", expr("shiftright(simhash, 8 * b) % 256"))
+        val bands = simhashBandRows(sig, "simhash", nBands = 4, width = 8)
         bands.as("a")
           .join(
             bands.as("b"),
