@@ -139,21 +139,28 @@ object GraftFunctions {
     * session must register UNCONDITIONALLY — a check-before-register
     * (`functionExists`) would silently keep a same-named foreign entry
     * (e.g. a future Spark builtin colliding with `might_contain`) and
-    * run different semantics with no error. So: track completion per
-    * (session, registrar) in a weak map; first caller registers and may
-    * legitimately warn once on a genuine collision, later callers
-    * no-op. WeakHashMap so dropped sessions don't pin.
+    * run different semantics with no error. So: memoize completion per
+    * (session, registrar) with lazy-once semantics — the body runs
+    * INSIDE `computeIfAbsent`'s mapping function, so completion is
+    * recorded only on success (a partial-failure throw leaves the key
+    * absent and the next caller retries), and a concurrent first caller
+    * blocks until registration finishes instead of no-op'ing against a
+    * half-registered session (r13 advice). Registrar bodies must not
+    * call back into oncePerSession (nested compute on the same map is
+    * illegal) — none do; they only call `registerFunction`/`udf
+    * .register`. WeakHashMap so dropped sessions don't pin.
     */
   private val doneBySession = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+    new java.util.WeakHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
   private[functions] def oncePerSession(
       spark: SparkSession, registrar: String)(body: => Unit): Unit = {
-    val set = doneBySession.synchronized {
+    val map = doneBySession.synchronized {
       doneBySession.computeIfAbsent(
-        spark, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        spark, _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
     }
-    if (set.add(registrar)) body
+    map.computeIfAbsent(registrar, _ => { body; java.lang.Boolean.TRUE })
   }
 
   /** Imperative registration into an existing session (the driver

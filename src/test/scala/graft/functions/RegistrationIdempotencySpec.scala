@@ -80,6 +80,63 @@ class RegistrationIdempotencySpec extends SparkSpec {
       .head().getDouble(0) == 11.0)
   }
 
+  test("a registrar body that throws is retried on the next call") {
+    // r13 advice: completion must be recorded only on SUCCESS — a
+    // partial-failure first call must not leave later callers silently
+    // no-op'ing against an un-registered session
+    val s2 = spark.newSession()
+    var calls = 0
+    intercept[RuntimeException] {
+      GraftFunctions.oncePerSession(s2, "graft_retry_probe") {
+        calls += 1; throw new RuntimeException("partial registration")
+      }
+    }
+    GraftFunctions.oncePerSession(s2, "graft_retry_probe") { calls += 1 }
+    assert(calls == 2, s"failed body was not retried (calls=$calls)")
+    // and completion IS now recorded: a third call no-ops
+    GraftFunctions.oncePerSession(s2, "graft_retry_probe") { calls += 1 }
+    assert(calls == 2, s"successful body re-ran (calls=$calls)")
+  }
+
+  test("concurrent first callers run the body exactly once, none no-op early") {
+    // r13 advice: a second thread racing the first call must BLOCK
+    // until registration completes, not return against a
+    // half-registered session. The winner's body parks on `release`,
+    // which the main thread opens only after giving every loser time
+    // to hit the guard — a non-blocking guard (the old set.add) lets
+    // the losers return while the body is still parked, observable as
+    // done=false.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val s2 = spark.newSession()
+    val n = 8
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val release = new CountDownLatch(1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sawUndone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        GraftFunctions.oncePerSession(s2, "graft_race_probe") {
+          calls.incrementAndGet(): Unit
+          assert(release.await(20, TimeUnit.SECONDS), "release latch timeout")
+          done.set(true)
+        }
+        if (!done.get()) sawUndone.incrementAndGet(): Unit
+      })
+    }
+    threads.foreach(_.start())
+    // wait until the winner is inside the body, then give the losers
+    // time to reach the guard before letting the body complete
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (calls.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(calls.get() == 1, "no thread entered the body")
+    Thread.sleep(500)
+    release.countDown()
+    threads.foreach(_.join(30000))
+    assert(calls.get() == 1, s"body ran ${calls.get()} times")
+    assert(sawUndone.get() == 0,
+      s"${sawUndone.get()} callers returned before registration completed")
+  }
+
   test("first registration per session replaces a foreign same-named entry") {
     // the precedence half of the guard's contract: skipping-if-exists
     // would silently keep a colliding foreign function (wrong
