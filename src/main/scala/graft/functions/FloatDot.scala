@@ -147,20 +147,39 @@ object GraftFunctions {
     * blocks until registration finishes instead of no-op'ing against a
     * half-registered session (r13 advice). Registrar bodies must not
     * call back into oncePerSession (nested compute on the same map is
-    * illegal) — none do; they only call `registerFunction`/`udf
-    * .register`. WeakHashMap so dropped sessions don't pin.
+    * illegal, and a body blocking on another bin's lock can deadlock) —
+    * enforced fail-fast by a per-thread guard (r14 advice), not just by
+    * this comment: a re-entrant call throws IllegalStateException
+    * before touching the map, leaving the outer key absent so a
+    * corrected retry still works. WeakHashMap so dropped sessions
+    * don't pin.
     */
   private val doneBySession = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[
       SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
+  // registrar body currently running on this thread (null = none)
+  private val inBody = new ThreadLocal[String]()
+
   private[functions] def oncePerSession(
       spark: SparkSession, registrar: String)(body: => Unit): Unit = {
+    val running = inBody.get()
+    if (running != null)
+      throw new IllegalStateException(
+        s"oncePerSession('$registrar') re-entered from inside registrar " +
+          s"'$running' — registrar bodies must not call back into " +
+          "oncePerSession (nested computeIfAbsent while holding a bin " +
+          "lock can deadlock); registrar bodies should only call " +
+          "registerFunction/udf.register")
     val map = doneBySession.synchronized {
       doneBySession.computeIfAbsent(
         spark, _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
     }
-    map.computeIfAbsent(registrar, _ => { body; java.lang.Boolean.TRUE })
+    map.computeIfAbsent(registrar, _ => {
+      inBody.set(registrar)
+      try { body; java.lang.Boolean.TRUE }
+      finally inBody.remove()
+    })
   }
 
   /** Imperative registration into an existing session (the driver

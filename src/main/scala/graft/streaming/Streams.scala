@@ -512,12 +512,20 @@ object Streams {
     * before the probes, so the only stream state is the final
     * per-document flag fold, watermark-bounded. Both probes are
     * stream-static LEFT joins against corpus-sized SIGNATURE tables
-    * keyed on (band, sig) and md5 — the corpus text never moves, the
-    * static sides are loaded once per micro-batch plan and are
-    * broadcast- or shuffled-hash-joined like any dim. Corpus signatures
-    * are precomputed once (exactly how the batch side of q128 builds
-    * them); the stop-shingle array is the static artifact of
-    * [[graft.operators.DedupOps.stopShingleRow]].
+    * keyed on (band, sig) and md5 — the corpus text never moves. The
+    * static sides are SNAPSHOTTED ONCE, eagerly, at stream declaration
+    * (the `localCheckpoint()` calls below): later updates to
+    * `corpusFp`/`corpusBands` are silently NOT picked up — restart the
+    * stream (or rebuild it periodically from foreachBatch) to refresh
+    * the corpus. Durability caveat of the single-box form: the
+    * checkpointed blocks are non-replicated executor-resident RDD
+    * blocks, so on executor loss the static side cannot be recomputed
+    * and the query fails — on a real cluster, replace the
+    * localCheckpoint with a bucketed signature TABLE written by the
+    * batch side (same once-not-per-batch discipline, durable).
+    * Corpus signatures are precomputed once (exactly how the batch
+    * side of q128 builds them); the stop-shingle array is the static
+    * artifact of [[graft.operators.DedupOps.stopShingleRow]].
     *
     * Emission: append mode — a document's decision row finalizes when
     * the watermark passes its event time (the flag fold groups on the

@@ -59,6 +59,43 @@ class ConventionScanSpec extends AnyFunSuite {
     assert(out(4).contains("b"))
   }
 
+  test("interpolation with a nested quoted arg cannot flip string state") {
+    // r13 gate review / r14 verdict task: a `"` inside `${...}` flipped
+    // the old lexer's string state, so the `//` that is really string
+    // CONTENT after the interpolation became a "line comment" and
+    // blanked live code to the right of the literal
+    val src = """val u = s"${m("k")}//p"; val b = broadcast(f)"""
+    val out = strip(src)
+    assert(out(0).contains("broadcast(f)"), out(0))
+  }
+
+  test("comments inside a ${...} interpolation block are blanked") {
+    // the dual hole: once inside ${...} we are lexing CODE again, so a
+    // real line comment there must be blanked, not copied as "string"
+    val src = "val u = s\"\"\"${ x // broadcast(g)\n} tail\"\"\"\nval b = broadcast(f)"
+    val out = strip(src)
+    assert(!out(0).contains("broadcast(g)"), out(0))
+    assert(out(2).contains("broadcast(f)"), out.mkString("|"))
+  }
+
+  test("nested braces and nested strings inside ${...} are tracked") {
+    val src = """val u = s"${ if (a) {m("}")} else {n} } t"; val b = broadcast(f)"""
+    val out = strip(src)
+    assert(out(0).contains("broadcast(f)"), out(0))
+  }
+
+  test("escaped $$ does not open an interpolation frame") {
+    val src = """val u = s"cost $$ {"; val b = broadcast(f)"""
+    val out = strip(src)
+    assert(out(0).contains("broadcast(f)"), out(0))
+  }
+
+  test("non-interpolated string: ${ and nested quotes are plain content") {
+    val src = """val u = "lit ${m(\"k\")}//x"; val b = broadcast(f)"""
+    val out = strip(src)
+    assert(out(0).contains("broadcast(f)"), out(0))
+  }
+
   test("recursive file discovery sees nested packages") {
     val files = ConventionScan.scalaFiles("src/main/scala/graft")
     assert(files.exists(_.getName == "Streams.scala"), "nested streaming/ not walked")

@@ -113,14 +113,23 @@ class RegistrationIdempotencySpec extends SparkSpec {
     val release = new CountDownLatch(1)
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val sawUndone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // r14 advice: a failure INSIDE a spawned thread (e.g. the winner's
+    // latch-timeout assert) must surface as the test's cause, not be
+    // swallowed and re-reported as a misleading 'body ran 2 times'
+    val inThreadFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val threads = (1 to n).map { _ =>
       new Thread(() => {
-        GraftFunctions.oncePerSession(s2, "graft_race_probe") {
-          calls.incrementAndGet(): Unit
-          assert(release.await(20, TimeUnit.SECONDS), "release latch timeout")
-          done.set(true)
+        try {
+          GraftFunctions.oncePerSession(s2, "graft_race_probe") {
+            calls.incrementAndGet(): Unit
+            assert(release.await(20, TimeUnit.SECONDS), "release latch timeout")
+            done.set(true)
+          }
+          if (!done.get()) sawUndone.incrementAndGet(): Unit
+        } catch {
+          case t: Throwable => inThreadFailure.compareAndSet(null, t): Unit
         }
-        if (!done.get()) sawUndone.incrementAndGet(): Unit
       })
     }
     threads.foreach(_.start())
@@ -132,9 +141,30 @@ class RegistrationIdempotencySpec extends SparkSpec {
     Thread.sleep(500)
     release.countDown()
     threads.foreach(_.join(30000))
+    Option(inThreadFailure.get()).foreach(t =>
+      throw new AssertionError(s"in-thread failure: ${t.getMessage}", t))
     assert(calls.get() == 1, s"body ran ${calls.get()} times")
     assert(sawUndone.get() == 0,
       s"${sawUndone.get()} callers returned before registration completed")
+  }
+
+  test("a registrar body that re-enters oncePerSession fails fast") {
+    // r14 advice: the no-reentrancy constraint (nested computeIfAbsent
+    // under a bin lock can deadlock) was enforced only by comment; now
+    // a per-thread guard throws with a message naming both registrars
+    val s2 = spark.newSession()
+    val ex = intercept[IllegalStateException] {
+      GraftFunctions.oncePerSession(s2, "graft_reenter_outer") {
+        GraftFunctions.oncePerSession(s2, "graft_reenter_inner") {}
+      }
+    }
+    assert(ex.getMessage.contains("re-entered") &&
+      ex.getMessage.contains("graft_reenter_outer") &&
+      ex.getMessage.contains("graft_reenter_inner"), ex.getMessage)
+    // the failed outer key is left absent: a corrected body retries
+    var ran = false
+    GraftFunctions.oncePerSession(s2, "graft_reenter_outer") { ran = true }
+    assert(ran, "outer registrar was not retried after the fail-fast")
   }
 
   test("first registration per session replaces a foreign same-named entry") {

@@ -175,6 +175,30 @@ class BroadcastConventionSpec extends AnyFunSuite {
       """|hint\(\s*"(?:broadcast|broadcastjoin|mapjoin)"""" +
       """|\bbroadcast\s*=>""").r
 
+  /** Hint sites per line index (line of the match START). Scanned over
+    * the joined comment-stripped source, not per line: `\s*` in siteRe
+    * then matches across a line break, so a wrapped
+    * `.hint(\n"broadcast")` cannot escape the gate (r13 ADVICE 4 /
+    * r14 verdict task 4 — the per-line scan was a silent-pass hole).
+    */
+  private def findSites(lines: Vector[String]): Map[Int, Int] = {
+    val text = lines.mkString("\n")
+    // line-start offsets: starts(i) = offset of line i in `text`
+    val starts = lines.scanLeft(0)((acc, l) => acc + l.length + 1).toArray
+    siteRe.findAllMatchIn(text).toList
+      .groupBy { m =>
+        val idx = java.util.Arrays.binarySearch(starts, m.start)
+        if (idx >= 0) idx else -idx - 2
+      }
+      .map { case (lineIdx, ms) => lineIdx -> ms.size }
+  }
+
+  test("a hint wrapped across lines is still a site") {
+    val sites = findSites(Vector("val j = big.hint(", "  \"broadcast\").join(x)"))
+    assert(sites.values.sum == 1, s"wrapped hint escaped the scan: $sites")
+    assert(sites.contains(0), s"site should anchor at the hint( line: $sites")
+  }
+
   test("every forced broadcast names its size bound in the allowlist") {
     val files = graft.ConventionScan.scalaFiles("src/main/scala/graft")
     assert(files.nonEmpty, "main source discovery broke")
@@ -184,9 +208,10 @@ class BroadcastConventionSpec extends AnyFunSuite {
       .withDefaultValue(0)
     val hits = files.flatMap { f =>
       val lines = graft.ConventionScan.codeLines(f)
+      val sitesByLine = findSites(lines)
       lines.indices.flatMap { i =>
         val code = lines(i)
-        val n = siteRe.findAllIn(code).size
+        val n = sitesByLine.getOrElse(i, 0)
         if (n == 0) None
         else {
           sites += n
