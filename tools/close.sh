@@ -69,10 +69,32 @@ fi
 # cross-round per-query regression checks need this durable copy (both
 # layouts + normalized columns + calibration). Gated on THIS run's
 # bench having succeeded — never copy a stale artifact.
+#
+# Calm-freeze protection (r13 task, executed r15): when a round closes
+# more than once, cross-round diffs must compare calm-vs-calm — a later
+# re-freeze under host load (cal_stable=false) must NOT displace an
+# earlier calm map (cal_stable=true) as the round's primary artifact.
+# The loaded re-run is still recorded, under a _loaded suffix.
 if [ "$bench_ok" -eq 1 ] && [ -f target/bench.json ] && [ -n "$ROUND" ]; then
   mkdir -p bench
-  cp target/bench.json "bench/bench_r${ROUND}.json"
-  echo "bench artifact -> bench/bench_r${ROUND}.json (commit it with the close record)"
+  python3 - "$ROUND" <<'EOF'
+import json, shutil, sys
+round_n = sys.argv[1]
+primary = f"bench/bench_r{round_n}.json"
+new = json.load(open('target/bench.json'))
+try:
+    old = json.load(open(primary))
+except FileNotFoundError:
+    old = None
+if old is not None and old.get('cal_stable') is True and new.get('cal_stable') is not True:
+    dest = f"bench/bench_r{round_n}_loaded.json"
+    shutil.copy('target/bench.json', dest)
+    print(f"bench artifact -> {dest} (primary {primary} kept: it is "
+          f"cal_stable=true, this run is cal_stable={new.get('cal_stable')})")
+else:
+    shutil.copy('target/bench.json', primary)
+    print(f"bench artifact -> {primary} (commit it with the close record)")
+EOF
 else
   echo "WARN: no target/bench.json or no round number — in-repo bench artifact not written"
 fi
