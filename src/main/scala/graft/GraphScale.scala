@@ -31,8 +31,19 @@ import org.apache.spark.sql.functions._
   * read after a short settle; the per-run error is ≪ the 10×
   * between-scale signal being measured).
   *
-  * Usage: runMain graft.GraphScale [dir|dir@xN ...]
+  * Usage: runMain graft.GraphScale [dir[@xN][@pP] ...]
   *        (default: sf0.1 and sf0.1@x10)
+  *
+  * `@pP` sets `spark.sql.shuffle.partitions` to P for that pass only
+  * (restored after) — the partition-sizing dial the r13 memory table
+  * adjudicated in prose. AQE (on) only COALESCES partitions — it can
+  * never split a too-big non-skewed partition above the initial
+  * count — so the initial count is the deployment's lever and this
+  * flag measures it instead of arguing it. The r15 run sharpened the
+  * claim: the per-query MAX task peak does NOT return to the 1× band
+  * at `@x10@p320` (it is pool-dynamics-bound — see the listener note
+  * below), while the per-task MEDIAN (`task_exec_p50_mb`) is the
+  * statistic that tracks bytes-per-partition and spill risk.
   */
 object GraphScale {
 
@@ -83,60 +94,95 @@ object GraphScale {
     // query — the falsifiability failure class).
     val peakHeap = new java.util.concurrent.atomic.AtomicLong
     val peakTaskExec = new java.util.concurrent.atomic.AtomicLong
+    // per-task peaks, kept individually: the MAX over tasks is pool-
+    // dynamics-bound in a shared local JVM (a task may greedily grab
+    // up to pool/activeTasks, so smaller faster tasks → fewer active
+    // near stage tails → BIGGER single-task grabs — the r15 @p320 run
+    // read a HIGHER max at 10× the partitions), so the statistic that
+    // actually tracks bytes-per-partition (the spill-risk claim) is a
+    // per-task QUANTILE over the tasks that used execution memory.
+    val taskExecPeaks = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         Option(te.taskMetrics).foreach { m =>
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
           peakTaskExec.accumulateAndGet(m.peakExecutionMemory, math.max): Unit
+          if (m.peakExecutionMemory > 0)
+            taskExecPeaks.add(m.peakExecutionMemory): Unit
         }
         Option(te.taskExecutorMetrics).foreach { em =>
           peakHeap.accumulateAndGet(em.getMetricValue("JVMHeapMemory"), math.max): Unit
         }
       }
     })
+    // one scale pass: corpus dir + shuffle-partition setting are set
+    // up by the spec loop below
+    def runScale(dir: String, label: String): Unit = {
+      val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+      val nOrders = Tables(spark, dir, "orders").count()
+      // the structural quantity every claim is phrased against
+      val nEdges = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("o_custkey", "l_suppkey").distinct().count()
+      peakHeap.set(0) // per-SCALE window (see the JVM-global note above)
+      queries.foreach { q =>
+        val fn = SparkEntry.queries(q)
+        // warm rep: classloading/codegen/scan cache out of the reading
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        Thread.sleep(1000)
+        shufRead.set(0); shufWrite.set(0)
+        peakTaskExec.set(0)
+        taskExecPeaks.clear()
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener settle
+        // snapshot BEFORE the untimed row-count action re-executes
+        // the plan and pollutes the counters
+        val (sr, sw) = (shufRead.get, shufWrite.get)
+        val pe = peakTaskExec.get
+        val peaks = {
+          import scala.jdk.CollectionConverters._
+          taskExecPeaks.iterator().asScala.map(_.longValue).toArray.sorted
+        }
+        val p50 = if (peaks.isEmpty) 0L else peaks(peaks.length / 2)
+        val rows = df.count()
+        def mb(b: Long): Double = math.rint(b / 1048.576) / 1000
+        println(
+          s"""{"metric":"graph_scale","sf":"$label","query":"$q","n_orders":$nOrders,""" +
+            s""""n_edges":$nEdges,"shuffle_partitions":$shufflePartitions,""" +
+            s""""wall_s":${math.rint(wall * 1000) / 1000},"rows":$rows,""" +
+            s""""shuffle_read_mb":${mb(sr)},"shuffle_write_mb":${mb(sw)},""" +
+            s""""peak_task_exec_mb":${mb(pe)},"task_exec_p50_mb":${mb(p50)},""" +
+            s""""n_mem_tasks":${peaks.length}}""")
+      }
+      // JVM-global heap peak across this scale's whole query family
+      val heapMb = math.rint(peakHeap.get / 1048.576) / 1000
+      println(
+        s"""{"metric":"graph_scale_mem","sf":"$label","peak_heap_mb":$heapMb}""")
+    }
+
     try {
       specs.foreach { spec =>
-        val (dir, label) = spec.split("@x", 2) match {
-          case Array(src, n) =>
-            (synthesize(spark, src, n.toInt), s"${new java.io.File(src).getName}_x$n")
-          case _ => (spec, new java.io.File(spec).getName)
+        // dir[@xN][@pP] — N: corpus replication, P: shuffle partitions
+        val parts = spec.split("@")
+        val src = parts.head
+        val xf = parts.tail.collectFirst { case t if t.startsWith("x") => t.drop(1).toInt }
+        val np = parts.tail.collectFirst { case t if t.startsWith("p") => t.drop(1).toInt }
+        require(parts.tail.forall(t => t.startsWith("x") || t.startsWith("p")),
+          s"bad spec '$spec': expected dir[@xN][@pP]")
+        val (dir, baseLabel) = xf match {
+          case Some(n) => (synthesize(spark, src, n), s"${new java.io.File(src).getName}_x$n")
+          case None => (src, new java.io.File(src).getName)
         }
-        val nOrders = Tables(spark, dir, "orders").count()
-        // the structural quantity every claim is phrased against
-        val nEdges = Tables(spark, dir, "lineitem")
-          .join(Tables(spark, dir, "orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select("o_custkey", "l_suppkey").distinct().count()
-        peakHeap.set(0) // per-SCALE window (see the JVM-global note above)
-        queries.foreach { q =>
-          val fn = SparkEntry.queries(q)
-          // warm rep: classloading/codegen/scan cache out of the reading
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          Thread.sleep(1000)
-          shufRead.set(0); shufWrite.set(0)
-          peakTaskExec.set(0)
-          val t0 = System.nanoTime()
-          val df = fn(spark, dir)
-          df.write.format("noop").mode("overwrite").save()
-          val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(1000) // listener settle
-          // snapshot BEFORE the untimed row-count action re-executes
-          // the plan and pollutes the counters
-          val (sr, sw) = (shufRead.get, shufWrite.get)
-          val pe = peakTaskExec.get
-          val rows = df.count()
-          def mb(b: Long): Double = math.rint(b / 1048.576) / 1000
-          println(
-            s"""{"metric":"graph_scale","sf":"$label","query":"$q","n_orders":$nOrders,""" +
-              s""""n_edges":$nEdges,"wall_s":${math.rint(wall * 1000) / 1000},"rows":$rows,""" +
-              s""""shuffle_read_mb":${mb(sr)},"shuffle_write_mb":${mb(sw)},""" +
-              s""""peak_task_exec_mb":${mb(pe)}}""")
-        }
-        // JVM-global heap peak across this scale's whole query family
-        val heapMb = math.rint(peakHeap.get / 1048.576) / 1000
-        println(
-          s"""{"metric":"graph_scale_mem","sf":"$label","peak_heap_mb":$heapMb}""")
+        val label = np.map(p => s"${baseLabel}_p$p").getOrElse(baseLabel)
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        np.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+        try runScale(dir, label)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
     } finally spark.stop()
   }
