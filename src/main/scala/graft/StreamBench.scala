@@ -189,6 +189,15 @@ object StreamBench {
       val evMean = evRows.iterator.map(_.value).sum / evRows.length.max(1)
       benchTwin("twap", evRows, 10000)(df =>
         graft.streaming.Streams.twapStream(df, lateness = "1 hour"))
+      // two-point batch-size sweep on the slowest events twin (VERDICT
+      // r13 #5, executed r15): the events fixture can't grow the batch
+      // past the ÷5 floor, so the second point shrinks it — if
+      // micro-batch fixed cost dominates (the incremental_dedup
+      // adjudication), quartering the batch cuts rows/sec toward ~4×
+      // while mean_batch_ms stays near-flat, confirming throughput is
+      // the batch-size dial, not a state bottleneck.
+      benchTwin("twap_small", evRows, 2500)(df =>
+        graft.streaming.Streams.twapStream(df, lateness = "1 hour"))
       benchTwin("upsert", evRows, 10000, mode = "update")(df =>
         graft.streaming.Streams.upsertStream(df))
       benchTwin("attribution", evRows, 10000)(df =>
