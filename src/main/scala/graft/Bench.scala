@@ -61,6 +61,27 @@ object Bench {
     (nThreads * tSingle / tWall, tSingle, tWall)
   }
 
+  /** Pre/post-calibration summary — ONE implementation of the
+    * normalization formula, the 0.15 cal_stable threshold, and
+    * load_factor, shared by every main that adjudicates a wall time
+    * against host load (Bench, LuadPipeline's e2e line). Tuning the
+    * threshold or the formula here moves ALL consumers together —
+    * duplicated copies would silently diverge and cross-round rows
+    * would be adjudicated under different stability rules (r15 review
+    * finding).
+    */
+  private[graft] final case class Calibration(
+      effPre: Double, effPost: Double, nominal: Int) {
+    val effMean: Double = (effPre + effPost) / 2
+    val spread: Double = math.abs(effPre - effPost) / effMean
+    // 0.15 relative spread ≈ the band quiet hosts stay inside; a
+    // mid-run load change blows past it → read the RAW column
+    val stable: Boolean = spread < 0.15
+    val loadFactor: Double = nominal / effMean
+    /** raw wall → the wall this run would post at nominal throughput */
+    def normalize(v: Double): Double = v * effMean / nominal
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -188,22 +209,20 @@ object Bench {
     // direction on both sides of any cross-run ratio. The mean of the
     // pre/post calibrations is used; a large pre/post spread means the
     // load changed mid-run and the raw column is the honest one.
-    val effMean = (calPre._1 + calPost._1) / 2
     // cal_stable mechanizes the "large pre/post spread → read the raw
     // column" caveat (ADVICE r11): consumers can gate on it instead of
-    // re-deriving the rule from prose. 0.15 relative spread ≈ the
-    // band quiet hosts stay inside; a mid-run load change blows past it.
-    val calSpread = math.abs(calPre._1 - calPost._1) / effMean
-    val calStable = calSpread < 0.15
-    def norm(v: Double): Double = r3(v * effMean / nominal)
+    // re-deriving the rule from prose. Formula + threshold live in
+    // [[Calibration]], shared with the e2e runner.
+    val c = Calibration(calPre._1, calPost._1, nominal)
+    def norm(v: Double): Double = r3(c.normalize(v))
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + norm(v) }
       .mkString("{", ",", "}")
     val normTotal = norm(results.map(_._2).sum)
     val cal =
       s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)},""" +
         s""""single_s":${r3(calPre._2)},"wall32_s":${r3(calPre._3)}},""" +
-        s""""cal_spread":${r3(calSpread)},"cal_stable":$calStable,""" +
-        s""""load_factor":${r3(nominal / effMean)},"value_normalized":$normTotal"""
+        s""""cal_spread":${r3(c.spread)},"cal_stable":${c.stable},""" +
+        s""""load_factor":${r3(c.loadFactor)},"value_normalized":$normTotal"""
     val totalSingle = r3(resultsSingle.map(_._2).sum)
     // the per-query normalized + single-file columns go ONLY to the
     // durable artifact: the driver keeps a bounded stdout tail, and

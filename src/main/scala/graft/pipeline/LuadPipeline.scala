@@ -151,16 +151,17 @@ object LuadPipeline {
     val calPost = graft.Bench.effectiveCores(nominal)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def r1(v: Double): Double = math.rint(v * 10) / 10
-    val effMean = (calPre._1 + calPost._1) / 2
-    val calSpread = math.abs(calPre._1 - calPost._1) / effMean
+    // normalization formula + cal_stable threshold are Bench's, by
+    // construction (shared Calibration), not by parallel maintenance
+    val c = graft.Bench.Calibration(calPre._1, calPost._1, nominal)
     System.err.println(
       s"""{"metric":"luad_e2e","pipeline_s":${r3(pipelineS)},""" +
-        s""""pipeline_normalized_s":${r3(pipelineS * effMean / nominal)},""" +
+        s""""pipeline_normalized_s":${r3(c.normalize(pipelineS))},""" +
         s""""session_s":${r3(sessionS)},""" +
         s""""n_probes_before":${result.nProbesBefore},"n_probes_after":${result.nProbesAfter},""" +
         s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)}},""" +
-        s""""cal_spread":${r3(calSpread)},"cal_stable":${calSpread < 0.15},""" +
-        s""""load_factor":${r3(nominal / effMean)}}""")
+        s""""cal_spread":${r3(c.spread)},"cal_stable":${c.stable},""" +
+        s""""load_factor":${r3(c.loadFactor)}}""")
     spark.stop()
   }
 }

@@ -77,17 +77,33 @@ fi
 # The loaded re-run is still recorded, under a _loaded suffix.
 if [ "$bench_ok" -eq 1 ] && [ -f target/bench.json ] && [ -n "$ROUND" ]; then
   mkdir -p bench
-  python3 - "$ROUND" <<'EOF'
-import json, shutil, sys
+  # the copy is part of the gate: a python failure here (corrupt JSON,
+  # full disk) must turn the chain RED, not scroll past a green close
+  python3 - "$ROUND" <<'EOF' || { echo "FAIL: bench artifact copy"; fail=1; }
+import json, os, shutil, sys
 round_n = sys.argv[1]
 primary = f"bench/bench_r{round_n}.json"
+# THIS run's artifact must parse — a truncated file (full disk) is a
+# gate failure, not a silent skip
 new = json.load(open('target/bench.json'))
 try:
     old = json.load(open(primary))
 except FileNotFoundError:
     old = None
+except ValueError:
+    # a corrupt primary (interrupted earlier close) is not a calm map
+    # worth protecting — replace it
+    print(f"WARN: existing {primary} is corrupt JSON; replacing it")
+    old = None
 if old is not None and old.get('cal_stable') is True and new.get('cal_stable') is not True:
-    dest = f"bench/bench_r{round_n}_loaded.json"
+    # never overwrite an earlier loaded record either: first free suffix
+    n = 0
+    while True:
+        n += 1
+        dest = (f"bench/bench_r{round_n}_loaded.json" if n == 1
+                else f"bench/bench_r{round_n}_loaded{n}.json")
+        if not os.path.exists(dest):
+            break
     shutil.copy('target/bench.json', dest)
     print(f"bench artifact -> {dest} (primary {primary} kept: it is "
           f"cal_stable=true, this run is cal_stable={new.get('cal_stable')})")
