@@ -258,13 +258,7 @@ object Bench {
     }
     println(json)
     } finally {
-      if (ownsMultiDir) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(multiDir))
-      }
+      if (ownsMultiDir) GraftSession.rmTree(new java.io.File(multiDir))
       spark.stop()
     }
   }

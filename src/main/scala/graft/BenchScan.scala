@@ -30,10 +30,6 @@ object BenchScan {
 
     // the rewrite is a full dataset copy — delete it even when a run
     // throws, so a failed bench doesn't leak GBs into /tmp
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
     try {
       // ONE rewrite implementation (RewriteMulti): a private copy here
       // once drifted — it hard-coded its own table list (a new fixture
@@ -81,7 +77,7 @@ object BenchScan {
           s""""single_total":${single.map(_._2).sum},"multi_total":${multi.map(_._2).sum},""" +
           s""""effective_cores_pre":${r1(calPre._1)},"effective_cores_post":${r1(calPost._1)}}""")
     } finally {
-      rm(new java.io.File(multiDir))
+      GraftSession.rmTree(new java.io.File(multiDir))
       spark.stop()
     }
   }

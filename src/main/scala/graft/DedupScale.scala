@@ -173,11 +173,7 @@ object DedupScale {
             s""""p99_bucket":${cstats.getDouble(2)},"cand_pairs":${cstats.getLong(3)}}""")
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      synthesized.foreach(d => rm(new java.io.File(d)))
+      synthesized.foreach(d => GraftSession.rmTree(new java.io.File(d)))
       spark.stop()
     }
   }

@@ -75,4 +75,17 @@ object GraftSession {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** Recursive local-file delete shared by the harness mains' scratch
+    * cleanup (Verify's failed-write removal, Bench/BenchScan/DedupScale
+    * pid-scoped rewrites, Relational's roundtrip shutdown hook) — ONE
+    * implementation, previously copy-pasted in five files where a fix
+    * to any copy would silently miss the others (r15 gate-tooling
+    * review). Recursive because a failed Spark write can leave a
+    * nested _temporary tree a flat delete would silently skip.
+    */
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
 }

@@ -30,18 +30,30 @@ object RewriteMulti {
     */
   def rewrite(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       outDir: String, nFiles: Int): Unit = {
+    // existence via the path's OWN filesystem + a rewritten>0 gate,
+    // same as Views.register: java.io.File.exists is always false for
+    // hdfs://a/s3a:// paths, and a typo'd sfDir must fail HERE, not
+    // exit 0 having rewritten nothing and surface 146 queries later as
+    // per-query path errors in Verify (r15 gate-tooling review)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var rewritten = 0
     Views.tables.foreach { t =>
-      if (new java.io.File(s"$sfDir/$t.parquet").exists()) {
+      val src = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      if (src.getFileSystem(hconf).exists(src)) {
         val df =
           if (t == "events") Tables.events(spark, sfDir)
           else Tables(spark, sfDir, t)
         df.repartition(nFiles)
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-        val parts = Option(new java.io.File(s"$outDir/$t.parquet").listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        rewritten += 1
+        val out = new org.apache.hadoop.fs.Path(s"$outDir/$t.parquet")
+        val parts = out.getFileSystem(hconf).listStatus(out)
+          .count(_.getPath.getName.endsWith(".parquet"))
         println(s"[rewrite] $t -> $parts part files")
       }
     }
+    require(rewritten > 0,
+      s"RewriteMulti: no fixture tables found under '$sfDir' — wrong dir or filesystem?")
   }
 
   def main(args: Array[String]): Unit = {

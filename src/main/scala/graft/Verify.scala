@@ -29,15 +29,9 @@ object Verify {
         nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run — otherwise the
-        // oracle compare would silently grade old results as current.
-        // Recursive: a failed write can leave a nested _temporary tree
-        // that a flat delete would silently skip.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
+        // oracle compare would silently grade old results as current
         val d = new java.io.File(s"$outDir/$name")
-        if (d.exists()) rm(d)
+        if (d.exists()) GraftSession.rmTree(d)
       }
     }
     def q(s: String): String = "\"" + GraftSession.jsonEscape(s) + "\""
@@ -50,6 +44,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar: the names THIS run attempted (oracle-gated AND
+    // rows-only). check.py fails any result dir not in it — without
+    // the list, a stale dir from a previous dump into a reused outDir
+    // is graded as a rows-only pass, silently downgrading (or
+    // resurrecting) queries (r15 gate-tooling review).
+    val attempted = SparkEntry.queries.keySet
+      .filter(k => only.forall(_.contains(k)))
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
     // a dump with missing queries must fail the gate chain, not just
     // print to stderr: exit non-zero so `sbt runMain` (and close.sh)

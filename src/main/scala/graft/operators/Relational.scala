@@ -30,11 +30,7 @@ object Relational {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       ProcessHandle.current().pid()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(path))
+      graft.GraftSession.rmTree(new java.io.File(path))
     }))
     path
   }

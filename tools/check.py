@@ -20,6 +20,8 @@ modes, both reported per query; the exit code gates on BOTH:
    masks (the round-9 lesson: a 1e-6-tolerant local gate passed two
    queries the driver's exact hash failed).
 """
+import datetime
+import decimal
 import json
 import os
 import sys
@@ -27,8 +29,6 @@ import sys
 import duckdb
 import pandas as pd
 import numpy as np
-
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,24 +44,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 else cell_str(v) if isinstance(v, (list, np.ndarray))
                 else v)
         if str(df[c].dtype).startswith("datetime"):
+            # tz-aware first: a bare astype to a naive unit RAISES on
+            # datetime64[ns, UTC] (verified pandas 2.2.2), which would
+            # blanket-FAIL every timestamp query as a "canonicalization
+            # error" the moment either engine emits tz-annotated
+            # parquet (r15 gate-tooling review)
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
     # Row alignment: sort on NON-float columns first (these are exact
     # cross-engine: ids, strings, ints), floats last and coarsely
     # rounded (4dp); values then compare RAW with an abs tolerance
     # below. Float keys only break ties after all exact keys agree, so
-    # a float straddling a rounding boundary can misalign rows only if
-    # two rows are identical in every exact column — and such rows
-    # differ by <1e-6 anyway.
+    # misalignment requires rows identical in every exact column.
     keys = df.copy()
     float_cols = [c for c in keys.columns if str(keys[c].dtype).startswith("float")]
     for c in float_cols:
         keys[c] = keys[c].round(4)
-        # high-precision copy as the FINAL tie-break: two rows equal in
-        # every exact column and in the 4dp rounding still order
-        # deterministically even when a float straddles a 4dp boundary
-        # differently across engines (round(9) is far below the 1e-6
-        # compare tolerance, so equal-within-tolerance values sort the
-        # same way on both sides)
+        # high-precision copy as the FINAL tie-break: makes the order
+        # deterministic PER SIDE when floats straddle a 4dp boundary.
+        # Honest limitation (r15 gate-tooling review): it cannot align
+        # CROSS-ENGINE noise — rows tied in every exact column whose
+        # floats differ within noise (up to 1e-4 inside one 4dp bucket)
+        # can order oppositely on the two sides, cross-pair, and
+        # produce a spurious FAIL(tol) that the exact mode passes. That
+        # residual false-RED (never a false pass) needs duplicate exact
+        # keys AND near-tied floats; the authoritative gate is the
+        # exact mode, whose row sort uses the stringified cells
+        # themselves.
         keys[f"__hp_{c}"] = df[c].round(9)
     cols = list(df.columns)
     order_cols = [c for c in cols if c not in float_cols] + float_cols + \
@@ -105,9 +115,22 @@ def cell_str(v) -> str:
         return str(int(v))
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    # DECIMAL cells: a Spark DecimalType reaches pandas as object
+    # decimal.Decimal (str -> '150.00') while DuckDB's .df() renders
+    # DECIMAL as float64 ('150.0' via the float branch) — equal values
+    # would fail the exact gate on representation; route Decimal
+    # through the SAME 6dp float path (r15 gate-tooling review)
+    if isinstance(v, decimal.Decimal):
+        return repr(round(float(v), 6))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, np.datetime64):
+        return pd.Timestamp(v).isoformat()
+    # plain datetime.datetime (e.g. inside a struct/list cell, where
+    # pandas does not lift to Timestamp): same isoformat as the
+    # Timestamp branch, not str()'s space-separated form. Ordered
+    # AFTER pd.Timestamp (its subclass).
+    if isinstance(v, datetime.datetime):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(cell_str(x) for x in v) + "]"
@@ -150,10 +173,17 @@ def normalize_ints(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # table list from the fixture dir itself — a second hand-maintained
+    # copy of Views.tables here once meant a new fixture table would
+    # FAIL every oracle referencing it with a misdirecting 'table does
+    # not exist' (r15 gate-tooling review)
+    tables = sorted(f[:-len(".parquet")] for f in os.listdir(sf_dir)
+                    if f.endswith(".parquet"))
+    if not tables:
+        print(f"FAIL: no *.parquet tables under {sf_dir} — wrong sfDir?")
+        return 1
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = 0
@@ -166,6 +196,19 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in sorted(set(oracles) - set(names)):
         print(f"FAIL {name}: no spark output directory (query failed in Verify?)")
         n_fail += 1
+    # Stale-dir gate (r15 gate-tooling review): a dir left in a REUSED
+    # outDir by a previous dump is NOT a rows-only query — without this
+    # check it would be graded 'pass rows-only', silently downgrading an
+    # oracle-gated query (or resurrecting a removed one). Verify dumps
+    # the attempted-name sidecar since r15; older dumps without it keep
+    # the pre-r15 behavior.
+    attempted_path = f"{out_dir}/queries.json"
+    if os.path.exists(attempted_path):
+        attempted = set(json.load(open(attempted_path)))
+        for name in sorted(set(names) - attempted):
+            print(f"FAIL {name}: stale output dir (not in this dump's queries.json)")
+            n_fail += 1
+        names = [n for n in names if n in attempted]
     for name in names:
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
