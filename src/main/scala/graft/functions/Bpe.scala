@@ -69,6 +69,14 @@ object Bpe {
   // the output of an EARLIER merge — this is what makes rank-order
   // replace-all equivalent to greedy lowest-rank-first (see Scaladoc)
   require(merges.distinct.size == merges.size, "duplicate merge pairs")
+  // distinct OUTPUTS too (r15 functions review): the equivalence proof
+  // also needs each output string produced by exactly one merge — with
+  // two merges i<k both emitting "abc", a rank-j consumer of "abc"
+  // (i<j<k) would run its pass BEFORE rank k creates more "abc"
+  // symbols, silently diverging from greedy on a swapped-in table
+  // while every other require passes
+  require(merges.map { case (l, r) => l + r }.distinct.size == merges.size,
+    "duplicate merge outputs break the replace-all ≡ greedy equivalence")
   merges.zipWithIndex.foreach { case ((l, r), k) =>
     val earlier = merges.take(k).map { case (a, b) => a + b }.toSet
     require(l.length == 1 || earlier.contains(l), s"merge $k left '$l' not yet derivable")
@@ -148,7 +156,12 @@ object Bpe {
       }
       s"enc${b + 1} AS (SELECT doc_id, $chain AS s FROM enc$b)"
     }
-    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+    // NULL-text guard mirrors the Spark side's filter (r15 functions
+    // review): unnest(string_split(NULL,' ')) yields ZERO rows here
+    // while the null-intolerant expression emits a (doc_id, NULL) row —
+    // a silent row-set divergence the moment the corpus has a NULL text
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents WHERE text IS NOT NULL), " +
       s"enc0 AS (SELECT doc_id, $base AS s FROM w), " +
       ctes.mkString(", ") + " " +
       "SELECT doc_id, CAST(SUM(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) " +

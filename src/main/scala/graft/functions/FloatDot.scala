@@ -27,8 +27,11 @@ import org.apache.spark.sql.types._
   * pads the shorter array with nulls → null product → null sum) — a
   * silently truncated partial dot product would hand a ragged
   * embedding a plausible-but-wrong cosine instead of the NULL that
-  * surfaces the data problem. Null ELEMENTS are not expected
-  * (embedding columns) and evaluate as 0 contributions.
+  * surfaces the data problem. Null ELEMENTS → null for the same
+  * reason (r15 functions review — this previously skipped the slot,
+  * i.e. contributed 0, which is exactly the plausible-but-wrong class
+  * the length rule exists to prevent, and diverged from the
+  * composition, whose null product poisons the sum).
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,20 +57,23 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  // hoisted once per expression instance — the interpreted path must
+  // not pattern-match two DataTypes per row (r15 functions review)
+  private lazy val leftIsFloat = isFloat(left.dataType)
+  private lazy val rightIsFloat = isFloat(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
-    val (lf, rf) = (isFloat(left.dataType), isFloat(right.dataType))
     val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-        acc += xv * yv
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -87,11 +93,15 @@ case class FloatDot(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-         |      $acc += ${get(x, left.dataType)} * ${get(y, right.dataType)};
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
          |    }
+         |    $acc += ${get(x, left.dataType)} * ${get(y, right.dataType)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })
@@ -102,17 +112,29 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** Arity guard for the SQL builders (r15 functions review): a wrong
+    * argument count must fail with the function name and expected
+    * arity, not a raw IndexOutOfBoundsException from `exprs(1)`.
+    */
+  private def nArgs(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   private[functions] val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("float_dot", classOf[FloatDot].getName,
-      exprs => FloatDot(exprs(0), exprs(1))),
+      nArgs("float_dot", 2)(exprs => FloatDot(exprs(0), exprs(1)))),
     ("rolling_hash_min", classOf[RollingHashMin].getName,
-      exprs => RollingHashMin(exprs(0), exprs(1))),
+      nArgs("rolling_hash_min", 2)(exprs => RollingHashMin(exprs(0), exprs(1)))),
     ("bpe_token_count", classOf[BpeTokenCount].getName,
-      exprs => BpeTokenCount(exprs(0))),
+      nArgs("bpe_token_count", 1)(exprs => BpeTokenCount(exprs(0)))),
     ("minhash_mins", classOf[MinhashMins].getName,
-      exprs => MinhashMins(exprs(0), exprs(1))),
+      nArgs("minhash_mins", 2)(exprs => MinhashMins(exprs(0), exprs(1)))),
     ("cdc_chunks", classOf[CdcChunks].getName,
-      exprs => CdcChunks(exprs(0))),
+      nArgs("cdc_chunks", 1)(exprs => CdcChunks(exprs(0)))),
     // Catalyst's runtime-filter bloom pair, surfaced as session
     // functions: `bloom_filter_agg(xxhash64(k), n)` builds the sketch
     // as a BINARY aggregate and `might_contain(sketch, xxhash64(k))`
@@ -120,14 +142,14 @@ object GraftFunctions {
     // broadcast sketch, the probe never leaves WholeStageCodegen.
     ("bloom_filter_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-      exprs =>
+      nArgs("bloom_filter_agg", 2)(exprs =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1))),
+          exprs(0), exprs(1)))),
     ("might_contain",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-      exprs =>
+      nArgs("might_contain", 2)(exprs =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))),
+          exprs(0), exprs(1)))),
   )
 
   /** Once-per-session guard shared by every registration entry point

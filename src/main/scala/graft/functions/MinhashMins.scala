@@ -42,23 +42,14 @@ case class MinhashMins(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_mins"
 
-  // The per-thread stop-set cache below is identity-keyed, which is
-  // only sound when the SAME ArrayData instance always carries the
-  // SAME contents. That is guaranteed exactly when the stop child is
-  // foldable (a Literal after optimization — one immutable instance
-  // for the plan's lifetime); any other producer may lawfully reuse a
-  // buffer with different backing contents, so the cache must not be
-  // consulted (ADVICE r12).
-  private lazy val stopIsStable: Boolean = right.foldable
-
   override def nullSafeEval(t: Any, stopAny: Any): Any =
     MinhashMins.compute(
-      t.asInstanceOf[UTF8String], stopAny.asInstanceOf[ArrayData], stopIsStable)
+      t.asInstanceOf[UTF8String], stopAny.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, s) => {
       s"""
-         |${ev.value} = graft.functions.MinhashMins.compute($t, $s, $stopIsStable);
+         |${ev.value} = graft.functions.MinhashMins.compute($t, $s);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -89,13 +80,31 @@ object MinhashMins {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Per-thread (stop ArrayData instance → materialized set) cache —
-    * see the note in [[compute]].
+  /** Per-thread CONTENT-keyed stop-set cache: (defensive copy of the
+    * stop array's UTF8Strings, the materialized set). Validation is an
+    * O(k) BYTEWISE comparison per row (UTF8String.equals — no decode,
+    * no allocation), replacing the O(k) String-decode + HashSet build
+    * a miss pays. Content-keyed, not identity-keyed: the r12 advice
+    * stands — an engine path may lawfully reuse ONE buffer with
+    * DIFFERENT contents, so instance identity proves nothing, while
+    * bytewise equality proves exactly what the cache needs, with no
+    * stability assumption about the producer at all. (r15 functions
+    * review: the former identity-keyed cache, gated on
+    * `right.foldable`, was DEAD on every gated path — the stop array
+    * arrives via a broadcast cross join, whose per-row accessor wraps
+    * a fresh ArrayData instance, so neither the foldable gate nor the
+    * `eq` check ever hit and the kernel rebuilt the set per document.)
     */
   private val stopCache =
-    new ThreadLocal[(ArrayData, java.util.HashSet[String])]
+    new ThreadLocal[(Array[UTF8String], java.util.HashSet[String])]
+
+  /** Stop-set builds since JVM start — test hook proving the cache
+    * actually fires (equal-content rows must not re-build).
+    */
+  private[functions] val buildCount = new java.util.concurrent.atomic.AtomicLong
 
   private def buildStopSet(stopArr: ArrayData): java.util.HashSet[String] = {
+    buildCount.incrementAndGet(): Unit
     val stop = new java.util.HashSet[String](stopArr.numElements() * 2)
     var i = 0
     while (i < stopArr.numElements()) {
@@ -105,37 +114,45 @@ object MinhashMins {
     stop
   }
 
+  private def cachedStopSet(stopArr: ArrayData): java.util.HashSet[String] = {
+    val n = stopArr.numElements()
+    val cached = stopCache.get()
+    if (cached != null && cached._1.length == n) {
+      var i = 0
+      var same = true
+      while (same && i < n) {
+        val c = cached._1(i)
+        if (stopArr.isNullAt(i)) same = c == null
+        else same = c != null && stopArr.getUTF8String(i).equals(c)
+        i += 1
+      }
+      if (same) return cached._2
+    }
+    // defensive copies: the cache key must not alias a reusable buffer
+    val copy = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      copy(i) = if (stopArr.isNullAt(i)) null else stopArr.getUTF8String(i).clone()
+      i += 1
+    }
+    val set = buildStopSet(stopArr)
+    stopCache.set((copy, set))
+    set
+  }
+
   /** Compiled kernel — public static so generated code can call it.
-    * `stableStop` = the caller KNOWS the stop ArrayData instance is
-    * immutable for the plan's lifetime (the expression passes
-    * `right.foldable`). Only then is the identity-keyed per-thread
-    * cache consulted: an engine path that reuses one ArrayData buffer
-    * with different backing contents would otherwise be served a stale
-    * stop set and silently corrupt signatures (ADVICE r12). Unstable
-    * inputs rebuild the set per row — the pre-cache cost, never a
-    * wrong answer.
+    * The stop set is served from the content-keyed per-thread cache
+    * above: correct for any producer (mutated buffers fail the
+    * bytewise check and rebuild), cheap for the gated shape (the same
+    * broadcast stop array arrives every row).
     */
-  def compute(text: UTF8String, stopArr: ArrayData, stableStop: Boolean): ArrayData = {
+  def compute(text: UTF8String, stopArr: ArrayData): ArrayData = {
     // Spark split semantics: single-space regex, limit -1 (KEEP empty
     // tokens) — must match `split(text, ' ')` exactly
     val toks = text.toString.split(" ", -1)
     if (toks.length < 3) return null
     var stop: java.util.HashSet[String] = null
-    if (stopArr.numElements() > 0) {
-      // the stop array is a literal in every gated query, so the SAME
-      // ArrayData instance arrives every row — cache the materialized
-      // set per thread instead of rebuilding k strings + a HashSet per
-      // document (pure per-row overhead in the kernel whose reason to
-      // exist is speed)
-      if (stableStop) {
-        val cached = stopCache.get()
-        if (cached != null && (cached._1 eq stopArr)) stop = cached._2
-        else {
-          stop = buildStopSet(stopArr)
-          stopCache.set((stopArr, stop))
-        }
-      } else stop = buildStopSet(stopArr)
-    }
+    if (stopArr.numElements() > 0) stop = cachedStopSet(stopArr)
     val md = digest.get()
     val seen = new java.util.HashSet[String](toks.length * 2)
     val mins = Array.fill(16)(Long.MaxValue)

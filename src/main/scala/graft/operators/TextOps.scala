@@ -73,9 +73,14 @@ object TextOps {
       "q22b_bpe_tokens",
       (s, dir) => {
         graft.functions.GraftFunctions.ensureRegistered(s)
-        docs(s, dir).select(
-          col("doc_id"),
-          expr("bpe_token_count(text)").as("n_bpe_tokens"))
+        // NULL-text docs dropped on BOTH sides (same contract as q24b):
+        // the oracle's unnest(string_split(...)) silently drops them
+        // while the null-intolerant expression would keep a NULL row
+        docs(s, dir)
+          .filter(col("text").isNotNull)
+          .select(
+            col("doc_id"),
+            expr("bpe_token_count(text)").as("n_bpe_tokens"))
       },
       Some(graft.functions.Bpe.duckdbOracleSql),
     ),

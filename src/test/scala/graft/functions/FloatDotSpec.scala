@@ -53,6 +53,40 @@ class FloatDotSpec extends SparkSpec {
     assert(fd.eval(null) == null && fd.nullable)
   }
 
+  test("float_dot: null ELEMENT → null, matching the composition (was: silent 0 contribution)") {
+    val s = spark; import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    // r15 functions review: a corrupt null slot previously contributed
+    // 0 — a plausible-but-wrong partial dot, the same defect class the
+    // ragged-length rule exists to surface — and diverged from the
+    // composition, whose null product poisons the sum
+    val df = Seq(1L).toDF("id").select(
+      expr("CAST(array(1.0F, NULL, 3.0F) AS ARRAY<FLOAT>)").as("a"),
+      expr("CAST(array(1.0F, 1.0F, 1.0F) AS ARRAY<FLOAT>)").as("b"))
+    val both = df.select(
+      expr("float_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "0D, (acc, v) -> acc + v)").as("composed"))
+    val r = both.head()
+    assert(r.isNullAt(0), s"native returned ${r.get(0)} on a null element")
+    assert(r.isNullAt(1), "composition contract changed?")
+    // and a clean pair on the same plan still computes (non-vacuous)
+    val clean = df.select(expr("float_dot(b, b)")).head()
+    assert(clean.getDouble(0) == 3.0)
+  }
+
+  test("float_dot: wrong arity fails with the function name, not IndexOutOfBounds") {
+    val s = spark
+    GraftFunctions.ensureRegistered(s)
+    val ex = intercept[Exception] {
+      s.sql("SELECT float_dot(array(1.0F))").head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("float_dot") && m.contains("2 argument")),
+      s"arity error lacks name/arity: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("float_dot: null array → null; registered via extensions class too") {
     val s = spark; import s.implicits._
     GraftFunctions.ensureRegistered(s)

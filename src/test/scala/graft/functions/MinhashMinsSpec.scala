@@ -66,29 +66,41 @@ class MinhashMinsSpec extends SparkSpec {
     assert(rows.exists(_.get(1) == null) && rows.exists(_.get(1) != null))
   }
 
-  test("stop-set cache is gated on a stable input — a reused, mutated buffer is re-read (ADVICE r12)") {
+  test("stop-set cache is content-keyed: mutated buffers re-read, equal contents hit (ADVICE r12 / r15 review)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
-    // one ArrayData INSTANCE whose backing contents change between rows —
-    // the buffer-reusing accessor shape the identity-keyed cache cannot
-    // distinguish. With stableStop=false the kernel must re-read it.
+    // correctness half: one ArrayData INSTANCE whose backing contents
+    // change between rows — the buffer-reusing accessor shape an
+    // identity-keyed cache cannot distinguish. The bytewise content
+    // check must fail and the set must be rebuilt from the NEW
+    // contents.
     val backing = Array[Any](UTF8String.fromString("a b c"))
     val arr = new GenericArrayData(backing)
     val text = UTF8String.fromString("a b c d") // shingles: "a b c", "b c d"
-    val minsStopAbc = MinhashMins.compute(text, arr, false)
+    val minsStopAbc = MinhashMins.compute(text, arr)
     backing(0) = UTF8String.fromString("b c d") // same instance, new contents
-    val minsStopBcd = MinhashMins.compute(text, arr, false)
+    val minsStopBcd = MinhashMins.compute(text, arr)
     assert(minsStopAbc != null && minsStopBcd != null)
     // surviving shingle differs ("b c d" vs "a b c") → signatures differ;
     // a stale cached set would return identical arrays for both calls
     assert(!minsStopAbc.asInstanceOf[GenericArrayData].array
         .sameElements(minsStopBcd.asInstanceOf[GenericArrayData].array),
       "stale stop set served after the backing buffer was mutated")
-    // and the stable path agrees with a fresh build of the same contents
-    val fresh = new GenericArrayData(Array[Any](UTF8String.fromString("b c d")))
-    val minsStable = MinhashMins.compute(text, fresh, true)
-    assert(minsStable.asInstanceOf[GenericArrayData].array
+    // effectiveness half (r15 review: the old foldable-gated cache was
+    // DEAD on every gated path — the broadcast cross join wraps a
+    // fresh ArrayData per row, so it rebuilt per document): DISTINCT
+    // instances with EQUAL contents must be served from the cache, not
+    // rebuilt. Falsifiable via the build counter.
+    val fresh1 = new GenericArrayData(Array[Any](UTF8String.fromString("b c d")))
+    val warm = MinhashMins.compute(text, fresh1) // ensure cached on this thread
+    val before = MinhashMins.buildCount.get()
+    val fresh2 = new GenericArrayData(Array[Any](UTF8String.fromString("b c d")))
+    val minsFresh = MinhashMins.compute(text, fresh2)
+    assert(MinhashMins.buildCount.get() == before,
+      "equal-content stop array was re-built — the cache never fires")
+    assert(minsFresh.asInstanceOf[GenericArrayData].array
       .sameElements(minsStopBcd.asInstanceOf[GenericArrayData].array))
+    assert(warm != null)
   }
 
   test("kernel bands equal the grouped fold on the sf0.001 fixture") {
