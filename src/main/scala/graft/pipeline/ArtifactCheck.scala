@@ -36,7 +36,12 @@ object ArtifactCheck {
     val n = edges.count()
     val stats = edges.agg(
       min(abs(col("r"))).as("rmin"), max(abs(col("r"))).as("rmax")).head()
-    println(s"ARTIFACT_CHECK edges=$n rmin=${stats.getDouble(0)} rmax=${stats.getDouble(1)} " +
+    // min/max over ZERO rows are null — getDouble would NPE instead of
+    // printing the zero-edge comparison this main exists to report
+    val (rmin, rmax) =
+      if (n == 0) (Double.NaN, Double.NaN)
+      else (stats.getDouble(0), stats.getDouble(1))
+    println(s"ARTIFACT_CHECK edges=$n rmin=$rmin rmax=$rmax " +
       s"(reference artifact: 4844 edges, r in [0.9000089, 0.9960450])")
     spark.stop()
   }

@@ -52,6 +52,10 @@ object Completion {
       spark: SparkSession,
       matrix: DataFrame,
       params: AlsParams = AlsParams(),
+      // caller-known (nSamples, nProbes), so a pipeline that already
+      // counted the dictionaries doesn't pay two more distinct
+      // shuffles just for the block sizing (r15 pipeline review)
+      cards: Option[(Long, Long)] = None,
   ): DataFrame = {
     val observed = matrix.select("sample", "probe", "value")
     // persist: the emptiness probe and model.transform both consume the
@@ -72,8 +76,11 @@ object Completion {
     // would make seed-42 results differ across cluster sizes.
     def blocksFor(card: Long): Int =
       math.max(1L, math.min(params.numBlocks.toLong, (card + 511) / 512)).toInt
-    val userBlocks = blocksFor(observed.select("sample").distinct().count())
-    val itemBlocks = blocksFor(observed.select("probe").distinct().count())
+    val (nSamples, nProbes) = cards.getOrElse((
+      observed.select("sample").distinct().count(),
+      observed.select("probe").distinct().count()))
+    val userBlocks = blocksFor(nSamples)
+    val itemBlocks = blocksFor(nProbes)
 
     val als = new ALS()
       .setUserCol("sample")

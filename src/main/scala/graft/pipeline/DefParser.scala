@@ -87,7 +87,16 @@ object DefParser {
     rows.foreach {
       case ("def", "sample", name) => train :+= name
       case ("def", "predictive", name) => predict :+= name
-      case ("def", "sample-type", t) => types :+= t
+      case ("def", "sample-type", t) =>
+        // reserved words (r15 pipeline review): a sample-type literally
+        // named "diagnosis" or "def" would have its file-attachment
+        // rows consumed by the keyword arms of this match — the
+        // attachment silently vanishes (or, for "def", throws a
+        // misleading unknown-subcommand error). Reject at declaration,
+        // where the collision and its fix are both obvious.
+        require(t != "def" && t != "diagnosis",
+          s"sample-type name '$t' collides with a definition-file keyword — rename the type")
+        types :+= t
       case ("def", "output", p) => output = Some(p)
       case ("def", "pc-threshold", v) =>
         threshold = if (v.equalsIgnoreCase("none")) None else Some(v.toDouble)

@@ -43,16 +43,39 @@ object LuadPipeline {
     val ing = Ingest.ingest(spark, baseDir, config)
     val matrix = ing.matrix.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // ONE cardinality pass over the ingested matrix, reused by the
+    // coverage guard here, the ALS block sizing, and the Pearson-path
+    // gate (previously each recomputed its own distinct counts — three
+    // shuffle rounds for the same two numbers; r15 pipeline review)
+    val coveredSamples = timed("ingest-materialize") {
+      matrix.select("sample").distinct().collect().map(_.getInt(0)).toSet
+    }
+    val nBefore = matrix.select("probe").distinct().count()
+    val cards = Some((coveredSamples.size.toLong, nBefore))
+
+    // loud coverage guard (r15 pipeline review): a registered sample
+    // whose file(s) yield ZERO parseable rows (empty export, all
+    // values failing the lenient cast) would otherwise vanish
+    // silently — no matrix rows, nothing fabricated by completion, the
+    // training join shrinks, and the run exits 0 with N-1 predictions
+    val uncovered = ing.sampleDict.collect()
+      .filter(r => !coveredSamples.contains(r.getAs[Int]("sample")))
+      .map(_.getAs[String]("sample_name"))
+    require(uncovered.isEmpty,
+      s"registered sample(s) with zero parseable matrix rows: " +
+        s"${uncovered.mkString(", ")} — empty or fully unparseable file?")
+
     val completed = timed("als-completion") {
-      val c = Completion.complete(spark, matrix, alsParams)
+      val c = Completion.complete(spark, matrix, alsParams, cards)
         .persist(StorageLevel.MEMORY_AND_DISK)
       c.count() // materialize inside the timed span
       c
     }
-    val nBefore = completed.select("probe").distinct().count()
+    // completion fabricates cells only for the OBSERVED sample × probe
+    // grid, so the distinct sets — and `cards` — are unchanged by it
 
     val filtered = timed("pearson-network") {
-      val f = Network(spark, completed, config.pcThreshold)
+      val f = Network(spark, completed, config.pcThreshold, cards)
         .persist(StorageLevel.MEMORY_AND_DISK)
       f.count()
       f
@@ -136,6 +159,8 @@ object LuadPipeline {
     * raw).
     */
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: LuadPipeline <definition-file> — args(0) must be the def-file path")
     val defFile = args(0)
     val baseDir = new java.io.File(defFile).getAbsoluteFile.getParent
     val nominal = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toIntOption.getOrElse(32)

@@ -180,9 +180,19 @@ object Network {
     // converges exactly; a cap (the reference uses 100) would silently
     // mislabel any component with diameter above it
     val cc = graph.connectedComponents()
-    cc.vertices
+    // materialize (eager localCheckpoint), then free the cached graph
+    // and result RDDs EXPLICITLY: relying on GC-driven ContextCleaner
+    // strands vertex/edge blocks for the session lifetime on a quiet
+    // driver heap, evicting the pipeline's own persisted matrices —
+    // the same discipline connectedComponentsDF applies to its edge
+    // set (r15 pipeline review)
+    val out = cc.vertices
       .map { case (v, c) => (v, c) }
       .toDF("probe", "component")
+      .localCheckpoint()
+    cc.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
   }
 
   /** DataFrame-only connected components: iterative min-label
@@ -202,6 +212,16 @@ object Network {
       .distinct()
       .withColumn("component", col("probe"))
       .localCheckpoint()
+    // the checkpointed RDD behind a localCheckpoint'd frame — so the
+    // loop can FREE the previous round's label blocks once the next
+    // round is materialized. Without this, up to maxIter copies of the
+    // probes-sized label table linger until GC-driven ContextCleaner
+    // gets around to them (r15 pipeline review); with it, storage is
+    // bounded at ~2 copies.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     def round(ls: DataFrame): (DataFrame, Long) = {
       val candidates = sym
         .join(ls.withColumnRenamed("probe", "src"), "src")
@@ -229,6 +249,9 @@ object Network {
       var iter = 0
       while (changed > 0 && iter < maxIter) {
         val (next, c) = round(labels)
+        // next is already materialized (eager localCheckpoint inside
+        // round), so the previous round's blocks are dead — free them
+        ckptRdd(labels).foreach(_.unpersist(false))
         labels = next
         changed = c
         iter += 1
@@ -241,7 +264,8 @@ object Network {
       // convergence step) — one extra probe round distinguishes
       // converged-at-the-wire from genuinely truncated.
       if (changed > 0) {
-        val (_, residual) = round(labels)
+        val (probeRound, residual) = round(labels)
+        ckptRdd(probeRound).foreach(_.unpersist(false)) // count-only probe
         require(
           residual == 0,
           s"connectedComponentsDF did not converge in $maxIter iterations " +
@@ -276,13 +300,19 @@ object Network {
     matrix.join(survivors, Seq("probe"), "left_semi")
   }
 
-  /** Driver-heap bytes the dense path will hold: value matrix (one
-    * primitive double per cell, collected AND broadcast — 2 copies
-    * coexist while the broadcast is built) plus the per-probe sample-id
-    * arrays used by the alignment guard (one primitive int per cell).
+  /** Driver-heap bytes the dense path will hold AT PEAK (broadcast
+    * build time, when everything below is simultaneously reachable):
+    * the collected raw value arrays `vs` (8 B/cell), the per-probe
+    * sample-id arrays `ss` for the alignment guard (4 B/cell), the NEW
+    * standardized `z` arrays (8 B/cell), and the serialized
+    * TorrentBroadcast chunks of z (~8 B/cell). 28 B/cell total — the
+    * earlier 20 B/cell model omitted one of the z copies and
+    * undercounted the peak by ~40% (r15 pipeline review), which with a
+    * budget raised toward the heap would have admitted a matrix that
+    * OOMs the driver.
     */
   def denseFootprintBytes(nSamples: Long, nProbes: Long): Long =
-    nSamples * nProbes * (8L * 2 + 4L)
+    nSamples * nProbes * (8L * 2 + 4L + 8L)
 
   /** Default dense-path driver budget: 256 MB — safe inside Spark's
     * 1 GB default driver heap with room for the broadcast manager.
@@ -297,17 +327,19 @@ object Network {
       spark: SparkSession,
       matrix: DataFrame,
       threshold: Option[Double],
+      cards: Option[(Long, Long)] = None,
   ): DataFrame = threshold match {
     case None => matrix
     case Some(t) =>
       // skinny matrix (few samples, many probes — the reference shape)
       // → dense broadcast block-multiply; otherwise relational
-      // self-join. The gate bounds the MEASURED driver-collected bytes
-      // (the dense path collects and broadcasts the whole standardized
-      // matrix), not a cell count — boxed-vs-primitive layout is priced
-      // into denseFootprintBytes, not guessed.
-      val nSamples = matrix.select("sample").distinct().count()
-      val nProbes = matrix.select("probe").distinct().count()
+      // self-join. The gate bounds the MODELED driver peak (see
+      // denseFootprintBytes), not a cell count. `cards` = caller-known
+      // (nSamples, nProbes) so a pipeline that already counted them
+      // doesn't pay two more distinct-shuffles here (r15 review).
+      val (nSamples, nProbes) = cards.getOrElse((
+        matrix.select("sample").distinct().count(),
+        matrix.select("probe").distinct().count()))
       val maxBytes = spark.conf
         .getOption("spark.graft.pearson.maxDenseBytes")
         .map(_.toLong)
@@ -326,7 +358,10 @@ object Network {
          else pearsonEdges(matrix, t)).localCheckpoint()
       val nEdges = edges.count()
       val t1 = System.nanoTime()
-      val comps = connectedComponents(spark, edges).localCheckpoint()
+      // already materialized + localCheckpoint'd inside (so it can free
+      // its cached GraphX RDDs) — a second checkpoint here would just
+      // copy the blocks
+      val comps = connectedComponents(spark, edges)
       val nInGraph = comps.count()
       val t2 = System.nanoTime()
       val result = filterMatrix(matrix, comps)

@@ -67,6 +67,20 @@ class DefParserSpec extends AnyFunSuite {
     }
   }
 
+  test("sample-type named after a keyword is rejected at declaration") {
+    // r15 pipeline review: a type literally named "diagnosis" had its
+    // attachment rows consumed by the diagnosis keyword arm — the file
+    // silently vanished (the exact silent-vanish class this parser's
+    // header claims to fix); "def" threw a misleading
+    // unknown-subcommand error instead of naming the collision
+    for (reserved <- Seq("diagnosis", "def")) {
+      val ex = intercept[IllegalArgumentException] {
+        DefParser.parse(Seq(s"def\tsample-type\t$reserved"))
+      }
+      assert(ex.getMessage.contains("collides"), s"$reserved: ${ex.getMessage}")
+    }
+  }
+
   test("reference corpus: 40 training, 22 predictive, 24 TN, 2 types") {
     val c = DefParser.parseFile("/root/reference/input/input.txt")
     assert(c.training.size == 40)

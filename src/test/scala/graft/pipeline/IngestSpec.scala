@@ -109,6 +109,26 @@ class IngestSpec extends SparkSpec {
     assert(result.nProbesBefore == 8 && result.nProbesAfter == 8)
   }
 
+  test("a registered sample with zero parseable rows fails the run loudly") {
+    // r15 pipeline review: such a sample previously VANISHED — no
+    // matrix rows, nothing fabricated by completion, the training join
+    // shrank, and the run exited 0 with N-1 predictions
+    val dir = Files.createTempDirectory("graft_corpus_empty")
+    val base = writeCorpus(dir, nTrain = 8, nPredict = 4, nProbes = 6)
+    // overwrite one predictive sample's file with header-only content:
+    // every row fails the lenient parse
+    Files.writeString(dir.resolve("expr/PRED-01.expr.txt"), "probe_id\traw_count\textra\n")
+    val config = DefParser.parseFile(s"$base/input.txt")
+    val ex = intercept[IllegalArgumentException] {
+      LuadPipeline.run(
+        spark, base, config,
+        Completion.AlsParams(rank = 2, maxIter = 2, numBlocks = 2),
+        Svm.SvmParams(maxIter = 5))
+    }
+    assert(ex.getMessage.contains("PRED-01") &&
+      ex.getMessage.contains("zero parseable"), ex.getMessage)
+  }
+
   test("end-to-end with pc-threshold: correlated probes collapse to representatives") {
     val dir = Files.createTempDirectory("graft_corpus_thr")
     val base = writeCorpus(dir, nTrain = 12, nPredict = 4, nProbes = 6)

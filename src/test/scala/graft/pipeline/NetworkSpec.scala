@@ -98,14 +98,25 @@ class NetworkSpec extends SparkSpec with TableDrivenPropertyChecks {
         .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
       assert(canon(gx) == canon(oracle), s"GraphX trial $trial")
       assert(canon(dfl) == canon(oracle), s"DF-loop trial $trial")
+      // A6 determinism pin (r15 pipeline review): the label IS the min
+      // probe id of its component — asserted DIRECTLY, because canon()
+      // above erases the label choice, and filterMatrix's
+      // reps-=-distinct(component) shortcut depends on exactly this
+      // invariant (a CC swap converging to any other canonical member
+      // would pass the canonicalized compare and silently break A6)
+      def minLabeled(labels: Map[Int, Int]): Boolean =
+        labels.groupBy(_._2).forall { case (c, members) => c == members.keys.min }
+      assert(minLabeled(gx), s"GraphX labels not min-id, trial $trial")
+      assert(minLabeled(dfl), s"DF-loop labels not min-id, trial $trial")
     }
   }
 
   test("denseFootprintBytes prices the reference shape and the gate bounds it") {
-    // reference corpus: 62 samples × 21.5k probes → ~30 MB, well inside
-    // the 256 MB default budget → dense path
+    // reference corpus: 62 samples × 21.5k probes → ~37 MB at the
+    // 28 B/cell peak model, well inside the 256 MB default budget →
+    // dense path
     val refBytes = Network.denseFootprintBytes(62, 21500)
-    assert(refBytes == 62L * 21500 * 20)
+    assert(refBytes == 62L * 21500 * 28)
     assert(refBytes <= Network.DefaultMaxDenseBytes)
     // 10k samples × 1M probes (a 100 TB-scale matrix) → ~200 GB —
     // must NOT be collected to any driver
