@@ -52,7 +52,7 @@ object GeoOps {
       .withColumn("lon", col("lon") - lit(360.0) * floor((col("lon") + 180.0) / 360.0))
 
   /** Exact great-circle distance in km between two (lat, lon) pairs. */
-  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+  private[operators] def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     lit(2.0 * EarthRadiusKm) * asin(sqrt(
       pow(sin(radians(lat2 - lat1) / 2), 2) +
         cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))
@@ -66,6 +66,14 @@ object GeoOps {
   private def withNeighborCells(
       df: DataFrame, latCellDeg: Double, lonCellDeg: Double): DataFrame = {
     val lonCells = math.round(360.0 / lonCellDeg)
+    // the wrap modulus must TILE the circle (r15 operators review): a
+    // lonCellDeg that does not divide 360 makes floor((lon+180)/cell)
+    // reach cell index lonCells while every replica is wrapped into
+    // [0, lonCells) — points in the last partial cell silently lose
+    // ALL their in-radius pairs, even coincident ones
+    require(math.abs(360.0 - lonCells * lonCellDeg) < 1e-9,
+      s"lonCellDeg=$lonCellDeg does not divide 360 — the last partial " +
+        "longitude cell would silently drop every pair it holds")
     withCell(df, latCellDeg, lonCellDeg)
       .withColumn("dl", explode(array(lit(-1), lit(0), lit(1))))
       .withColumn("dn", explode(array(lit(-1), lit(0), lit(1))))
@@ -74,11 +82,11 @@ object GeoOps {
       .drop("dl", "dn")
   }
 
-  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+  private[operators] def customerPoints(s: SparkSession, dir: String): DataFrame =
     derivedPoint(Tables(s, dir, "customer"), "c_custkey", "c_nationkey")
       .select("c_custkey", "lat", "lon")
 
-  private def supplierPoints(s: SparkSession, dir: String): DataFrame =
+  private[operators] def supplierPoints(s: SparkSession, dir: String): DataFrame =
     derivedPoint(Tables(s, dir, "supplier"), "s_suppkey", "s_nationkey")
       .select("s_suppkey", "lat", "lon")
 

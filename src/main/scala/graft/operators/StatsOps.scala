@@ -21,10 +21,11 @@ import org.apache.spark.sql.expressions.Window
   *    EXACTLY on that bins-sized frame from cumulative counts:
   *    midrank(v) = cum_before(v) + (cnt(v)+1)/2. The only window runs
   *    over the bins frame, bounded by the value domain, not the
-  *    corpus. Rank sums stay in BIGINT (doubled-midrank trick:
-  *    2·midrank is integral) so U is exact cross-engine; ties are
-  *    handled by construction (binning makes the tie correction the
-  *    point, not a nuisance).
+  *    corpus. Rank sums stay INTEGRAL (doubled-midrank trick:
+  *    2·midrank is a whole number), accumulated in DECIMAL(38,0) so
+  *    the cubically-growing tie term cannot overflow BIGINT at scale;
+  *    U is exact cross-engine; ties are handled by construction
+  *    (binning makes the tie correction the point, not a nuisance).
   */
 object StatsOps {
 
@@ -89,11 +90,21 @@ object StatsOps {
         val ranked = bins
           .withColumn("cum", sum(col("cnt")).over(w))
           .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+        // DECIMAL(38,0) accumulators for the two cubically/quadratically
+        // growing sums (r15 operators review): in BIGINT, cnt³ in the
+        // tie term overflows at ~2.1M rows per bin (a point mass —
+        // exactly the tie-heavy shape the binning serves) and ra2 at
+        // ~2.1B pooled rows — under ANSI that kills the query, non-ANSI
+        // it wraps silently. 38 digits carry both to ~1e12 rows/bin.
+        // Outputs are unchanged (n_a/n_b stay BIGINT; u_stat/z are the
+        // same doubles), so the oracle — whose DuckDB sums are HUGEINT
+        // already — is untouched.
         val agg = ranked.agg(
           sum(col("ca")).as("n_a"),
           sum(col("cnt") - col("ca")).as("n_b"),
-          sum(col("ca") * col("r2")).as("ra2"),
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+          sum(col("ca").cast("decimal(38,0)") * col("r2")).as("ra2"),
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") - col("cnt"))
+            .as("ties"))
         agg
           .withColumn("u2", col("ra2") - col("n_a") * (col("n_a") + lit(1L)))
           .withColumn("nn", col("n_a") + col("n_b"))
@@ -139,7 +150,6 @@ object StatsOps {
       // by one ULP; exact money math cannot.
       "q191_weighted_median",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val cells = t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
           .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("w"))
@@ -153,7 +163,12 @@ object StatsOps {
           .groupBy(col("l_returnflag"))
           .agg(
             min(col("qty")).as("w_median_qty"),
-            first(col("total")).cast("double").as("total_weight"))
+            // min, not first (r15 operators review): total is constant
+            // per group TODAY, but first() is documented
+            // order-dependent — an edit to the partition keys would
+            // turn it nondeterministic with no error, and the oracle
+            // uses MIN(total); same cost, deterministic by contract
+            min(col("total")).cast("double").as("total_weight"))
       },
       Some(
         "WITH cells AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, " +
@@ -252,7 +267,7 @@ object StatsOps {
         val daily = Tables.events(s, dir)
           .groupBy(to_date(col("ts")).as("d"))
           .agg(count(lit(1)).cast("double").as("v"))
-        val overall = org.apache.spark.sql.expressions.Window.partitionBy()
+        val overall = Window.partitionBy()
         daily
           .withColumn("global_mean", avg(col("v")).over(overall))
           .groupBy(dayofweek(col("d")).cast("long").as("dow"))

@@ -53,6 +53,31 @@ class BoundaryMarginSpec extends SparkSpec {
     }
   }
 
+  test("q159/q160 radius cuts: every pair distance sits >= 1e-6 km from 300/1000 at all scales") {
+    // same class as the q103/q117 cuts (r15 operators review): Spark's
+    // JVM Math.sin/asin vs DuckDB's libm differ in the last ulp, so a
+    // pair within FP noise of exactly 300.0/1000.0 km would be included
+    // by one engine and excluded by the other. Asserted over the FULL
+    // cross product (the blocked join only sees candidate cells; a
+    // boundary pair outside the blocks would still hit the oracle's
+    // unblocked WHERE).
+    dirs.foreach { dir =>
+      val cust = GeoOps.customerPoints(spark, dir)
+        .select(col("lat").as("clat"), col("lon").as("clon"))
+      val sup = GeoOps.supplierPoints(spark, dir)
+        .select(col("lat").as("slat"), col("lon").as("slon"))
+      val d = cust.crossJoin(sup).select(
+        GeoOps.haversineKm(col("clat"), col("clon"), col("slat"), col("slon")).as("d"))
+      val m = d.agg(
+        min(abs(col("d") - lit(300.0d))).as("m300"),
+        min(abs(col("d") - lit(1000.0d))).as("m1000")).head
+      assert(m.getDouble(0) >= 1e-6,
+        s"$dir: a pair distance lies within 1e-6 km of the 300 km cut (min margin ${m.getDouble(0)})")
+      assert(m.getDouble(1) >= 1e-6,
+        s"$dir: a pair distance lies within 1e-6 km of the 1000 km cut (min margin ${m.getDouble(1)})")
+    }
+  }
+
   test("q33b/q33c byte==char slicing: documents.text is pure ASCII at all scales") {
     dirs.foreach { dir =>
       val nonAscii = Tables(spark, dir, "documents")

@@ -36,6 +36,20 @@ class GeoBlockingSpec extends SparkSpec {
       .filter(col("dist_km") < rKm)
   }
 
+  test("non-divisor lonCellDeg is rejected loudly") {
+    // r15 operators review: a lonCellDeg that does not divide 360 puts
+    // the last partial cell's points at an index no replica can reach —
+    // they silently lose EVERY in-radius pair, even coincident ones.
+    // The guard must fire at plan-build time, before any data moves.
+    val s = spark; import s.implicits._
+    val pts = Seq((1L, 10.0, 179.5)).toDF("id", "lat", "lon")
+    val ex = intercept[IllegalArgumentException] {
+      GeoOps.blockedDistanceJoin(pts, pts, rKm = 100.0,
+        latCellDeg = 10.0, lonCellDeg = 7.0)
+    }
+    assert(ex.getMessage.contains("divide 360"), ex.getMessage)
+  }
+
   test("blocked 300 km distance join equals brute force all-pairs") {
     val blocked = GeoOps.specs.find(_.name == "q159_geo_distance_join").get
       .fn(spark, dir).select("c_custkey", "s_suppkey")
