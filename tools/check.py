@@ -119,7 +119,16 @@ def cell_str(v) -> str:
     # decimal.Decimal (str -> '150.00') while DuckDB's .df() renders
     # DECIMAL as float64 ('150.0' via the float branch) — equal values
     # would fail the exact gate on representation; route Decimal
-    # through the SAME 6dp float path (r15 gate-tooling review)
+    # through the SAME 6dp float path (r15 gate-tooling review).
+    # DOCUMENTED PRECISION CEILING (r16, from r15 ADVICE): the float64
+    # round-trip is exact only below 2^53 ≈ 9.0e15 — two DECIMAL sums
+    # differing by cents at ~1e16 collapse to the same repr and
+    # false-PASS this gate. The float path is forced by DuckDB's .df()
+    # rendering DECIMAL as float64 (there is no lossless oracle-side
+    # representation to compare against without rewriting every oracle
+    # to CAST to VARCHAR); no gated query aggregates to that magnitude
+    # at sf<=0.1. A query whose correctness hinges on >2^53 exactness
+    # must surface the value as a string/HUGEINT-cents column instead.
     if isinstance(v, decimal.Decimal):
         return repr(round(float(v), 6))
     if isinstance(v, pd.Timestamp):
@@ -153,6 +162,42 @@ def exact_compare(got: pd.DataFrame, exp: pd.DataFrame):
     for i, (rg, re_) in enumerate(zip(g, e)):
         if rg != re_:
             return f"row {i}: spark={rg} duck={re_}"
+    return None
+
+
+def mode_disagreement_note(tol_err, exact_err):
+    """Self-explaining diagnostic when the two modes disagree (r15
+    VERDICT task 3: the next tie-heavy query must fail with an
+    explanation, not an adjudication session). Returns a note string,
+    or None when the modes agree (both pass or both fail).
+
+    tolerant-only failure: canon()'s row alignment sorts floats by
+    (4dp bucket, then 9dp tie-break) — rows duplicated in every exact
+    column whose floats carry cross-engine noise can order oppositely
+    on the two sides, cross-pair, and fail positionally even though a
+    correct pairing exists (the documented residual false-RED at
+    canon()). The exact mode sorts the stringified cells themselves,
+    so it is immune; it is also the driver-equivalent gate, hence
+    authoritative. The exit code still gates on both modes — this note
+    is the adjudication, not a waiver.
+
+    exact-only failure: usually an int-vs-float or representation
+    convention the tolerant mode coerces away (the round-9 lesson);
+    the driver WILL fail it — fix the query/oracle aliasing or types.
+    """
+    if tol_err is not None and exact_err is None:
+        return ("  NOTE: exact mode (authoritative, driver-equivalent) PASSES; "
+                "this tolerant failure matches the documented float-tie "
+                "cross-pairing residual (duplicate exact keys + near-tied "
+                "floats ordering oppositely per side — see canon()). If the "
+                "diagnostic rows above show the same value multiset on both "
+                "sides, the answer is right and the row ALIGNMENT is what "
+                "failed.")
+    if exact_err is not None and tol_err is None:
+        return ("  NOTE: tolerant mode passes but the driver-equivalent exact "
+                "mode FAILS — a representation/convention defect (int vs "
+                "float, alias, rounding), not a wrong answer; the driver "
+                "will fail it too.")
     return None
 
 
@@ -286,6 +331,9 @@ def main(sf_dir: str, out_dir: str) -> int:
                     pass  # diagnostics must never mask the FAIL itself
             if exact_err is not None:
                 print(f"FAIL(exact) {name}: {exact_err[:400]}")
+            note = mode_disagreement_note(tol_err, exact_err)
+            if note is not None:
+                print(note)
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

@@ -27,6 +27,10 @@ else
 fi
 
 step "2/5 oracle gate at sf0.01 (both checker modes; exit gates on exact)"
+# the gate tooling's own spec first: a broken checker must fail the
+# chain itself, not silently mis-grade 242 queries (r16, VERDICT r15 #3)
+python3 tools/test_check.py > "$WORK/test_check.log" 2>&1 \
+  || { echo "FAIL: tools/test_check.py (see $WORK/test_check.log)"; fail=1; }
 sbt "runMain graft.Verify $SF001 $WORK/verify_sf001" > "$WORK/verify_sf001.log" 2>&1 \
   || { echo "FAIL: Verify sf0.01"; fail=1; }
 grep "\[verify\]" "$WORK/verify_sf001.log" && { echo "FAIL: per-query verify errors"; fail=1; }
