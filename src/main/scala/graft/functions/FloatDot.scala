@@ -180,7 +180,13 @@ object GraftFunctions {
     new java.util.WeakHashMap[
       SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
-  // registrar body currently running on this thread (null = none)
+  // Registrar body currently running on this thread (null = none).
+  // DELIBERATELY thread-global, not per-session (r15 ADVICE,
+  // adjudicated): a body registering into a DIFFERENT session's map
+  // cannot deadlock, but no registrar in this codebase does that, and
+  // rejecting ALL nesting keeps the invariant checkable by reading one
+  // line. If a legitimate cross-session registrar ever appears, store
+  // (session, registrar) here and reject only same-session re-entry.
   private val inBody = new ThreadLocal[String]()
 
   private[functions] def oncePerSession(

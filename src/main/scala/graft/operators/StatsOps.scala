@@ -96,6 +96,11 @@ object StatsOps {
         // exactly the tie-heavy shape the binning serves) and ra2 at
         // ~2.1B pooled rows — under ANSI that kills the query, non-ANSI
         // it wraps silently. 38 digits carry both to ~1e12 rows/bin.
+        // The ~1e12 claim holds only because u2 below ALSO multiplies
+        // n_a*(n_a+1) in decimal (r15 ADVICE): a bigint*bigint product
+        // there dies at n_a ≈ 3.0e9, barely past the ra2 fix. The
+        // sigma2/z terms stay double on purpose — their domain is
+        // precision (the result IS a double), not overflow.
         // Outputs are unchanged (n_a/n_b stay BIGINT; u_stat/z are the
         // same doubles), so the oracle — whose DuckDB sums are HUGEINT
         // already — is untouched.
@@ -106,7 +111,8 @@ object StatsOps {
           sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") - col("cnt"))
             .as("ties"))
         agg
-          .withColumn("u2", col("ra2") - col("n_a") * (col("n_a") + lit(1L)))
+          .withColumn("u2",
+            col("ra2") - col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
           .withColumn("nn", col("n_a") + col("n_b"))
           .withColumn("u_stat", col("u2").cast("double") / lit(2.0))
           .withColumn("sigma2",

@@ -176,6 +176,7 @@ class DedupSemanticsSpec extends SparkSpec {
       (i.toLong, ws.mkString(" "), "en", "synthetic", ws.mkString(" ").length.toLong)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_band_policy")
+    try {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -207,6 +208,8 @@ class DedupSemanticsSpec extends SparkSpec {
     assert(narrowMax > bound,
       s"falsifiability: 4x8 banding max bucket $narrowMax ≤ $bound at $n docs — " +
         "the bound cannot fail, the recommended-shape assertion is vacuous")
+    // 5k-doc corpus per run must not accumulate in /tmp (r15 ADVICE)
+    } finally graft.GraftSession.rmTree(dir.toFile)
   }
 
   /** q92's Zipf-trap fix: when EVERY document starts with the same

@@ -216,6 +216,32 @@ class NewOpsPropertySpec extends SparkSpec {
     assert(math.abs(gz - z) <= 1e-9, s"z: $gz vs $z")
   }
 
+  test("q179 u2 arithmetic: decimal n_a product survives past the bigint overflow point (r15 ADVICE)") {
+    val s = spark; import s.implicits._
+    // One synthetic aggregate row at n_a = 3.1e9 — past bigint's
+    // n_a*(n_a+1) overflow point (~3.03e9), far below the decimal
+    // path's documented ~1e12 rows/bin. Exercises the exact u2
+    // expression shape from q179 (can't be driven through the full
+    // query: 3.1e9 input rows). u2 = ra2 - n_a*(n_a+1) = 42 exactly.
+    val na = 3100000000L
+    val ra2 = BigDecimal(na) * BigDecimal(na + 1) + 42 // 9.61e18 > Long.MaxValue
+    val agg = Seq((ra2, na)).toDF("ra2_raw", "n_a")
+      .select(col("ra2_raw").cast("decimal(38,0)").as("ra2"), col("n_a"))
+    val fixed = agg.select(
+      (col("ra2") - col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L))).as("u2"))
+      .head().getDecimal(0)
+    assert(BigDecimal(fixed) == BigDecimal(42))
+    // falsifiability: the pre-fix shape (bigint product, then decimal
+    // subtraction) must NOT reach the exact value — under ANSI it
+    // throws, non-ANSI it wraps. If this ever starts passing, Spark
+    // widened the product itself; retire the cast and this guard.
+    val old = scala.util.Try(
+      agg.select((col("ra2") - col("n_a") * (col("n_a") + lit(1L))).as("u2"))
+        .head().getDecimal(0))
+    assert(old.isFailure || BigDecimal(old.get) != BigDecimal(42),
+      "bigint n_a*(n_a+1) no longer overflows at 3.1e9 — the decimal cast is redundant")
+  }
+
   test("q184: relational Bellman-Ford == naive in-memory relaxation") {
     val edges = {
       val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
