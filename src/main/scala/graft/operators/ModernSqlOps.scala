@@ -43,9 +43,20 @@ object ModernSqlOps {
     * each region; the recursion walks down the ranking accumulating
     * revenue while the running total is still below 80% of the region
     * total (`cum*5 < total*4` keeps the comparison in exact integer
-    * DECIMAL arithmetic — no float 0.8 anywhere). All money math stays
-    * DECIMAL(18,2) end-to-end, and the per-step fold order is pinned
-    * by the rank chain, so both engines compute bit-identical sums.
+    * DECIMAL arithmetic — no float 0.8 anywhere). Money enters as
+    * DECIMAL(18,2) per row, but the ACCUMULATORS (cum_rev,
+    * region_total) ride DECIMAL(38,2): they are corpus-scale sums, and
+    * the original DECIMAL(18,2) narrowing casts overflow at 1e16 cents
+    * (~2-3x the 100 TB TPC-H region revenue) — where Spark (non-ANSI)
+    * nulls the walk predicate and SILENTLY TRUNCATES the recursion
+    * while DuckDB errors loudly (r16 focused review; same class as
+    * q179's r15 BIGINT tie-term). The x5/x4 compare stays exact at
+    * width 38 on both engines: Spark adjusts (38,2)xint to (38,2)
+    * (exact below 1e36) and DuckDB keeps DECIMAL(38,2), erroring
+    * loudly on real overflow rather than degrading to double
+    * (verified against DuckDB's typeof). The per-step fold order is
+    * pinned by the rank chain, so both engines compute bit-identical
+    * sums.
     * The walk grain is nations-within-region deliberately: recursion
     * depth is then bounded by the SCHEMA (≤ 5 nations per region at
     * every scale factor), not by the data — each recursion level is a
@@ -63,15 +74,15 @@ object ModernSqlOps {
        |)
        |SELECT region, nation, rev,
        |       CAST(ROW_NUMBER() OVER (PARTITION BY region ORDER BY rev DESC, nation) AS BIGINT) AS rk,
-       |       CAST(SUM(rev) OVER (PARTITION BY region) AS DECIMAL(18,2)) AS region_total
+       |       CAST(SUM(rev) OVER (PARTITION BY region) AS DECIMAL(38,2)) AS region_total
        |FROM nat_rev""".stripMargin
 
   private def walkBodySql(ranked: String): String =
     s"""walk AS (
-       |  SELECT region, nation, rk, CAST(rev AS DECIMAL(18,2)) AS cum_rev, region_total
+       |  SELECT region, nation, rk, CAST(rev AS DECIMAL(38,2)) AS cum_rev, region_total
        |  FROM $ranked WHERE rk = 1
        |  UNION ALL
-       |  SELECT r.region, r.nation, r.rk, CAST(w.cum_rev + r.rev AS DECIMAL(18,2)) AS cum_rev, r.region_total
+       |  SELECT r.region, r.nation, r.rk, CAST(w.cum_rev + r.rev AS DECIMAL(38,2)) AS cum_rev, r.region_total
        |  FROM walk w JOIN $ranked r ON r.region = w.region AND r.rk = w.rk + 1
        |  WHERE w.cum_rev * 5 < w.region_total * 4
        |)
@@ -81,7 +92,10 @@ object ModernSqlOps {
        |       cum_rev * 5 >= region_total * 4 AS reached_80
        |FROM walk""".stripMargin
 
-  private def recursiveWalkSql(ranked: String): String =
+  // private[operators]: ModernSqlOpsSpec drives this exact SQL against
+  // a synthetic rank chain at 1.2e16 cents — past the old DECIMAL(18,2)
+  // accumulators' ceiling, unreachable through the fixture (r16 review)
+  private[operators] def recursiveWalkSql(ranked: String): String =
     s"WITH RECURSIVE ${walkBodySql(ranked)}"
 
   /** Full single-statement form for the DuckDB oracle (one engine, one
