@@ -47,8 +47,21 @@ object TemporalOps {
       // path), not q103/q117 (pointwise outliers), not q130 (global
       // trend slope). Integer-exact across engines by scaling: the
       // statistic n·cum_t − t·total = n·(cum_t − t·mean) never forms
-      // the fractional mean, so S_t stays BIGINT and the argmax day is
-      // bit-deterministic (|S| desc, day asc tie-break). Shapes: one
+      // the fractional mean, and the products accumulate in
+      // DECIMAL(38,0): in BIGINT, under ANSI (the Spark 4 default)
+      // the product THROWS once n_days·total passes 9.2e18 (~1e4
+      // days × 1e15 events) even though the reported |S| is far
+      // smaller — killing a query the decimal form answers; under
+      // non-ANSI the two wrapped products happen to cancel in the
+      // subtraction while the true |S| < 2^63, but past that the
+      // wrapped abs silently mis-ranks days (r16 review; q179's r15
+      // overflow class — DuckDB's checked int64 errs loudly at the
+      // same point, so the oracle is untouched and the engine's
+      // envelope now exceeds the oracle's). The output column stays
+      // BIGINT by contract (the REPORTED max must fit int64; the
+      // ordering behind the argmax is decimal-exact to 1e38), so the
+      // argmax day is bit-deterministic (|S| desc, day asc
+      // tie-break). Shapes: one
       // combinable (type, day) count, then ALL windows run on the
       // days-sized frame partitioned by type — the corpus never
       // re-shuffles and no global window exists.
@@ -67,7 +80,9 @@ object TemporalOps {
           .withColumn("cum", sum(col("x")).over(wOrd))
           .withColumn("n", count(lit(1)).over(wAll))
           .withColumn("tot", sum(col("x")).over(wAll))
-          .withColumn("s_abs", abs(col("n") * col("cum") - col("t") * col("tot")))
+          .withColumn("s_abs",
+            abs(col("n").cast("decimal(38,0)") * col("cum") -
+              col("t").cast("decimal(38,0)") * col("tot")))
         scored
           .withColumn("rk",
             row_number().over(
@@ -76,7 +91,7 @@ object TemporalOps {
           .select(
             col("event_type"),
             date_format(col("d"), "yyyy-MM-dd").as("cp_day"),
-            col("s_abs").as("max_abs_cusum"),
+            col("s_abs").cast("bigint").as("max_abs_cusum"),
             col("n").as("n_days"),
             col("tot").as("total_events"))
       },
@@ -508,8 +523,15 @@ object TemporalOps {
             when(col("fw") === col("w"), "new")
               .when(col("was_prev").isNotNull, "retained")
               .otherwise("resurrected").as("cls"))
-          .groupBy("w").pivot("cls", Seq("new", "retained", "resurrected"))
-          .count().na.fill(0L)
+          // conditional aggregation, NOT Dataset.pivot: pivot (even
+          // with pinned values) plans TWO shuffles of this frame —
+          // and the frame here is users×weeks-sized, so the q36b
+          // one-shuffle adjudication applies with real stakes (r16
+          // review). count(when) is never null, so na.fill goes too.
+          .groupBy("w").agg(
+            count(when(col("cls") === "new", 1)).as("new"),
+            count(when(col("cls") === "retained", 1)).as("retained"),
+            count(when(col("cls") === "resurrected", 1)).as("resurrected"))
         // churned(w) = actives(w-1) − retained(w), reported only for
         // weeks that exist in the data (no phantom week after the end)
         val actives = uw.groupBy("w").agg(count(lit(1)).as("actives"))

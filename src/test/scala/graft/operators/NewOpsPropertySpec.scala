@@ -242,6 +242,35 @@ class NewOpsPropertySpec extends SparkSpec {
       "bigint n_a*(n_a+1) no longer overflows at 3.1e9 — the decimal cast is redundant")
   }
 
+  test("q207 cusum arithmetic: decimal products survive past the bigint overflow point (r16 review)") {
+    val s = spark; import s.implicits._
+    // One synthetic scored row at n = 2e5 days, cum = 6e13 events —
+    // n*cum = 1.2e19 > Long.MaxValue (9.22e18), far below the decimal
+    // path's 1e38. t*tot = 2e18 stays in range, so the true statistic
+    // |S| = |1.2e19 - 2e18| = 1e19. Exercises the exact s_abs
+    // expression shape from q207 (unreachable through the full query:
+    // ~6e13 input rows).
+    val agg = Seq((200000L, 60000000000000L, 2L, 1000000000000000000L))
+      .toDF("n", "cum", "t", "tot")
+    val fixed = agg.select(
+      abs(col("n").cast("decimal(38,0)") * col("cum") -
+        col("t").cast("decimal(38,0)") * col("tot")).as("s_abs"))
+      .head().getDecimal(0)
+    assert(BigDecimal(fixed) == BigDecimal("10000000000000000000"),
+      s"decimal s_abs wrong: $fixed")
+    // falsifiability: the pre-fix all-BIGINT shape must NOT reach the
+    // exact value — under ANSI (the Spark 4 default) the n*cum product
+    // throws; non-ANSI it wraps, and with |S| = 1e19 > 2^63 the wrap
+    // does NOT cancel in the subtraction (abs comes out 8.45e18). If
+    // this ever starts passing, Spark widened the product itself;
+    // retire the decimal casts and this guard.
+    val old = scala.util.Try(
+      agg.select(abs(col("n") * col("cum") - col("t") * col("tot")).as("s_abs"))
+        .head().getLong(0))
+    assert(old.isFailure || BigDecimal(old.get) != BigDecimal("10000000000000000000"),
+      "bigint n*cum no longer overflows at 1.2e19 — the decimal casts are redundant")
+  }
+
   test("q184: relational Bellman-Ford == naive in-memory relaxation") {
     val edges = {
       val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))

@@ -213,4 +213,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p.take(1200))
     assert(countOccurrences(p, "SortMergeJoin") == 0, p.take(1200))
   }
+
+  test("q204 (growth accounting): ledger classes fold in ONE aggregate — no pivot second shuffle (r16 review)") {
+    // Dataset.pivot (even with pinned values) plans a pivotfirst
+    // second aggregate + exchange — the q36b adjudication — and q204's
+    // classified frame is users×weeks-sized, so the extra shuffle has
+    // real stakes at 100 TB. Red under the pre-fix .pivot() form.
+    val p = plan("q204_growth_accounting").toLowerCase
+    assert(!p.contains("pivotfirst"),
+      s"q204 re-grew a Dataset.pivot two-shuffle aggregate: ${p.take(800)}")
+    // non-vacuity: Dataset.pivot on an equivalent tiny frame DOES plan
+    // pivotfirst — proving the token this guard greps for is the one
+    // Spark actually emits for the avoided shape
+    val s = spark; import s.implicits._
+    val pivotPlan = Seq(("2024-01-01", "new"), ("2024-01-01", "retained"))
+      .toDF("w", "cls")
+      .groupBy("w").pivot("cls", Seq("new", "retained", "resurrected")).count()
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(pivotPlan.contains("pivotfirst"),
+      "Dataset.pivot no longer plans pivotfirst — re-adjudicate the q36b/q204 convention")
+  }
 }
