@@ -219,21 +219,29 @@ object WindowOps {
       // spine); the histogram itself is a ≤20-group combinable groupBy.
       // The bin formula is written identically on both engines — same
       // IEEE-double op sequence → identical floor results; max-value
-      // rows clamp into the last bin on both sides.
+      // rows clamp into the last bin on both sides. The hi = lo guard
+      // declares the degenerate single-value slice: unguarded, the
+      // zero-width division nulls (or NaNs, under ANSI's IEEE doubles)
+      // and LEAST *ignores* nulls on BOTH engines, silently landing
+      // every row in the TOP bin (19) — an artifact of null-skipping
+      // LEAST, not a decision (r16 review). Convention: bin 0.
       "q108_histogram",
       (s, dir) => {
         val ev = Tables.events(s, dir).select(col("value"))
         val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
         ev.crossJoin(broadcast(bounds))
-          .select(least(lit(19L),
-            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0d))))
-            .cast("bigint").as("bin"))
+          .select(
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(least(lit(19L),
+                floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0d)))))
+              .cast("bigint").as("bin"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"))
       },
       Some(
         "WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events) " +
-          "SELECT CAST(LEAST(19, FLOOR((value - lo) / ((hi - lo) / 20.0))) AS BIGINT) " +
+          "SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE " +
+          "LEAST(19, FLOOR((value - lo) / ((hi - lo) / 20.0))) END AS BIGINT) " +
           "AS bin, COUNT(*) AS n FROM events CROSS JOIN b GROUP BY 1"),
     ),
     QuerySpec(

@@ -271,6 +271,37 @@ class NewOpsPropertySpec extends SparkSpec {
       "bigint n*cum no longer overflows at 1.2e19 — the decimal casts are redundant")
   }
 
+  test("q108: degenerate single-value input bins to 0, not the null-skipping LEAST artifact (r16 review)") {
+    val s = spark; import s.implicits._
+    // All values identical -> hi = lo -> the unguarded bin expression
+    // divides by zero width; LEAST ignores the resulting NULL on BOTH
+    // engines and lands every row in the TOP bin (19). The guarded
+    // query declares bin 0 instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q108_degenerate")
+    try {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      Seq((1L, 7L, "click", ts0, 42.0, "{}"), (2L, 8L, "view", ts0, 42.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val bins = graft.SparkEntry.queries("q108_histogram")(spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bins == Map(0L -> 2L), s"degenerate histogram: $bins")
+      // falsifiability: the unguarded expression shape on the same
+      // frame yields bin 19 (non-ANSI; under ANSI the IEEE NaN path
+      // diverges even harder) — proving the guard is load-bearing
+      val ev = Tables.events(spark, dir.toString).select(col("value"))
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val old = scala.util.Try(
+        ev.crossJoin(org.apache.spark.sql.functions.broadcast(bounds))
+          .select(least(lit(19L),
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0d))))
+            .cast("bigint").as("bin"))
+          .select("bin").distinct().collect().map(r => Option(r.get(0))).toSet)
+      assert(old.isFailure || old.get != Set(Some(0L)),
+        "the unguarded bin expression now yields 0 on zero-width bounds — retire the guard")
+    } finally graft.GraftSession.rmTree(dir.toFile)
+  }
+
   test("q184: relational Bellman-Ford == naive in-memory relaxation") {
     val edges = {
       val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
