@@ -67,14 +67,25 @@ object CurationOps {
       // fraction (src0→5% … src19→100%) — the "sample sources at
       // different rates into one training mix" op. Same hash-bucket
       // trick; the filter pushes to the scan, kept rows carry their
-      // sampling metadata for downstream loss weighting.
+      // sampling metadata for downstream loss weighting. The rate
+      // parse is LOUD by construction (try_cast + raise_error): a
+      // malformed source name must kill the job, not ride a NULL
+      // keep_pct into `bucket < NULL` = unknown and silently drop the
+      // source from the mix — the silent-data-loss class of the r15
+      // pipeline review, and mode-dependent besides (ANSI CAST throws,
+      // non-ANSI nulls). DuckDB's oracle CAST already errors loudly,
+      // so this pins both engines to the same loud contract (r16).
       "q45_source_mixture",
       (s, dir) =>
         docs(s, dir)
           .select(
             col("doc_id"),
             col("source"),
-            (expr("CAST(substr(source, 4) AS INT)") * 5 + 5).cast("bigint").as("keep_pct"),
+            expr("CASE WHEN TRY_CAST(substr(source, 4) AS INT) IS NULL THEN " +
+              "CAST(raise_error(concat('q45_source_mixture: unparseable source id: ', " +
+              "coalesce(source, '<null>'))) AS BIGINT) " +
+              "ELSE CAST(TRY_CAST(substr(source, 4) AS INT) * 5 + 5 AS BIGINT) END")
+              .as("keep_pct"),
             expr(hashBucket("mix:", "CAST(doc_id AS STRING)")).as("bucket"))
           .filter(col("bucket") < col("keep_pct")),
       Some(
@@ -423,9 +434,13 @@ object CurationOps {
       // where the threshold must adapt PER DOMAIN rather than be one
       // global cut. Rank-based (row_number over (quality DESC, doc_id)
       // with the kept count as integer arithmetic, ceil(n/5) =
-      // (n+4) div 5) so the cut is exact on both engines — a
-      // ceil(n * 0.2) would round differently in IEEE double vs
-      // DuckDB's decimal when n is a multiple of 5. One shuffle on
+      // (n+4) div 5) so the cut is SELF-EVIDENTLY exact on both
+      // engines. (Correction, r16 review: the double form
+      // ceil(n * 0.2) is in fact ALSO exact for this fraction — see
+      // the proof at q148, which uses it — so the earlier claim here
+      // that it "would round differently when n is a multiple of 5"
+      // overclaimed; the integer form stays because its exactness
+      // needs no proof.) One shuffle on
       // source; scoring is scan-speed.
       "q111_quality_topfrac",
       (s, dir) => {
@@ -702,7 +717,18 @@ object CurationOps {
       // (lang, source) stratum" (balanced eval sets, per-language
       // quotas), rank the stratum by a salted md5 and keep the first
       // ceil(0.2·|stratum|). Deterministic (md5 order, doc_id
-      // tiebreak), and exact by construction. Scale shape: one shuffle
+      // tiebreak), and exact by construction. The ceil(n * 0.2)
+      // boundary is exact on both engines despite the IEEE double
+      // (r16 review, resolving q111's earlier divergence claim):
+      // DuckDB computes n·0.2 in DECIMAL (exact); Spark's double
+      // product provably rounds to the same ceil, because
+      // (double)0.2 = 0.2·(1 + 2⁻⁵⁴), so for n = 5m the true product
+      // m·(1 + 2⁻⁵⁴) carries an excess m·2⁻⁵⁴ STRICTLY below the
+      // half-ulp 2^(e−53) for every m < 2^(e+1) — round-to-nearest
+      // lands on m exactly for all m < 2^53 (probed empirically too:
+      // zero divergences to 2e7 and at all 5m near powers of two up
+      // to 2^50); non-multiples of 5 sit ≥ 1/5 from the boundary.
+      // Scale shape: one shuffle
       // by stratum key for the rank window; the per-stratum counts
       // frame is strata-sized and broadcast back. Skewed strata
       // parallelize no worse than any rank-per-group — and the rank

@@ -36,6 +36,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.filter(col("bucket") >= col("keep_pct")).count() == 0)
   }
 
+  test("q45 dies LOUDLY on an unparseable source id (r16 review)") {
+    // A malformed source name must kill the job with the declared
+    // message, not ride a NULL keep_pct into `bucket < NULL` = unknown
+    // and silently drop the source from the mixture — the
+    // silent-data-loss class of the r15 pipeline review. Red under the
+    // pre-fix shape: non-ANSI CAST nulls (rows vanish, no error);
+    // ANSI throws, but a generic cast error without the query's name
+    // or the offending value.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q45_loud")
+    try {
+      Seq(
+        (1L, "alpha beta gamma", "en", "src3", 16L),
+        (2L, "delta epsilon zeta", "en", "weird-source", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e = intercept[Exception] {
+        CurationOps.specs.find(_.name == "q45_source_mixture").get
+          .fn(spark, dir.toString).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("unparseable source id: weird-source")),
+        s"failure is not the declared guard: ${messages(e).mkString(" | ").take(300)}")
+    } finally graft.GraftSession.rmTree(dir.toFile)
+  }
+
   test("q46 redacted text contains no residual PII matches") {
     val out = run("q46_pii_redact")
     val residual = out.filter(
