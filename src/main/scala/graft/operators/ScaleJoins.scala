@@ -58,7 +58,11 @@ object ScaleJoins {
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("top"), sum(col("n")).as("total"))
       .head()
-    (row.getLong(0), row.getLong(1))
+    // an empty frame aggregates to (NULL, NULL) — read it as (0, 0) so
+    // derivedSalts' named `require` fires instead of an opaque
+    // NullPointerException at getLong (r16 review: the loud path was
+    // designed but unreachable)
+    if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
   }
 
   /** Salt factor derived from the measured top-key share: enough splits

@@ -233,4 +233,17 @@ class ScaleJoinsSpec extends SparkSpec {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("adaptive salting on an EMPTY frame fails with the named require, not an NPE (r16 review)") {
+    // the empty aggregate reads (NULL, NULL); pre-fix, getLong NPE'd
+    // before derivedSalts' designed "empty frame" require could fire
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "x")
+    val small = Seq((1L, "a")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      ScaleJoins.adaptiveSaltedJoin(empty, small, "k", parallelism = 4)
+    }
+    assert(e.getMessage.contains("empty frame"),
+      s"expected the named require, got: ${e.getMessage}")
+  }
 }
