@@ -826,7 +826,13 @@ object CurationOps {
           .withColumn("u",
             expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
               / lit(1152921504606846976.0)) // 2^60
-          .withColumn("es_key", pow(col("u"), lit(1.0) / col("n_chars")))
+          // weight 0 (an empty doc, n_chars = 0) has no defined A-ES
+          // key: the guard yields NULL — which both engines rank last
+          // under DESC, i.e. never sampled — where the unguarded
+          // 1.0/0 would throw under Spark's ANSI session default while
+          // DuckDB returns NULL (r16 ANSI-division sweep)
+          .withColumn("es_key",
+            pow(col("u"), lit(1.0) / when(col("n_chars") =!= 0, col("n_chars"))))
           .orderBy(col("es_key").desc, col("doc_id").asc)
           .limit(20)
           .select(col("doc_id"), col("n_chars"), round(col("es_key"), 9).as("es_key")),
@@ -1083,8 +1089,13 @@ object CurationOps {
         val d = base.unionByName(replicas)
           .withColumn("n_chars", length(col("text")).cast("long"))
           .withColumn("n_tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          // nullif: an EMPTY text (length 0) must grade q_ok = false,
+          // not throw — under the session's ANSI default Spark errors
+          // DIVIDE_BY_ZERO on the 0.0 divisor where DuckDB's x/0 is
+          // NULL; the NULL ratio then falls out of the q_ok conjunction
+          // identically on both engines (r16 ANSI-division sweep)
           .withColumn("digit_ratio",
-            expr("regexp_count(text, '[0-9]') / CAST(length(text) AS DOUBLE)"))
+            expr("regexp_count(text, '[0-9]') / nullif(CAST(length(text) AS DOUBLE), 0.0D)"))
           .withColumn("q_ok",
             col("n_chars").between(60, 5000) && col("digit_ratio") < 0.3)
           .withColumn("norm", expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"))

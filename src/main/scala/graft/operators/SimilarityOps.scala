@@ -43,6 +43,21 @@ object SimilarityOps {
 
   private val norm: String = "SQRT(float_dot(embedding, embedding))"
 
+  /** Cosine with the zero-vector degenerate DECLARED: a zero norm on
+    * either side yields NULL — ranked last (both engines default
+    * NULLS LAST under DESC) or filtered out by any threshold — instead
+    * of the DIVIDE_BY_ZERO error Spark's ANSI session default raises
+    * for a 0.0 divisor (verified: under ANSI even DOUBLE division
+    * throws, it is not IEEE). DuckDB's x/0 is NULL, so the guard pins
+    * both engines to the same semantics where an unguarded corpus
+    * with one zero vector (failed embed, padding row) would crash the
+    * Spark side only (r16 review; q89's mx > 0 filter and q145's
+    * sd > 1e-9 cut are this same convention, applied here to every
+    * cosine site).
+    */
+  private def cosine(d: Column, normProduct: Column): Column =
+    when(normProduct =!= 0.0d, d / normProduct)
+
   /** DuckDB-side float64 dot product over list columns a·b, 64 dims. */
   private def duckDot(a: String, b: String): String =
     s"(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 65)) AS u(i))"
@@ -103,7 +118,7 @@ object SimilarityOps {
     en.join(broadcast(probed), Seq("label"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("qn", expr(norm.replace("embedding", "qemb")))
-      .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+      .withColumn("cosine", cosine(dot("embedding", "qemb"), col("n") * col("qn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(
@@ -121,7 +136,7 @@ object SimilarityOps {
         val scored = e
           .crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+          .withColumn("cosine", cosine(dot("embedding", "qemb"), col("n") * col("qn")))
         val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
         scored
           .withColumn("rk", row_number().over(w))
@@ -213,8 +228,8 @@ object SimilarityOps {
         cand
           .withColumn(
             "cosine",
-            dot("embedding", "qemb") /
-              (expr(norm) * expr(norm.replace("embedding", "qemb"))))
+            cosine(dot("embedding", "qemb"),
+              expr(norm) * expr(norm.replace("embedding", "qemb"))))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(
@@ -254,7 +269,7 @@ object SimilarityOps {
           col("label"), col("vec_id").as("vb"), col("embedding").as("eb"), col("n").as("nb"))
         a.join(b, Seq("label"))
           .filter(col("va") < col("vb"))
-          .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+          .withColumn("cosine", cosine(dot("ea", "eb"), col("na") * col("nb")))
           .filter(col("cosine") >= 0.3)
           .select(
             col("label").cast("bigint").as("label"), col("va"), col("vb"),
@@ -281,7 +296,7 @@ object SimilarityOps {
           col("label"), col("vec_id").as("vb"), col("embedding").as("eb"), col("n").as("nb"))
         val pairs = a.join(b, Seq("label"))
           .filter(col("va") < col("vb"))
-          .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+          .withColumn("cosine", cosine(dot("ea", "eb"), col("na") * col("nb")))
           .filter(col("cosine") >= 0.3)
           .select(col("va").as("pi"), col("vb").as("pj")) // BIGINT throughout
         graft.pipeline.Network.connectedComponents(s, pairs)
@@ -543,7 +558,7 @@ object SimilarityOps {
         val scored = e
           .crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cosine", dot("embedding", "qemb") / (col("n") * col("qn")))
+          .withColumn("cosine", cosine(dot("embedding", "qemb"), col("n") * col("qn")))
           .withColumn("same", col("label") === col("qlabel"))
         val wPos = Window.partitionBy("qid", "same")
           .orderBy(col("cosine").desc, col("vec_id").asc)

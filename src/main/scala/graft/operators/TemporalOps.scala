@@ -1012,7 +1012,15 @@ object TemporalOps {
           .groupBy(col("user_id"), to_date(col("ts")).as("d"))
           .agg(
             count(lit(1)).as("n_events"),
-            round(sum(col("value") * col("dur")) / sum(col("dur")), 6).as("twap"))
+            // sum(dur) = 0.0 (non-NULL!) when a day's events all share
+            // one microsecond — two same-µs events suffice — and under
+            // the session's ANSI default Spark then throws
+            // DIVIDE_BY_ZERO where DuckDB's 0/0 is NULL. Declare the
+            // zero-support day as twap NULL, same as the single-event
+            // day the comment above already pins (r16 ANSI-division
+            // sweep).
+            round(when(sum(col("dur")) =!= 0.0d,
+              sum(col("value") * col("dur")) / sum(col("dur"))), 6).as("twap"))
           // surface convention: DATE rides as yyyy-MM-dd string
           .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
       },

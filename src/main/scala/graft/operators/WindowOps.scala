@@ -202,7 +202,13 @@ object WindowOps {
           .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
         Tables.events(s, dir)
           .join(broadcast(stats), "event_type")
-          .withColumn("z", (col("value") - col("m")) / col("sd"))
+          // zero-variance guard: a constant-valued group has sd = 0.0
+          // exactly, and under the session's ANSI default Spark throws
+          // DIVIDE_BY_ZERO on the 0.0 divisor where DuckDB's x/0 is
+          // NULL (→ excluded by the filter). The guard declares the
+          // same semantics — no outliers without variance — instead of
+          // crashing the Spark side only (r16 ANSI-division sweep).
+          .withColumn("z", when(col("sd") =!= 0.0d, (col("value") - col("m")) / col("sd")))
           .filter(abs(col("z")) > 3.0d)
           .select(col("event_id"), col("event_type"), col("value"), col("z"))
       },
@@ -220,11 +226,13 @@ object WindowOps {
       // The bin formula is written identically on both engines — same
       // IEEE-double op sequence → identical floor results; max-value
       // rows clamp into the last bin on both sides. The hi = lo guard
-      // declares the degenerate single-value slice: unguarded, the
-      // zero-width division nulls (or NaNs, under ANSI's IEEE doubles)
-      // and LEAST *ignores* nulls on BOTH engines, silently landing
-      // every row in the TOP bin (19) — an artifact of null-skipping
-      // LEAST, not a decision (r16 review). Convention: bin 0.
+      // declares the degenerate single-value slice: unguarded, under
+      // the session's ANSI default the zero-width division THROWS
+      // DIVIDE_BY_ZERO (ANSI errors even on DOUBLE divisors — verified,
+      // not IEEE), and under non-ANSI it nulls, where LEAST *ignores*
+      // the null on BOTH engines and silently lands every row in the
+      // TOP bin (19) — a crash or an artifact, never a decision (r16
+      // review). Convention: bin 0.
       "q108_histogram",
       (s, dir) => {
         val ev = Tables.events(s, dir).select(col("value"))
@@ -429,7 +437,11 @@ object WindowOps {
         val den = w16.zipWithIndex.map { case (w, k) =>
           lit(w) * when(lag(col("value"), k).over(win).isNotNull, 1.0).otherwise(0.0)
         }.reduce(_ + _)
-        ev.withColumn("ewma", round(num / den, 6))
+        // den = 0.0 exactly when the current row's value is NULL and no
+        // non-null lag is in reach — under the ANSI session default the
+        // division then throws where DuckDB yields NULL; declare the
+        // no-support row as ewma NULL instead (r16 ANSI-division sweep)
+        ev.withColumn("ewma", round(when(den =!= 0.0d, num / den), 6))
           .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
       },
       Some {

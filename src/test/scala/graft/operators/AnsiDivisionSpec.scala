@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{GraftSession, SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input contracts from the r16 ANSI-division sweep.
+  *
+  * The engine's sessions run Spark 4's ANSI default (pinned by the
+  * first test), under which division by an exact-0.0 divisor THROWS —
+  * even for DOUBLE operands — while the DuckDB oracle's x/0 is NULL.
+  * Any query whose denominator can reach 0.0 on degenerate-but-
+  * realistic data therefore crashes the Spark side only, unless the
+  * degenerate case is declared. These tests drive each such query over
+  * the exact fixture that reaches its zero divisor and assert the
+  * oracle's NULL semantics; every test was RED against the unguarded
+  * pre-fix shape (the query died with DIVIDE_BY_ZERO). The guarded
+  * queries (q89's mx > 0, q145's sd > 1e-9, q170's n_pred > 0,
+  * q173's greatest(cnt-1, 1)) already followed this convention — the
+  * sweep extends it to the sites that missed it.
+  */
+class AnsiDivisionSpec extends SparkSpec {
+
+  private val ts0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+  private val ts1 = java.sql.Timestamp.valueOf("2024-01-05 11:00:00")
+
+  test("session mode pin: ANSI on, DOUBLE division by zero throws") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "the session no longer runs ANSI — re-adjudicate the r16 division-guard convention")
+    assert(scala.util.Try(spark.sql("SELECT 1.0D / 0.0D").collect()).isFailure,
+      "ANSI DOUBLE division by zero no longer throws — the guards may be retirable")
+  }
+
+  private def withEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, java.lang.Double)])(
+      body: String => Unit): Unit = {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_events")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      body(dir.toString)
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  private def withDocs(rows: Seq[(Long, String, String, String, Long)])(
+      body: String => Unit): Unit = {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_docs")
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      body(dir.toString)
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  test("q157 twap: a day whose events share one microsecond yields twap NULL, not DIVIDE_BY_ZERO") {
+    // two same-µs events: the first gets dur = 0 (non-NULL!), the
+    // second dur = NULL (last of day) → sum(dur) = 0.0 exactly
+    withEvents(Seq(
+      (1L, ts0, 7L, "click", 1.5),
+      (2L, ts0, 7L, "click", 2.5),
+      (3L, ts0, 8L, "view", 1.0), (4L, ts1, 8L, "view", 3.0))) { dir =>
+      val out = SparkEntry.queries("q157_twap")(spark, dir)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(out(7L).isEmpty, "zero-support day must be twap NULL")
+      assert(out(8L).nonEmpty, "a real-duration day still averages")
+    }
+  }
+
+  test("q103 z-score: a zero-variance group is outlier-free, not DIVIDE_BY_ZERO") {
+    // ≥2 identical values → stddev_samp = 0.0 exactly (not NULL)
+    withEvents(Seq(
+      (1L, ts0, 1L, "error", 42.0),
+      (2L, ts1, 2L, "error", 42.0),
+      (3L, ts0, 3L, "error", 42.0))) { dir =>
+      val out = SparkEntry.queries("q103_zscore_outliers")(spark, dir).collect()
+      assert(out.isEmpty, s"no variance → no outliers, got ${out.length} rows")
+    }
+  }
+
+  test("q185 ewma: a NULL-valued head row yields ewma NULL, not DIVIDE_BY_ZERO") {
+    // user_id 0 passes the 1-in-50 sample; the first event's value is
+    // NULL, so at that row every reachable lag is NULL → den = 0.0
+    withEvents(Seq(
+      (1L, ts0, 0L, "click", null),
+      (2L, ts1, 0L, "click", 2.0))) { dir =>
+      val out = SparkEntry.queries("q185_ewma")(spark, dir)
+        .orderBy("event_id")
+        .collect().map(r => Option(r.get(4)))
+      assert(out.head.isEmpty, "no-support row must be ewma NULL")
+      assert(out(1).nonEmpty, "the next row has support (its own value)")
+    }
+  }
+
+  test("q200 curation funnel: an empty-text doc grades q_ok = false, not DIVIDE_BY_ZERO") {
+    withDocs(Seq(
+      (1L, "", "en", "src1", 0L),
+      (2L, ("the quick brown fox " * 5).trim, "en", "src1", 99L))) { dir =>
+      val out = SparkEntry.queries("q200_curation_funnel")(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head // (n_in, n_quality)
+      assert(out._1 == 2L, s"both docs counted in: $out")
+      assert(out._2 <= 1L, s"the empty doc must not pass quality: $out")
+    }
+  }
+
+  test("q163 weighted sample: an n_chars = 0 doc ranks last with a NULL key, not DIVIDE_BY_ZERO") {
+    withDocs(Seq(
+      (1L, "", "en", "src1", 0L),
+      (2L, "alpha beta", "en", "src1", 10L))) { dir =>
+      val out = SparkEntry.queries("q163_weighted_sample")(spark, dir)
+        .collect().map(r => (r.getLong(0), Option(r.get(2))))
+      assert(out.head._1 == 2L && out.head._2.nonEmpty,
+        s"the weighted doc must lead: ${out.toSeq}")
+      assert(out.last._1 == 1L && out.last._2.isEmpty,
+        s"the zero-weight doc must trail with a NULL key: ${out.toSeq}")
+    }
+  }
+
+  test("q30/q32 cosine: a zero vector gets a NULL cosine (ranked last / filtered), not DIVIDE_BY_ZERO") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_emb")
+    try {
+      def vec(x: Float): Seq[Float] = Seq.fill(64)(x)
+      // qid 0 is a live query; vec_id 10 is the zero vector (failed
+      // embed); 11–12 are normal candidates sharing label 1
+      Seq(
+        (0L, vec(0.5f), 1),
+        (10L, vec(0.0f), 1),
+        (11L, vec(0.4f), 1),
+        (12L, vec(0.6f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val topk = SparkEntry.queries("q30_cosine_topk")(spark, dir.toString)
+        .filter(col("qid") === 0L)
+        .collect().map(r => (r.getLong(1), Option(r.get(2))))
+      assert(topk.nonEmpty, "query must run over the degenerate corpus")
+      assert(topk.takeWhile(_._2.nonEmpty).map(_._1).toSet == Set(11L, 12L),
+        s"real candidates rank first: ${topk.toSeq}")
+      assert(topk.last == ((10L, None)),
+        s"the zero vector ranks last with NULL cosine: ${topk.toSeq}")
+      // the thresholded pair query simply drops the zero vector (NULL
+      // >= 0.3 is not true on either engine)
+      val pairs = SparkEntry.queries("q32_cosine_pairs")(spark, dir.toString)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(pairs.nonEmpty && !pairs.exists(p => p._1 == 10L || p._2 == 10L),
+        s"zero vector must not pair: ${pairs.toSeq}")
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+}
