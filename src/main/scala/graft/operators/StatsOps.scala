@@ -115,13 +115,22 @@ object StatsOps {
             col("ra2") - col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
           .withColumn("nn", col("n_a") + col("n_b"))
           .withColumn("u_stat", col("u2").cast("double") / lit(2.0))
+          // degenerate-sample guards (r16 ANSI-division sweep): with
+          // nn = 1 the tie-correction divides by nn·(nn−1) = 0, and
+          // with an empty side (n_a·n_b = 0) sigma2 is exactly 0.0 —
+          // both throw DIVIDE_BY_ZERO under the ANSI session default
+          // where DuckDB's x/0 is NULL. A one-sided or single-row
+          // slice has no defined U test: z is declared NULL, the
+          // counts and u_stat still report.
           .withColumn("sigma2",
-            col("n_a").cast("double") * col("n_b") / lit(12.0) *
-              ((col("nn") + lit(1L)).cast("double") -
-                col("ties").cast("double") / (col("nn").cast("double") * (col("nn") - lit(1L)))))
+            when(col("nn") > 1,
+              col("n_a").cast("double") * col("n_b") / lit(12.0) *
+                ((col("nn") + lit(1L)).cast("double") -
+                  col("ties").cast("double") / (col("nn").cast("double") * (col("nn") - lit(1L))))))
           .withColumn("z",
-            round((col("u_stat") - col("n_a").cast("double") * col("n_b") / lit(2.0)) /
-              sqrt(col("sigma2")), 4))
+            round(when(col("sigma2") > 0.0d,
+              (col("u_stat") - col("n_a").cast("double") * col("n_b") / lit(2.0)) /
+                sqrt(col("sigma2"))), 4))
           .select(col("n_a"), col("n_b"), col("u_stat"), col("z"))
       },
       Some(
@@ -245,7 +254,14 @@ object StatsOps {
             col("event_type"),
             col("n_ref"), col("n_live"),
             round(col("n_live") / col("n_ref").cast("double"), 4).as("count_ratio"),
-            round((col("m_live") - col("m_ref")) / col("sd_ref"), 4).as("mean_shift_sd"))
+            // a constant-valued reference half has sd_ref = 0.0 exactly
+            // (not NULL) — ANSI throws on the division where DuckDB
+            // yields NULL; a zero-variance reference supports no shift
+            // measurement, so the column is declared NULL (r16
+            // ANSI-division sweep). n_ref is structurally >= 1 (the
+            // ref row only exists for grouped rows).
+            round(when(col("sd_ref") =!= 0.0d,
+              (col("m_live") - col("m_ref")) / col("sd_ref")), 4).as("mean_shift_sd"))
       },
       Some(
         "WITH st AS (SELECT event_type, " +

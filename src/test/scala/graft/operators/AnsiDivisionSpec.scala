@@ -116,6 +116,35 @@ class AnsiDivisionSpec extends SparkSpec {
     }
   }
 
+  test("q179 Mann-Whitney: a one-sided sample yields z NULL, not DIVIDE_BY_ZERO") {
+    // clicks only, no purchases: n_b = 0 → sigma2 = 0.0 exactly → the
+    // pre-fix z divided by sqrt(0.0); (a single-row slice additionally
+    // zeroes the nn·(nn−1) tie divisor — covered by the nn > 1 guard)
+    withEvents(Seq(
+      (1L, ts0, 1L, "click", 1.0),
+      (2L, ts0, 2L, "click", 2.0),
+      (3L, ts1, 3L, "click", 3.0))) { dir =>
+      val Seq(row) = SparkEntry.queries("q179_mann_whitney")(spark, dir)
+        .collect().toSeq
+      assert(row.getLong(0) == 3L && row.getLong(1) == 0L)
+      assert(Option(row.get(3)).isEmpty, "one-sided sample must report z NULL")
+    }
+  }
+
+  test("q194 drift monitor: a constant-valued reference half yields shift NULL, not DIVIDE_BY_ZERO") {
+    val d05 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val d20 = java.sql.Timestamp.valueOf("2024-01-20 10:00:00")
+    withEvents(Seq(
+      (1L, d05, 1L, "click", 5.0), (2L, d05, 2L, "click", 5.0), // ref: sd = 0.0
+      (3L, d20, 3L, "click", 2.0), (4L, d20, 4L, "click", 3.0))) { dir =>
+      val Seq(row) = SparkEntry.queries("q194_drift_monitor")(spark, dir)
+        .collect().toSeq
+      assert(row.getLong(1) == 2L && row.getLong(2) == 2L)
+      assert(Option(row.get(4)).isEmpty,
+        "zero-variance reference must report mean_shift_sd NULL")
+    }
+  }
+
   test("q30/q32 cosine: a zero vector gets a NULL cosine (ranked last / filtered), not DIVIDE_BY_ZERO") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_emb")
