@@ -25,7 +25,12 @@ object SparkEntry {
         operators.GraphOps.specs ++
         operators.ModernSqlOps.specs ++
         operators.GeoOps.specs ++
-        operators.StatsOps.specs
+        operators.StatsOps.specs ++
+        // q209 is a GATE ROW (VERDICT r16 #2), not a new operator: it
+        // drives the r16 ANSI-division degenerate classes through the
+        // shared production guard expressions on both engines every
+        // round. The operator surface remains the 242 above.
+        operators.DegenerateProbes.specs
     // A duplicate name would be silently dropped by `queries`' toMap:
     // one implementation benched but never oracle-verified — and name
     // collisions have happened twice in this project's history

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -34,6 +34,27 @@ object CurationOps {
 
   private def duckBucket(salt: String, keyExpr: String): String =
     s"(('0x' || substr(md5('$salt' || $keyExpr), 1, 15))::BIGINT % 100)"
+
+  /** q163's A-ES sampling key with the zero-weight degenerate
+    * DECLARED: weight 0 (an empty doc, n_chars = 0) has no defined
+    * key — the guard yields NULL, which both engines rank last under
+    * DESC (never sampled), where the unguarded 1.0/0 would throw under
+    * Spark's ANSI session default while DuckDB returns NULL (r16
+    * ANSI-division sweep). Shared with q209's degenerate probe so the
+    * gate exercises THIS expression, not a copy.
+    */
+  private[graft] def esKey(u: Column, nChars: Column): Column =
+    pow(u, lit(1.0) / when(nChars =!= 0, nChars))
+
+  /** q200's quality ratio with the empty-document degenerate DECLARED:
+    * length 0 makes the divisor exactly 0.0 — ANSI throws where
+    * DuckDB's x/0 is NULL; nullif pins both engines to NULL, and the
+    * NULL ratio then falls out of any comparison (r16 ANSI-division
+    * sweep). Requires a `text` column in scope. Shared with q209's
+    * degenerate probe.
+    */
+  private[graft] def digitRatio: Column =
+    expr("regexp_count(text, '[0-9]') / nullif(CAST(length(text) AS DOUBLE), 0.0D)")
 
   // RE2-compatible PII patterns (no backrefs/lookaround) so the Java
   // regex engine and DuckDB's RE2 agree match-for-match.
@@ -73,17 +94,25 @@ object CurationOps {
       // keep_pct into `bucket < NULL` = unknown and silently drop the
       // source from the mix — the silent-data-loss class of the r15
       // pipeline review, and mode-dependent besides (ANSI CAST throws,
-      // non-ANSI nulls). DuckDB's oracle CAST already errors loudly,
-      // so this pins both engines to the same loud contract (r16).
+      // non-ANSI nulls). DuckDB's oracle CAST already errors loudly on
+      // a non-NULL garbage name, so this pins both engines to the same
+      // loud contract (r16). A NULL source is the one case the two
+      // contracts split (r16 ADVICE): DuckDB's CAST(NULL) is silently
+      // NULL, and SQL row-ledger semantics treat an absent dimension
+      // as unknown, not malformed — so NULL keeps keep_pct NULL (the
+      // row drops from the mix, `bucket < NULL` is never true,
+      // IDENTICALLY on both engines) and only a non-NULL unparseable
+      // name kills the job.
       "q45_source_mixture",
       (s, dir) =>
         docs(s, dir)
           .select(
             col("doc_id"),
             col("source"),
-            expr("CASE WHEN TRY_CAST(substr(source, 4) AS INT) IS NULL THEN " +
+            expr("CASE WHEN source IS NULL THEN CAST(NULL AS BIGINT) " +
+              "WHEN TRY_CAST(substr(source, 4) AS INT) IS NULL THEN " +
               "CAST(raise_error(concat('q45_source_mixture: unparseable source id: ', " +
-              "coalesce(source, '<null>'))) AS BIGINT) " +
+              "source)) AS BIGINT) " +
               "ELSE CAST(TRY_CAST(substr(source, 4) AS INT) * 5 + 5 AS BIGINT) END")
               .as("keep_pct"),
             expr(hashBucket("mix:", "CAST(doc_id AS STRING)")).as("bucket"))
@@ -826,13 +855,9 @@ object CurationOps {
           .withColumn("u",
             expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
               / lit(1152921504606846976.0)) // 2^60
-          // weight 0 (an empty doc, n_chars = 0) has no defined A-ES
-          // key: the guard yields NULL — which both engines rank last
-          // under DESC, i.e. never sampled — where the unguarded
-          // 1.0/0 would throw under Spark's ANSI session default while
-          // DuckDB returns NULL (r16 ANSI-division sweep)
-          .withColumn("es_key",
-            pow(col("u"), lit(1.0) / when(col("n_chars") =!= 0, col("n_chars"))))
+          // zero-weight guard lives in the shared esKey (NULL key →
+          // ranked last, never sampled, identically on both engines)
+          .withColumn("es_key", esKey(col("u"), col("n_chars")))
           .orderBy(col("es_key").desc, col("doc_id").asc)
           .limit(20)
           .select(col("doc_id"), col("n_chars"), round(col("es_key"), 9).as("es_key")),
@@ -1089,13 +1114,9 @@ object CurationOps {
         val d = base.unionByName(replicas)
           .withColumn("n_chars", length(col("text")).cast("long"))
           .withColumn("n_tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-          // nullif: an EMPTY text (length 0) must grade q_ok = false,
-          // not throw — under the session's ANSI default Spark errors
-          // DIVIDE_BY_ZERO on the 0.0 divisor where DuckDB's x/0 is
-          // NULL; the NULL ratio then falls out of the q_ok conjunction
-          // identically on both engines (r16 ANSI-division sweep)
-          .withColumn("digit_ratio",
-            expr("regexp_count(text, '[0-9]') / nullif(CAST(length(text) AS DOUBLE), 0.0D)"))
+          // empty-text guard lives in the shared digitRatio (NULL
+          // ratio → q_ok = false, identically on both engines)
+          .withColumn("digit_ratio", digitRatio)
           .withColumn("q_ok",
             col("n_chars").between(60, 5000) && col("digit_ratio") < 0.3)
           .withColumn("norm", expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"))

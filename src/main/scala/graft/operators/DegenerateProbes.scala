@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.QuerySpec
+import org.apache.spark.sql.functions._
+
+/** q209 — the degenerate-input GATE ROW (VERDICT r16 #2), not a new
+  * operator: the engine surface remains the 242 operator queries.
+  *
+  * The r16 ANSI-division sweep guarded 13 crash sites, but the class
+  * is structurally invisible to the oracle gate — the fixture corpus
+  * carries no zero vector, no empty document, no same-microsecond day,
+  * no zero-variance slice, so a guard that regresses to throwing still
+  * passes every CORRECTNESS row. This query makes the class
+  * GATE-VISIBLE: it drives each degenerate shape through the SAME
+  * shared guard expression the production query uses
+  * (SimilarityOps.cosine, TemporalOps.twapCol, WindowOps.safeZ /
+  * ewmaDiv, StatsOps.mwSigma2 / mwZ / meanShiftSd, CurationOps.esKey /
+  * digitRatio — each refactored in r17 so the probe and the query
+  * cannot diverge), over inline degenerate rows present on BOTH
+  * engines (Spark literal frames / DuckDB VALUES). Every probe carries
+  * one degenerate key (v must be NULL — an unguarded division would
+  * instead DIE under the session's ANSI default and fail the
+  * CORRECTNESS row with err != null) and one control key (v must be
+  * the real value — an over-guarded always-NULL expression fails the
+  * hash). The mechanical other half of the defense is
+  * DivisionConventionSpec, which walks all declared plans for
+  * unguarded divisors that never had a probe in the first place.
+  *
+  * Scale posture: the probe frames are O(1) literals — the query costs
+  * nothing at any scale; its value is that the driver's cross-engine
+  * gate now exercises the NULL-vs-throw contract every round.
+  */
+object DegenerateProbes {
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q209_degenerate_probes",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        import s.implicits._
+
+        // zero vector (failed embed) → cosine NULL; control ≈ 0.707107
+        val cosine = Seq(
+          (1L, Seq(0.25f, 0f, 0f, 0f)),
+          (2L, Seq(0f, 0f, 0f, 0f)))
+          .toDF("k", "a")
+          .withColumn("q", typedLit(Seq(0.5f, 0.5f, 0f, 0f)))
+          .select(
+            lit("cosine").as("probe"), col("k"),
+            round(SimilarityOps.cosine(
+              expr("float_dot(a, q)"),
+              sqrt(expr("float_dot(a, a)")) * sqrt(expr("float_dot(q, q)"))), 6).as("v"))
+
+        // same-microsecond day (sum(dur) = 0.0, non-NULL) → twap NULL
+        val twap = Seq(
+          (1L, 1.5, Some(0.0)), (1L, 2.5, None),
+          (2L, 1.0, Some(60.0)), (2L, 3.0, None))
+          .toDF("k", "value", "dur")
+          .groupBy("k")
+          .agg(TemporalOps.twapCol.as("v"))
+          .select(lit("twap").as("probe"), col("k"), col("v"))
+
+        // zero-variance slice (sd = 0.0 exactly) → z NULL
+        val zin = Seq((1L, 5.0), (1L, 5.0), (1L, 5.0), (2L, 2.0), (2L, 4.0))
+          .toDF("k", "value")
+        val zst = zin.groupBy("k")
+          .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+        val zscore = zin.join(zst, Seq("k"))
+          .groupBy("k")
+          .agg(round(max(WindowOps.safeZ(col("value"), col("m"), col("sd"))), 6).as("v"))
+          .select(lit("zscore").as("probe"), col("k"), col("v"))
+
+        // NULL-valued head row (den = 0.0) → ewma NULL
+        val ewma = Seq((1L, 3.0, 0.0), (2L, 3.0, 2.0))
+          .toDF("k", "num", "den")
+          .select(lit("ewma_div").as("probe"), col("k"),
+            WindowOps.ewmaDiv(col("num"), col("den")).as("v"))
+
+        // zero-variance reference half (sd_ref = 0.0) → shift NULL
+        val shift = Seq((1L, 3.0, 2.0, 0.0), (2L, 3.0, 2.0, 0.5))
+          .toDF("k", "m_live", "m_ref", "sd_ref")
+          .select(lit("mean_shift").as("probe"), col("k"),
+            StatsOps.meanShiftSd(col("m_live"), col("m_ref"), col("sd_ref")).as("v"))
+
+        // one-sided sample (sigma2 = 0.0) and single-row slice
+        // (nn·(nn−1) = 0 → sigma2 NULL) → z NULL; two-sided control
+        val mw = Seq(
+          (1L, 0.0, 3L, 0L, 0L),
+          (2L, 3.0, 2L, 2L, 0L),
+          (3L, 0.0, 1L, 0L, 0L))
+          .toDF("k", "u_stat", "n_a", "n_b", "ties")
+          .withColumn("sigma2",
+            StatsOps.mwSigma2(col("n_a"), col("n_b"), col("n_a") + col("n_b"), col("ties")))
+          .select(lit("mw_z").as("probe"), col("k"),
+            StatsOps.mwZ(col("u_stat"), col("n_a"), col("n_b"), col("sigma2")).as("v"))
+
+        // zero-weight doc (n_chars = 0 → 1/0) → A-ES key NULL
+        val esk = Seq((1L, 0.25, 0L), (2L, 0.25, 2L))
+          .toDF("k", "u", "n_chars")
+          .select(lit("es_key").as("probe"), col("k"),
+            round(CurationOps.esKey(col("u"), col("n_chars")), 9).as("v"))
+
+        // empty document (length 0 divisor) → digit_ratio NULL
+        val ratio = Seq((1L, ""), (2L, "a1b2"))
+          .toDF("k", "text")
+          .select(lit("digit_ratio").as("probe"), col("k"),
+            round(CurationOps.digitRatio, 6).as("v"))
+
+        cosine.unionByName(twap).unionByName(zscore).unionByName(ewma)
+          .unionByName(shift).unionByName(mw).unionByName(esk).unionByName(ratio)
+          .orderBy("probe", "k")
+      },
+      Some(
+        // the oracle side needs NO guards: DuckDB's x/0 IS NULL — that
+        // asymmetry is the entire class this row gates
+        "WITH ce AS (SELECT CAST(k AS BIGINT) AS k, CAST(a AS DOUBLE[]) AS a, " +
+          "CAST(q AS DOUBLE[]) AS q FROM (VALUES " +
+          "(1, [0.25, 0, 0, 0], [0.5, 0.5, 0, 0]), " +
+          "(2, [0, 0, 0, 0], [0.5, 0.5, 0, 0])) t(k, a, q)), " +
+          "tw AS (SELECT CAST(k AS BIGINT) AS k, CAST(value AS DOUBLE) AS value, " +
+          "CAST(dur AS DOUBLE) AS dur FROM (VALUES " +
+          "(1, 1.5, 0.0), (1, 2.5, NULL), (2, 1.0, 60.0), (2, 3.0, NULL)) t(k, value, dur)), " +
+          "zi AS (SELECT CAST(k AS BIGINT) AS k, CAST(value AS DOUBLE) AS value FROM (VALUES " +
+          "(1, 5.0), (1, 5.0), (1, 5.0), (2, 2.0), (2, 4.0)) t(k, value)), " +
+          "zs AS (SELECT k, AVG(value) AS m, STDDEV_SAMP(value) AS sd FROM zi GROUP BY k), " +
+          "mw AS (SELECT CAST(k AS BIGINT) AS k, CAST(u_stat AS DOUBLE) AS u_stat, " +
+          "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(ties AS BIGINT) AS ties " +
+          "FROM (VALUES (1, 0.0, 3, 0, 0), (2, 3.0, 2, 2, 0), (3, 0.0, 1, 0, 0)) " +
+          "t(k, u_stat, n_a, n_b, ties)) " +
+          "SELECT 'cosine' AS probe, k, round(" +
+          "(SELECT SUM(a[i] * q[i]) FROM unnest(range(1, 5)) AS u(i)) / " +
+          "(sqrt((SELECT SUM(a[i] * a[i]) FROM unnest(range(1, 5)) AS u(i))) * " +
+          "sqrt((SELECT SUM(q[i] * q[i]) FROM unnest(range(1, 5)) AS u(i)))), 6) AS v FROM ce " +
+          "UNION ALL " +
+          "SELECT 'twap' AS probe, k, round(SUM(value * dur) / SUM(dur), 6) AS v " +
+          "FROM tw GROUP BY k " +
+          "UNION ALL " +
+          "SELECT 'zscore' AS probe, zi.k, round(MAX((value - m) / sd), 6) AS v " +
+          "FROM zi JOIN zs USING (k) GROUP BY zi.k " +
+          "UNION ALL " +
+          "SELECT 'ewma_div' AS probe, CAST(k AS BIGINT) AS k, round(num / den, 6) AS v " +
+          "FROM (VALUES (1, 3.0, 0.0), (2, 3.0, 2.0)) t(k, num, den) " +
+          "UNION ALL " +
+          "SELECT 'mean_shift' AS probe, CAST(k AS BIGINT) AS k, " +
+          "round((m_live - m_ref) / sd_ref, 4) AS v " +
+          "FROM (VALUES (1, 3.0, 2.0, 0.0), (2, 3.0, 2.0, 0.5)) t(k, m_live, m_ref, sd_ref) " +
+          "UNION ALL " +
+          "SELECT 'mw_z' AS probe, k, round((u_stat - CAST(n_a AS DOUBLE) * n_b / 2.0) / " +
+          "sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - " +
+          "CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4) AS v " +
+          "FROM mw " +
+          "UNION ALL " +
+          "SELECT 'es_key' AS probe, CAST(k AS BIGINT) AS k, " +
+          "round(pow(u, 1.0 / n_chars), 9) AS v " +
+          "FROM (VALUES (1, CAST(0.25 AS DOUBLE), 0), (2, 0.25, 2)) t(k, u, n_chars) " +
+          "UNION ALL " +
+          "SELECT 'digit_ratio' AS probe, CAST(k AS BIGINT) AS k, " +
+          "round(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 6) AS v " +
+          "FROM (VALUES (1, ''), (2, 'a1b2')) t(k, text)"),
+    ),
+  )
+}

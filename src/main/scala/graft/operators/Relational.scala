@@ -444,8 +444,16 @@ object Relational {
     * are engine-identical.
     */
   private def tpchQ2Sql(p: String): String =
+    // nullif: the fixture's supplycost SUBSTITUTE (price per unit —
+    // not a TPC-H-defined formula, so the spec-fidelity argument that
+    // keeps Q14/Q8 divisors untouched does not apply here) divides by
+    // the raw quantity column; a zero-quantity line (cancelled /
+    // free-of-charge order line — realistic degenerate) would throw
+    // DIVIDE_BY_ZERO under the ANSI session default where DuckDB's
+    // x/0 is NULL. nullif pins both engines to NULL, which the
+    // NULL-skipping MIN then drops identically (r17 division sweep).
     "WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, " +
-      "MIN(l_extendedprice / l_quantity) AS ps_supplycost " +
+      "MIN(l_extendedprice / nullif(l_quantity, 0)) AS ps_supplycost " +
       s"FROM ${p}lineitem GROUP BY 1, 2) " +
       "SELECT s_acctbal, s_name, n_name, p_partkey, p_name " +
       s"FROM ${p}part JOIN ps ON p_partkey = ps_partkey " +

@@ -55,7 +55,7 @@ object SimilarityOps {
     * sd > 1e-9 cut are this same convention, applied here to every
     * cosine site).
     */
-  private def cosine(d: Column, normProduct: Column): Column =
+  private[graft] def cosine(d: Column, normProduct: Column): Column =
     when(normProduct =!= 0.0d, d / normProduct)
 
   /** DuckDB-side float64 dot product over list columns a·b, 64 dims. */
@@ -727,9 +727,17 @@ object SimilarityOps {
         def mult(v: DataFrame): DataFrame = cov
           .join(v.select(col("dim").as("dj"), col("w")), Seq("dj"))
           .groupBy(col("di").as("dim")).agg(sum(col("c") * col("w")).as("cw"))
+        // zero-iterate guard (r17 division sweep): cov·w is EXACTLY
+        // zero on a single-vector corpus (cov = E[xx] − μμ cancels
+        // bit-exactly at n = 1) or whenever the iterate lands in the
+        // null space (L1-normalized embeddings make the all-ones v0
+        // one) — nrm = 0.0 then throws under the ANSI session default
+        // where DuckDB's x/0 is NULL. A rank-0 direction has no
+        // defined loading: declare it NULL, identically cross-engine.
         def normalize(cw: DataFrame): DataFrame = cw
           .withColumn("nrm", sqrt(sum(col("cw") * col("cw")).over(W.partitionBy())))
-          .select(col("dim"), (col("cw") / col("nrm")).as("w"), col("nrm"))
+          .select(col("dim"), when(col("nrm") =!= 0.0d, col("cw") / col("nrm")).as("w"),
+            col("nrm"))
         val v0 = mu.select(col("dim")).withColumn("w", lit(1.0 / 8.0))
         val v3 = normalize(mult(normalize(mult(normalize(mult(v0)).drop("nrm")))
           .drop("nrm")))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -31,6 +31,37 @@ object StatsOps {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
+
+  /** q179's variance term with the degenerate samples DECLARED (r16
+    * ANSI-division sweep): with nn = 1 the tie correction divides by
+    * nn·(nn−1) = 0 — ANSI throws where DuckDB NULLs; a single-row
+    * slice has no defined U test, so sigma2 is NULL there. (An empty
+    * side gives sigma2 = 0.0 exactly, handled by [[mwZ]].) Shared with
+    * q209's degenerate probe so the gate exercises THIS expression.
+    */
+  private[graft] def mwSigma2(nA: Column, nB: Column, nn: Column, ties: Column): Column =
+    when(nn > 1,
+      nA.cast("double") * nB / lit(12.0) *
+        ((nn + lit(1L)).cast("double") -
+          ties.cast("double") / (nn.cast("double") * (nn - lit(1L)))))
+
+  /** q179's z statistic: sigma2 is exactly 0.0 for a one-sided sample
+    * (n_a·n_b = 0) — ANSI throws on the division where DuckDB NULLs;
+    * z is declared NULL, the counts and u_stat still report (r16
+    * ANSI-division sweep). Shared with q209's degenerate probe.
+    */
+  private[graft] def mwZ(uStat: Column, nA: Column, nB: Column, sigma2: Column): Column =
+    round(when(sigma2 > 0.0d,
+      (uStat - nA.cast("double") * nB / lit(2.0)) / sqrt(sigma2)), 4)
+
+  /** q194's shift readout with the zero-variance reference DECLARED:
+    * a constant-valued reference half has sd_ref = 0.0 exactly (not
+    * NULL) — ANSI throws where DuckDB NULLs; a zero-variance reference
+    * supports no shift measurement, so the column is NULL (r16
+    * ANSI-division sweep). Shared with q209's degenerate probe.
+    */
+  private[graft] def meanShiftSd(mLive: Column, mRef: Column, sdRef: Column): Column =
+    round(when(sdRef =!= 0.0d, (mLive - mRef) / sdRef), 4)
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
@@ -115,22 +146,11 @@ object StatsOps {
             col("ra2") - col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
           .withColumn("nn", col("n_a") + col("n_b"))
           .withColumn("u_stat", col("u2").cast("double") / lit(2.0))
-          // degenerate-sample guards (r16 ANSI-division sweep): with
-          // nn = 1 the tie-correction divides by nn·(nn−1) = 0, and
-          // with an empty side (n_a·n_b = 0) sigma2 is exactly 0.0 —
-          // both throw DIVIDE_BY_ZERO under the ANSI session default
-          // where DuckDB's x/0 is NULL. A one-sided or single-row
-          // slice has no defined U test: z is declared NULL, the
-          // counts and u_stat still report.
-          .withColumn("sigma2",
-            when(col("nn") > 1,
-              col("n_a").cast("double") * col("n_b") / lit(12.0) *
-                ((col("nn") + lit(1L)).cast("double") -
-                  col("ties").cast("double") / (col("nn").cast("double") * (col("nn") - lit(1L))))))
-          .withColumn("z",
-            round(when(col("sigma2") > 0.0d,
-              (col("u_stat") - col("n_a").cast("double") * col("n_b") / lit(2.0)) /
-                sqrt(col("sigma2"))), 4))
+          // degenerate-sample guards live in the shared mwSigma2/mwZ
+          // (single-row slice → sigma2 NULL; one-sided sample →
+          // sigma2 = 0.0 → z NULL)
+          .withColumn("sigma2", mwSigma2(col("n_a"), col("n_b"), col("nn"), col("ties")))
+          .withColumn("z", mwZ(col("u_stat"), col("n_a"), col("n_b"), col("sigma2")))
           .select(col("n_a"), col("n_b"), col("u_stat"), col("z"))
       },
       Some(
@@ -254,14 +274,10 @@ object StatsOps {
             col("event_type"),
             col("n_ref"), col("n_live"),
             round(col("n_live") / col("n_ref").cast("double"), 4).as("count_ratio"),
-            // a constant-valued reference half has sd_ref = 0.0 exactly
-            // (not NULL) — ANSI throws on the division where DuckDB
-            // yields NULL; a zero-variance reference supports no shift
-            // measurement, so the column is declared NULL (r16
-            // ANSI-division sweep). n_ref is structurally >= 1 (the
-            // ref row only exists for grouped rows).
-            round(when(col("sd_ref") =!= 0.0d,
-              (col("m_live") - col("m_ref")) / col("sd_ref")), 4).as("mean_shift_sd"))
+            // zero-variance-reference guard lives in the shared
+            // meanShiftSd; n_ref is structurally >= 1 (the ref row
+            // only exists for grouped rows)
+            meanShiftSd(col("m_live"), col("m_ref"), col("sd_ref")).as("mean_shift_sd"))
       },
       Some(
         "WITH st AS (SELECT event_type, " +

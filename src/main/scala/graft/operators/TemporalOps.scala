@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -22,6 +23,31 @@ import org.apache.spark.sql.expressions.Window
   *    width tunes bucket size exactly like LSH band width.
   */
 object TemporalOps {
+
+  /** q157's duration-weighted mean over a (user, day) group, with the
+    * zero-support degenerate DECLARED: sum(dur) = 0.0 (non-NULL!) when
+    * a day's events all share one microsecond — two same-µs events
+    * suffice — and under the session's ANSI default Spark then throws
+    * DIVIDE_BY_ZERO where DuckDB's 0/0 is NULL. The guard declares the
+    * zero-support day as twap NULL, same as the single-event day (r16
+    * ANSI-division sweep). Shared with q209's degenerate probe so the
+    * gate exercises THIS expression, not a copy.
+    */
+  private[graft] def twapCol: Column =
+    round(when(sum(col("dur")) =!= 0.0d,
+      sum(col("value") * col("dur")) / sum(col("dur"))), 6)
+
+  /** Loud int64 reporting-contract cast (q45's loud-parse convention,
+    * r16 ADVICE): a DECIMAL statistic that must be REPORTED as BIGINT
+    * dies as an opaque CAST_OVERFLOW under ANSI once the true value
+    * exceeds int64 — name the query and the contract instead, so the
+    * operator's failure mode is a readable error, not a stack trace.
+    */
+  private[graft] def int64Report(c: Column, query: String, colName: String): Column =
+    when(c <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("bigint"))
+      .otherwise(raise_error(concat(
+        lit(s"$query: "), c.cast("string"),
+        lit(s" exceeds the int64 reporting contract for $colName"))).cast("bigint"))
 
   // Shared by q41 (union-and-carry composition) and q41b (native
   // merge-walk operator): both must match DuckDB's ASOF LEFT JOIN.
@@ -91,7 +117,15 @@ object TemporalOps {
           .select(
             col("event_type"),
             date_format(col("d"), "yyyy-MM-dd").as("cp_day"),
-            col("s_abs").cast("bigint").as("max_abs_cusum"),
+            // loud reporting-contract guard (q45 convention, r16
+            // ADVICE): the decimal widening above extends the WALK
+            // past int64, but the REPORTED max is BIGINT by contract —
+            // once the true |S| itself exceeds int64 the cast would
+            // die as an opaque CAST_OVERFLOW; name the query and the
+            // contract instead. DuckDB's checked int64 arithmetic errs
+            // at the same magnitude, so the oracle needs no twin.
+            int64Report(col("s_abs"), "q207_cusum_changepoint", "max_abs_cusum")
+              .as("max_abs_cusum"),
             col("n").as("n_days"),
             col("tot").as("total_events"))
       },
@@ -1010,17 +1044,7 @@ object TemporalOps {
             (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
               .cast("double"))
           .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            // sum(dur) = 0.0 (non-NULL!) when a day's events all share
-            // one microsecond — two same-µs events suffice — and under
-            // the session's ANSI default Spark then throws
-            // DIVIDE_BY_ZERO where DuckDB's 0/0 is NULL. Declare the
-            // zero-support day as twap NULL, same as the single-event
-            // day the comment above already pins (r16 ANSI-division
-            // sweep).
-            round(when(sum(col("dur")) =!= 0.0d,
-              sum(col("value") * col("dur")) / sum(col("dur"))), 6).as("twap"))
+          .agg(count(lit(1)).as("n_events"), twapCol.as("twap"))
           // surface convention: DATE rides as yyyy-MM-dd string
           .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
       },
@@ -1091,9 +1115,15 @@ object TemporalOps {
             avg(when(!a, col("value"))).as("m_b"),
             var_samp(when(a, col("value"))).as("v_a"),
             var_samp(when(!a, col("value"))).as("v_b"))
+          // zero-SE guard (r17 division sweep): two CONSTANT-valued
+          // arms (v_a = v_b = 0.0 exactly, each with >= 2 rows) make
+          // the Welch denominator exactly 0.0 — ANSI throws where
+          // DuckDB's x/0 is NULL; a zero-variance experiment supports
+          // no t statistic, so it is declared NULL. (n_a/n_b = 0 needs
+          // no guard: var_samp is NULL below 2 rows and NULL/0 is NULL.)
+          .withColumn("se", sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
           .withColumn("t_welch",
-            round((col("m_b") - col("m_a")) /
-              sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4))
+            round(when(col("se") =!= 0.0d, (col("m_b") - col("m_a")) / col("se")), 4))
           .select(
             col("event_type"), col("n_a"), col("n_b"),
             round(col("m_a"), 6).as("m_a"), round(col("m_b"), 6).as("m_b"),

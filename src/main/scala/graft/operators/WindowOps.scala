@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over `events` — the batch semantics of the
@@ -16,6 +17,25 @@ import org.apache.spark.sql.functions._
 object WindowOps {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q103's z-score with the zero-variance degenerate DECLARED: a
+    * constant-valued group has sd = 0.0 exactly (not NULL), and under
+    * the session's ANSI default Spark throws DIVIDE_BY_ZERO on the 0.0
+    * divisor where DuckDB's x/0 is NULL. The guard declares the same
+    * semantics — no z without variance (r16 ANSI-division sweep).
+    * Shared with q209's degenerate probe so the gate exercises THIS
+    * expression, not a copy.
+    */
+  private[graft] def safeZ(v: Column, m: Column, sd: Column): Column =
+    when(sd =!= 0.0d, (v - m) / sd)
+
+  /** q185's final weighted division with the no-support degenerate
+    * DECLARED: den = 0.0 exactly when no non-null lag is in reach —
+    * ANSI throws where DuckDB NULLs; the no-support row is ewma NULL
+    * (r16 ANSI-division sweep). Shared with q209's degenerate probe.
+    */
+  private[graft] def ewmaDiv(num: Column, den: Column): Column =
+    round(when(den =!= 0.0d, num / den), 6)
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
@@ -164,13 +184,20 @@ object WindowOps {
           .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
           .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
         val w = Window.partitionBy("n_name").orderBy("month")
+        // zero-base guard (r17 division sweep): a month whose revenue
+        // sums to exactly 0.00 (all-zero order totals — free/promo
+        // ledgers are realistic) makes the growth base 0.0 — ANSI
+        // throws where DuckDB's x/0 is NULL; growth off a zero base is
+        // undefined, so it is declared NULL. (The first month's NULL
+        // prev was already NULL-safe.)
+        val prevD = col("prev").cast("double")
         monthly
           .withColumn("prev", lag(col("rev"), 1).over(w))
           .select(
             col("n_name"), col("month"),
             col("rev").cast("double").as("revenue"),
-            ((col("rev").cast("double") - col("prev").cast("double"))
-              / col("prev").cast("double")).as("mom_growth"))
+            when(prevD =!= 0.0d,
+              (col("rev").cast("double") - prevD) / prevD).as("mom_growth"))
       },
       Some(
         "WITH m AS (SELECT n_name, date_trunc('month', o_orderdate) AS month, " +
@@ -202,13 +229,9 @@ object WindowOps {
           .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
         Tables.events(s, dir)
           .join(broadcast(stats), "event_type")
-          // zero-variance guard: a constant-valued group has sd = 0.0
-          // exactly, and under the session's ANSI default Spark throws
-          // DIVIDE_BY_ZERO on the 0.0 divisor where DuckDB's x/0 is
-          // NULL (→ excluded by the filter). The guard declares the
-          // same semantics — no outliers without variance — instead of
-          // crashing the Spark side only (r16 ANSI-division sweep).
-          .withColumn("z", when(col("sd") =!= 0.0d, (col("value") - col("m")) / col("sd")))
+          // zero-variance guard lives in the shared safeZ (NULL z →
+          // excluded by the filter, identically on both engines)
+          .withColumn("z", safeZ(col("value"), col("m"), col("sd")))
           .filter(abs(col("z")) > 3.0d)
           .select(col("event_id"), col("event_type"), col("value"), col("z"))
       },
@@ -305,12 +328,17 @@ object WindowOps {
         val t = c.agg(sum(col("rev")).as("tot"))
         val w = Window.orderBy(col("rev").desc, col("o_custkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // zero-total guard (r17 division sweep, the q102 zero-revenue
+        // class): share of a 0.00 total is undefined — NULL, as DuckDB
+        // already yields. (An EMPTY orders table folds tot to NULL,
+        // which was always safe.)
         c.withColumn("cum", sum(col("rev")).over(w))
           .crossJoin(broadcast(t))
           .filter(col("cum") * 5 <= col("tot") * 4)
           .select(col("o_custkey"),
             col("rev").cast("double").as("revenue"),
-            (col("cum").cast("double") / col("tot").cast("double")).as("cum_share"))
+            when(col("tot") =!= 0,
+              col("cum").cast("double") / col("tot").cast("double")).as("cum_share"))
       },
       Some(
         "WITH c AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
@@ -388,12 +416,17 @@ object WindowOps {
           .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
         val byNation = Window.partitionBy("n_name")
         val all = Window.partitionBy()
+        // zero-total guards (r17 division sweep, the q102 zero-revenue
+        // class): a nation (or corpus) whose revenue sums to exactly
+        // 0.00 has no defined shares — NULL, as DuckDB already yields
+        val natTot = sum(col("rev")).over(byNation)
+        val allTot = sum(col("rev")).over(all)
         m.select(
           col("n_name"), col("yr"),
           col("rev").cast("double").as("revenue"),
-          (col("rev").cast("double") / sum(col("rev")).over(byNation).cast("double"))
+          when(natTot =!= 0, col("rev").cast("double") / natTot.cast("double"))
             .as("share_of_nation"),
-          (col("rev").cast("double") / sum(col("rev")).over(all).cast("double"))
+          when(allTot =!= 0, col("rev").cast("double") / allTot.cast("double"))
             .as("share_of_total"))
       },
       Some(
@@ -438,10 +471,9 @@ object WindowOps {
           lit(w) * when(lag(col("value"), k).over(win).isNotNull, 1.0).otherwise(0.0)
         }.reduce(_ + _)
         // den = 0.0 exactly when the current row's value is NULL and no
-        // non-null lag is in reach — under the ANSI session default the
-        // division then throws where DuckDB yields NULL; declare the
-        // no-support row as ewma NULL instead (r16 ANSI-division sweep)
-        ev.withColumn("ewma", round(when(den =!= 0.0d, num / den), 6))
+        // non-null lag is in reach — the shared ewmaDiv declares the
+        // no-support row as ewma NULL
+        ev.withColumn("ewma", ewmaDiv(num, den))
           .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
       },
       Some {

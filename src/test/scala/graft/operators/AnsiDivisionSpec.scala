@@ -145,6 +145,124 @@ class AnsiDivisionSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // r17 division sweep (found by DivisionConventionSpec's plan walk —
+  // the mechanized r16 convention): each test drives the query over the
+  // exact fixture that reaches its zero divisor; each was RED against
+  // the unguarded pre-fix shape (DIVIDE_BY_ZERO).
+  // ------------------------------------------------------------------
+
+  test("q176 pca: a single-vector corpus (cov exactly 0) yields NULL loadings, not DIVIDE_BY_ZERO") {
+    // n = 1 makes cov = E[xx] − μμ cancel BIT-EXACTLY (single-term
+    // sums, /1): the first power-iterate norm is exactly 0.0 — the
+    // pre-fix normalize divided by it. A tiny shard or an all-identical
+    // corpus is a realistic degenerate.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_pca")
+    try {
+      Seq((0L, Seq(0.5f, 0.25f, 0.5f, 0.25f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SparkEntry.queries("q176_pca_power")(spark, dir.toString)
+        .collect().map(r => Option(r.get(1)))
+      assert(out.length == 4 && out.forall(_.isEmpty),
+        s"rank-0 direction must report NULL loadings: ${out.toSeq}")
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  test("q168 welch: constant-valued arms (zero SE) yield t NULL, not DIVIDE_BY_ZERO") {
+    // 'error': both arms constant (v_a = v_b = 0.0 exactly, 2 rows
+    // each) → SE exactly 0.0; 'view' is the live control.
+    withEvents(Seq(
+      (1L, ts0, 0L, "error", 7.0), (2L, ts0, 2L, "error", 7.0),
+      (3L, ts0, 1L, "error", 7.0), (4L, ts0, 3L, "error", 7.0),
+      (5L, ts0, 0L, "view", 1.0), (6L, ts0, 2L, "view", 3.0),
+      (7L, ts0, 1L, "view", 2.0), (8L, ts1, 3L, "view", 5.0))) { dir =>
+      val out = SparkEntry.queries("q168_ab_test")(spark, dir)
+        .collect().map(r => r.getString(0) -> Option(r.get(5))).toMap
+      assert(out("error").isEmpty, "zero-SE experiment must report t NULL")
+      assert(out("view").nonEmpty, "a live experiment still tests")
+    }
+  }
+
+  test("q102/q118/q121 revenue shares: an all-zero-revenue ledger yields NULL ratios, not DIVIDE_BY_ZERO") {
+    // Zero-priced orders (free/promo ledger) are realistic; the three
+    // share/growth queries divided by the 0.00 total/base. DuckDB's
+    // x/0 is NULL on all three — the guards pin Spark to the same.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_rev")
+    try {
+      val jan = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val feb = java.sql.Timestamp.valueOf("2024-02-10 00:00:00")
+      Seq((1L, 1L, "O", 0.0, jan, "1-URGENT"), (2L, 1L, "O", 0.0, feb, "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, "c1", 0, 0.0, "BUILDING"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((0, "NATION_0", 0))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      val mom = SparkEntry.queries("q102_mom_growth")(spark, dir.toString)
+        .orderBy("month").collect().map(r => Option(r.get(3)))
+      assert(mom.length == 2 && mom.forall(_.isEmpty),
+        s"growth off a zero base must be NULL: ${mom.toSeq}")
+      val pareto = SparkEntry.queries("q118_pareto_customers")(spark, dir.toString)
+        .collect().map(r => Option(r.get(2)))
+      assert(pareto.nonEmpty && pareto.forall(_.isEmpty),
+        s"share of a zero total must be NULL: ${pareto.toSeq}")
+      val share = SparkEntry.queries("q121_share_of_total")(spark, dir.toString)
+        .collect().flatMap(r => Seq(Option(r.get(3)), Option(r.get(4))))
+      assert(share.nonEmpty && share.forall(_.isEmpty),
+        s"shares of a zero total must be NULL: ${share.toSeq}")
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  test("q83 supplycost: a zero-quantity line is skipped by the NULL-skipping MIN, not DIVIDE_BY_ZERO") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_q2")
+    try {
+      Seq((1L, "part one", "B1", "LARGE", 15, 10.0))
+        .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Seq((1L, "s1", 0, 5.0))
+        .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      Seq((0, "NATION_0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
+      // line 1: cancelled/free (quantity 0 — the pre-fix divisor);
+      // line 2: the real price-per-unit sample (10.0 / 2 = 5)
+      Seq((1L, 1L, 1L, 0.0, 7.0), (2L, 1L, 1L, 2.0, 10.0))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val rows = SparkEntry.queries("q83_tpch_q2")(spark, dir.toString).collect()
+      assert(rows.length == 1 && rows.head.getLong(3) == 1L,
+        s"the zero-quantity line must not crash or win the MIN: ${rows.toSeq}")
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  test("q209 gate row: every degenerate key is NULL, every control key is real (r17)") {
+    // q209 is the CORRECTNESS-visible twin of this suite (VERDICT r16
+    // #2): it routes each degenerate class through the SAME shared
+    // guard expression the production queries use, on both engines.
+    // This spec-side pin catches a guard regression inside `sbt test`
+    // alone; the driver's oracle row catches it cross-engine.
+    val rows = SparkEntry.queries("q209_degenerate_probes")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    val degenerate = Seq(
+      ("cosine", 2L), ("twap", 1L), ("zscore", 1L), ("ewma_div", 1L),
+      ("mean_shift", 1L), ("mw_z", 1L), ("mw_z", 3L), ("es_key", 1L), ("digit_ratio", 1L))
+    val control = Seq(
+      ("cosine", 1L), ("twap", 2L), ("zscore", 2L), ("ewma_div", 2L),
+      ("mean_shift", 2L), ("mw_z", 2L), ("es_key", 2L), ("digit_ratio", 2L))
+    assert(rows.keySet == (degenerate ++ control).toSet, s"probe surface drifted: ${rows.keySet}")
+    degenerate.foreach(k => assert(rows(k).isEmpty, s"$k must be NULL (guard regressed?)"))
+    control.foreach(k => assert(rows(k).nonEmpty, s"$k must be real (over-guarded?)"))
+  }
+
   test("q30/q32 cosine: a zero vector gets a NULL cosine (ranked last / filtered), not DIVIDE_BY_ZERO") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ansi_div_emb")
@@ -159,8 +277,12 @@ class AnsiDivisionSpec extends SparkSpec {
         (12L, vec(0.6f), 1))
         .toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // explicit rank order: the positional takeWhile/last assertions
+      // below must not lean on the window sort's incidental output
+      // order (r16 ADVICE)
       val topk = SparkEntry.queries("q30_cosine_topk")(spark, dir.toString)
         .filter(col("qid") === 0L)
+        .orderBy(col("rk"))
         .collect().map(r => (r.getLong(1), Option(r.get(2))))
       assert(topk.nonEmpty, "query must run over the degenerate corpus")
       assert(topk.takeWhile(_._2.nonEmpty).map(_._1).toSet == Set(11L, 12L),

@@ -64,6 +64,30 @@ class CurationOpsSpec extends SparkSpec {
     } finally graft.GraftSession.rmTree(dir.toFile)
   }
 
+  test("q45 drops a NULL source silently — only non-NULL garbage is malformed (r16 ADVICE)") {
+    // The loud contract splits on NULL: DuckDB's oracle CAST(NULL) is
+    // silently NULL (row drops via `bucket < NULL`), and an absent
+    // dimension is unknown, not malformed — so the Spark side must
+    // ALSO drop it rather than kill the job, or the engines disagree
+    // on any corpus with a NULL source. Red under the r16 shape: the
+    // raise_error branch fired on NULL ('<null>') and this collect
+    // died. The src19 row (keep_pct 100, bucket always < 100) proves
+    // rows still flow.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q45_null")
+    try {
+      Seq(
+        (1L, "alpha beta gamma", "en", Some("src19"), 16L),
+        (2L, "delta epsilon zeta", "en", None, 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = CurationOps.specs.find(_.name == "q45_source_mixture").get
+        .fn(spark, dir.toString).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L),
+        s"NULL-source row must drop, src19 row must survive: ${out.toSeq}")
+    } finally graft.GraftSession.rmTree(dir.toFile)
+  }
+
   test("q46 redacted text contains no residual PII matches") {
     val out = run("q46_pii_redact")
     val residual = out.filter(

@@ -109,30 +109,38 @@ class ModernSqlOpsSpec extends SparkSpec {
     // the expectation are exactly representable (6e15, 1.2e16 < 2^53
     // x 4), so the equality is exact.
     val s2 = spark; import s2.implicits._
+    // scoped conf: the shared session must not carry the raised
+    // recursion limit into later suites (r16 ADVICE)
+    val savedLimit = spark.conf.getOption("spark.sql.cteRecursionLevelLimit")
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "64")
-    Seq((0L, 10L, 1L), (0L, 11L, 2L))
-      .toDF("region", "nation", "rk")
-      .select(col("region"), col("nation"),
-        lit("6000000000000000.00").cast("decimal(18,2)").as("rev"), col("rk"),
-        lit("12000000000000000.00").cast("decimal(38,2)").as("region_total"))
-      .createOrReplaceTempView("graft_r16_wide_ranked")
-    val fixedSql = ModernSqlOps.recursiveWalkSql("graft_r16_wide_ranked")
-    val rows = spark.sql(fixedSql)
-      .select(col("rk"), col("cum_rev"), col("reached_80"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
-    assert(rows.toSeq == Seq((1L, 6.0e15, false), (2L, 1.2e16, true)),
-      s"wide walk wrong: ${rows.toSeq}")
-    // falsifiability: the pre-fix DECIMAL(18,2) accumulator shape must
-    // NOT reach the same answer — under ANSI the narrowing cast throws,
-    // non-ANSI it nulls cum_rev and the walk silently truncates. If
-    // this ever starts passing, the narrow shape became safe; retire
-    // the widening and this guard.
-    val oldSql = fixedSql.replace("DECIMAL(38,2)", "DECIMAL(18,2)")
-    val old = scala.util.Try(
-      spark.sql(oldSql).select(col("rk"), col("cum_rev")).collect()
-        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap)
-    val oldReached = old.toOption.exists(_.get(2L).flatten.contains(1.2e16))
-    assert(!oldReached,
-      "DECIMAL(18,2) accumulators no longer overflow at 1.2e16 — retire the widening")
+    try {
+      Seq((0L, 10L, 1L), (0L, 11L, 2L))
+        .toDF("region", "nation", "rk")
+        .select(col("region"), col("nation"),
+          lit("6000000000000000.00").cast("decimal(18,2)").as("rev"), col("rk"),
+          lit("12000000000000000.00").cast("decimal(38,2)").as("region_total"))
+        .createOrReplaceTempView("graft_r16_wide_ranked")
+      val fixedSql = ModernSqlOps.recursiveWalkSql("graft_r16_wide_ranked")
+      val rows = spark.sql(fixedSql)
+        .select(col("rk"), col("cum_rev"), col("reached_80"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, 6.0e15, false), (2L, 1.2e16, true)),
+        s"wide walk wrong: ${rows.toSeq}")
+      // falsifiability: the pre-fix DECIMAL(18,2) accumulator shape must
+      // NOT reach the same answer — under ANSI the narrowing cast throws,
+      // non-ANSI it nulls cum_rev and the walk silently truncates. If
+      // this ever starts passing, the narrow shape became safe; retire
+      // the widening and this guard.
+      val oldSql = fixedSql.replace("DECIMAL(38,2)", "DECIMAL(18,2)")
+      val old = scala.util.Try(
+        spark.sql(oldSql).select(col("rk"), col("cum_rev")).collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap)
+      val oldReached = old.toOption.exists(_.get(2L).flatten.contains(1.2e16))
+      assert(!oldReached,
+        "DECIMAL(18,2) accumulators no longer overflow at 1.2e16 — retire the widening")
+    } finally savedLimit match {
+      case Some(v) => spark.conf.set("spark.sql.cteRecursionLevelLimit", v)
+      case None => spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+    }
   }
 }

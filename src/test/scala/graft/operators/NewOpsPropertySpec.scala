@@ -271,6 +271,35 @@ class NewOpsPropertySpec extends SparkSpec {
       "bigint n*cum no longer overflows at 1.2e19 — the decimal casts are redundant")
   }
 
+  test("q207 reporting cast is LOUD past int64: int64Report names the query and contract (r16 ADVICE)") {
+    val s = spark; import s.implicits._
+    // In-range decimals cast cleanly through the guard...
+    val inRange = Seq("5", "9223372036854775807").toDF("raw")
+      .select(TemporalOps.int64Report(
+        col("raw").cast("decimal(38,0)"), "q207_cusum_changepoint", "max_abs_cusum").as("v"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(inRange == Seq(5L, Long.MaxValue), s"in-range values must pass through: $inRange")
+    // ...and one past Long.MaxValue dies with the NAMED contract error,
+    // not an opaque CAST_OVERFLOW. Red under the pre-fix bare cast:
+    // that shape throws too (so the falsifiability check below pins
+    // it), but its message names neither the query nor the contract.
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val over = Seq("9223372036854775808").toDF("raw")
+      .select(col("raw").cast("decimal(38,0)").as("s_abs"))
+    val e = intercept[Exception] {
+      over.select(TemporalOps.int64Report(
+        col("s_abs"), "q207_cusum_changepoint", "max_abs_cusum").as("v")).collect()
+    }
+    assert(messages(e).exists(m => m.contains("q207_cusum_changepoint") &&
+      m.contains("int64 reporting contract")),
+      s"guard must name the query and contract: ${messages(e).mkString(" | ").take(300)}")
+    val bare = scala.util.Try(over.select(col("s_abs").cast("bigint")).collect())
+    assert(bare.isFailure && !messages(bare.failed.get).exists(_.contains("q207")),
+      "the bare cast no longer throws past int64 (or started naming q207) — re-adjudicate the guard")
+  }
+
   test("q108: degenerate single-value input bins to 0, not the null-skipping LEAST artifact (r16 review)") {
     val s = spark; import s.implicits._
     // All values identical -> hi = lo -> the unguarded bin expression
