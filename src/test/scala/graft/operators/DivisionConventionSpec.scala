@@ -41,6 +41,16 @@ import org.apache.spark.sql.functions._
   * False negatives are possible only through the allowlist, never
   * through the scan. `try_divide` (EvalMode.TRY) is exempt by
   * semantics — it already NULLs on zero.
+  *
+  * SCOPE: the scan covers the declared batch surface (every
+  * SparkEntry.specs plan, 243 incl. the q209 gate row). The 13
+  * streaming twins are deliberately OUT of scope: their stateful
+  * arithmetic runs in JVM Scala inside mapGroupsWithState, where
+  * division is IEEE (0/0 = NaN, x/0 = ±Inf — never a throw; the
+  * semantics are declared in-line, Streams.scala's anomaly z), and
+  * their SQL expression surface is windowed counts/sums with no
+  * division (r16 adjudication). A future twin that divides in SQL
+  * space should get a probe here.
   */
 class DivisionConventionSpec extends SparkSpec {
 
