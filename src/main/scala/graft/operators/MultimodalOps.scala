@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,6 +24,22 @@ import org.apache.spark.sql.types._
   *    and memory (one in-flight batch per core).
   */
 object MultimodalOps {
+
+  /** LOUD doc-id parse from a media-lake filename (q45 convention,
+    * r17 access/cast sweep): a *.png whose name does not carry the id
+    * makes regexp_extract return '' — under the ANSI session default
+    * the CAST then dies as an opaque CAST_INVALID_INPUT, and non-ANSI
+    * it would ride in as NULL and silently vanish on the downstream
+    * join (the data-loss class). Name the query and the file instead;
+    * a NON-empty match is (\d+) — all digits — so the cast itself
+    * cannot throw on format (only on a >int64 id, which is loud too).
+    */
+  private[graft] def pngDocId(path: Column, query: String): Column = {
+    val idStr = regexp_extract(path, "img_(\\d+)\\.png$", 1)
+    when(idStr =!= "", idStr.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$query: filename does not carry a doc id: "), path)).cast("long"))
+  }
 
   /** Output row of the fake decoder. */
   final case class DecodedMedia(
@@ -637,7 +653,7 @@ object MultimodalOps {
           .option("pathGlobFilter", "*.png")
           .load(fdir.getAbsolutePath)
           .select(
-            regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+            pngDocId(col("path"), "q33f_binaryfile_ingest").as("doc_id"),
             col("length"),
             col("content").as("payload"))
         decodeImageMedia(s, media.select("doc_id", "payload"))

@@ -1190,10 +1190,16 @@ object Relational {
         Tables.events(s, dir).select(
           col("event_id"),
           get_json_object(col("props"), "$.k").as("k_str"),
-          get_json_object(col("props"), "$.k").cast("bigint").as("k")),
+          // try_cast: the oracle side always declared null-on-failure
+          // (TRY_CAST below), but under the session's ANSI default a
+          // plain CAST of a NON-NUMERIC props.k THROWS — heterogeneous
+          // JSON payloads are the normal case, not the degenerate
+          // (r17 ANSI access/cast sweep). try_cast pins both engines
+          // to the NULL the oracle already had.
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k")),
       Some(
-        // TRY_CAST for parity with Spark's null-on-failure cast — a
-        // non-numeric props.k would abort a plain CAST oracle entirely
+        // TRY_CAST: null-on-failure on both engines — a non-numeric
+        // props.k must not abort either side
         "SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
           "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"),
     ),
@@ -1205,6 +1211,11 @@ object Relational {
           expr("array_join(array_sort(map_keys(from_json(props, 'map<string,string>'))), ',')")
             .as("keys"),
           expr("CAST(size(from_json(props, 'map<string,string>')) AS BIGINT)").as("n_keys"),
+          // MAP element_at on a missing key is NULL even under the
+          // ANSI session default (verified empirically r17: only
+          // ARRAY index access throws; AnsiDivisionSpec pins the map
+          // behavior) — matching the oracle's json_extract_string
+          // NULL, so no try_ wrapper is needed here
           expr("element_at(from_json(props, 'map<string,string>'), 'k')").as("k_val")),
       Some(
         "SELECT event_id, " +

@@ -604,10 +604,16 @@ object SimilarityOps {
       // precedent).
       "q156_embedding_stats",
       (s, dir) => {
+        // try_element_at: under the session's ANSI default a plain
+        // element_at THROWS INVALID_ARRAY_INDEX on a RAGGED embedding
+        // (truncated write, failed embed) — the DuckDB oracle's
+        // embedding[i] is NULL out of bounds, and both engines'
+        // avg/covar_pop then skip the NULL cells identically (r17
+        // ANSI access/cast sweep)
         val d = emb(s, dir).select(
           col("label") +:
             (0 to 3).map(i =>
-              element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+              expr(s"try_element_at(embedding, ${i + 1})").cast("double").as(s"x$i")): _*)
         val pairs = for { i <- 0 to 3; j <- i + 1 to 3 } yield
           round(covar_pop(col(s"x$i"), col(s"x$j")), 6).as(s"cov_$i$j")
         d.groupBy("label")

@@ -28,6 +28,22 @@ class AnsiDivisionSpec extends SparkSpec {
       "the session no longer runs ANSI — re-adjudicate the r16 division-guard convention")
     assert(scala.util.Try(spark.sql("SELECT 1.0D / 0.0D").collect()).isFailure,
       "ANSI DOUBLE division by zero no longer throws — the guards may be retirable")
+    // the r17 access/cast siblings: these pins are what make the
+    // try_element_at/try_cast fixes (q18/q156) non-optional — if any
+    // stops failing, the corresponding try_ wrapper is retirable.
+    // Asymmetry verified empirically r17: MAP element_at on a missing
+    // key is NULL even under ANSI (only ARRAY index access throws), so
+    // q18c needs no wrapper — pinned so a future Spark tightening
+    // fails here, not in production.
+    assert(scala.util.Try(
+      spark.sql("SELECT element_at(map('a', '1'), 'k')").collect()).isSuccess,
+      "ANSI element_at on a missing map key now THROWS — q18c needs a try_element_at wrapper")
+    assert(scala.util.Try(
+      spark.sql("SELECT element_at(array(1, 2), 5)").collect()).isFailure,
+      "ANSI element_at past the array bound no longer throws — q156's try_element_at may be retirable")
+    assert(scala.util.Try(
+      spark.sql("SELECT CAST('abc' AS BIGINT)").collect()).isFailure,
+      "ANSI CAST of a non-numeric string no longer throws — q18's try_cast may be retirable")
   }
 
   private def withEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, java.lang.Double)])(
@@ -241,6 +257,84 @@ class AnsiDivisionSpec extends SparkSpec {
       val rows = SparkEntry.queries("q83_tpch_q2")(spark, dir.toString).collect()
       assert(rows.length == 1 && rows.head.getLong(3) == 1L,
         s"the zero-quantity line must not crash or win the MIN: ${rows.toSeq}")
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  // ------------------------------------------------------------------
+  // r17 ANSI access/cast sweep — the sibling class of the division
+  // contract: under the ANSI session default, element_at on an
+  // out-of-bounds ARRAY index THROWS and CAST of a non-numeric string
+  // THROWS, where the DuckDB oracle yields NULL on both (MAP
+  // element_at is already NULL — pinned in the mode test above). Same
+  // oracle-blindness: the fixtures carry homogeneous JSON and
+  // fixed-dim embeddings, so the gate never sees the class.
+  // ------------------------------------------------------------------
+
+  test("q18/q18c json access: props without 'k' or with non-numeric k yields NULL, not an ANSI error") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_access_json")
+    try {
+      Seq(
+        (1L, ts0, 1L, "click", 1.0, """{"k":"7","x":"a"}"""),
+        (2L, ts0, 2L, "click", 1.0, """{"x":"only"}"""),
+        (3L, ts0, 3L, "click", 1.0, """{"k":"abc"}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val j = SparkEntry.queries("q18_json")(spark, dir.toString)
+        .orderBy("event_id").collect()
+      assert(Option(j(0).get(2)).contains(7L), s"numeric k must cast: ${j.toSeq}")
+      assert(Option(j(1).get(2)).isEmpty && Option(j(1).get(1)).isEmpty,
+        "a payload without k must be NULL (both columns)")
+      assert(j(2).getString(1) == "abc" && Option(j(2).get(2)).isEmpty,
+        "non-numeric k keeps k_str and NULLs the cast — not CAST_INVALID_INPUT")
+      val m = SparkEntry.queries("q18c_map_ops")(spark, dir.toString)
+        .orderBy("event_id").collect()
+      assert(m(0).getString(3) == "7", s"present key must read: ${m.toSeq}")
+      assert(Option(m(1).get(3)).isEmpty,
+        "a missing map key must be NULL — not MAP_KEY_DOES_NOT_EXIST")
+    } finally GraftSession.rmTree(dir.toFile)
+  }
+
+  test("q33f media ingest: a stray png without an id in its name dies LOUDLY, not CAST_INVALID_INPUT (or silent NULL)") {
+    // the shared pngDocId expression (used by q33f's binaryFile scan):
+    // well-formed names parse; a stray lake file names the query and
+    // the path — red pre-fix: an opaque CAST_INVALID_INPUT with
+    // neither. Exercised expression-level because q33f materializes
+    // (and wipes) its own fixture dir per call.
+    val s = spark; import s.implicits._
+    val ok = Seq("/lake/img_42.png", "s3://bucket/a/img_7.png").toDF("path")
+      .select(MultimodalOps.pngDocId(col("path"), "q33f_binaryfile_ingest").as("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok == Seq(42L, 7L), s"well-formed names must parse: $ok")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] {
+      Seq("/lake/cover.png").toDF("path")
+        .select(MultimodalOps.pngDocId(col("path"), "q33f_binaryfile_ingest"))
+        .collect()
+    }
+    assert(messages(e).exists(m => m.contains("q33f_binaryfile_ingest") && m.contains("cover.png")),
+      s"the guard must name the query and the file: ${messages(e).mkString(" | ").take(300)}")
+  }
+
+  test("q156 embedding stats: a ragged (short) embedding contributes NULL cells, not INVALID_ARRAY_INDEX") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi_access_emb")
+    try {
+      // vec 0 is the truncated write (2 of 4 dims); 1–2 are intact
+      Seq(
+        (0L, Seq(0.5f, 0.25f), 1),
+        (1L, Seq(0.5f, 0.25f, 0.75f, 1.0f), 1),
+        (2L, Seq(0.25f, 0.5f, 0.25f, 0.5f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val Seq(row) = SparkEntry.queries("q156_embedding_stats")(spark, dir.toString)
+        .collect().toSeq
+      assert(row.getLong(1) == 3L, "all three vectors count")
+      // mean_2 (index 4): dims 3/4 exist only on the intact rows —
+      // averaged over those two, the ragged row's NULL cell skipped
+      assert(row.getDouble(4) == 0.5, s"mean_2 must average the intact rows: $row")
     } finally GraftSession.rmTree(dir.toFile)
   }
 

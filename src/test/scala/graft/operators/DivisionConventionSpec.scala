@@ -483,6 +483,142 @@ class DivisionConventionSpec extends SparkSpec {
   // the gate: every declared query                                   //
   // ---------------------------------------------------------------- //
 
+  // ---------------------------------------------------------------- //
+  // the r17 SIBLING class: ANSI-throwing array reads & string casts   //
+  // ---------------------------------------------------------------- //
+
+  /** query -> (why each pinned site cannot throw, the exact site-SQL
+    * set excused). Array element_at past the bound and CAST of a
+    * malformed string THROW under the ANSI session default where the
+    * DuckDB oracle yields NULL — the same oracle-blind structure as
+    * the division class (MAP element_at is already NULL under ANSI;
+    * AnsiDivisionSpec pins the asymmetry).
+    */
+  private val structurallySafeAccess: Map[String, (String, Set[String])] = Map(
+    "q03d_text_roundtrip" -> ("self-written 3-field TSV round trip: the writer emits exactly two tabs per line and stringified bigints, so split yields 3 elements and the nullif-guarded casts see '' or digits (r16 Relational audit; dirty external feeds are q03e's PERMISSIVE territory)",
+      Set("CAST(nullif(element_at(f, 1), '') AS BIGINT)", "CAST(nullif(element_at(f, 3), '') AS BIGINT)",
+        "element_at(f, 1)", "element_at(f, 2)", "element_at(f, 3)")),
+    "q03g_gzip_roundtrip" -> ("same self-written 3-field round trip as q03d, gzip-compressed",
+      Set("CAST(nullif(element_at(f, 1), '') AS BIGINT)", "CAST(nullif(element_at(f, 3), '') AS BIGINT)",
+        "element_at(f, 1)", "element_at(f, 2)", "element_at(f, 3)")),
+    "q13c_percentiles" -> ("percentile(value, array(0.5, 0.9)) returns an array sized by its LITERAL percentile argument — indices 1..2 are in bounds by the function contract",
+      Set("element_at(pp, 1)", "element_at(pp, 2)")),
+    "q13e_approx_percentiles" -> ("percentile/approx_percentile over literal 2- and 4-element percentile arrays — indices bounded by the function contract",
+      Set("element_at(ap, 1)", "element_at(ap, 2)",
+        "element_at(ep, 1)", "element_at(ep, 2)", "element_at(ep, 3)", "element_at(ep, 4)")),
+    "q171_benford" -> ("substring(s, 1, 1) of a stringified BIGINT >= 1 (the o_totalprice >= 1.0 filter) is always one digit 1-9 — the INT cast cannot see a sign or non-digit",
+      Set("CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")),
+    "q162_bigram_lm" -> ("lambda index ranges over sequence(1, size(tok) - 1): both 0-based reads tok[i-1], tok[i] stay inside [0, size-1] by construction",
+      Set("tok[(namedlambdavariable() - 1)]", "tok[namedlambdavariable()]")),
+    "q129_rowwise_minhash" -> ("minhash_mins emits exactly 16 elements (8 bands x 2 mins, the expression's fixed contract); the band index b ranges over sequence(0, 7), so 2b+2 <= 16; the outer element_at(transform(array(...)), 1) reads a 1-element constructed array",
+      Set("element_at(namedlambdavariable(), ((2 * namedlambdavariable()) + 1))",
+        "element_at(namedlambdavariable(), ((2 * namedlambdavariable()) + 2))",
+        "element_at(transform(array(minhash_mins(text, stop_arr)), lambdafunction(CASE WHEN (namedlambdavariable() IS NULL) THEN array() ELSE transform(sequence(0, 7), lambdafunction(named_struct('band', CAST(namedlambdavariable() AS BIGINT), 'sig', concat(CAST(element_at(namedlambdavariable(), ((2 * namedlambdavariable()) + 1)) AS STRING), ',', CAST(element_at(namedlambdavariable(), ((2 * namedlambdavariable()) + 2)) AS STRING))), namedlambdavariable())) END, namedlambdavariable())), 1)")),
+    "q33_multimodal_decode" -> ("feat is decodeImage's fixed 4-bin luma histogram; failed decodes DROP in the flatMap (CodecRobustnessSpec), so every emitted row carries 4 bins",
+      Set("element_at(feat, 2)")),
+    "q33d_image_decode" -> ("decodeImage's fixed 4-bin contract (see q33)",
+      Set("element_at(feat, 1)", "element_at(feat, 2)", "element_at(feat, 3)", "element_at(feat, 4)")),
+    "q33e_jpeg_decode" -> ("decodeImage's fixed 4-bin contract; the index pmod(doc_id, 4) + 1 is in 1..4",
+      Set("element_at(feat, CAST((pmod(doc_id, CAST(4 AS BIGINT)) + CAST(1 AS BIGINT)) AS INT))")),
+    "q33f_binaryfile_ingest" -> ("the doc-id cast input is the NON-EMPTY (\\d+) match group — all digits by the regex; '' raises first under the q45 loud convention; feat follows decodeImage's fixed 4-bin contract",
+      Set("CAST(regexp_extract(path, 'img_(\\\\d+)\\\\.png$', 1) AS BIGINT)",
+        "element_at(feat, 1)", "element_at(feat, 4)")),
+  )
+
+  /** Offending ANSI-throwing array reads / string casts in `df`'s
+    * analyzed plan. Safe shapes: TRY-mode (try_element_at/try_cast);
+    * a FOLDABLE cast input (evaluated at plan time — a malformed
+    * constant fails deterministically in every test run, it is not
+    * data-dependent); conv(_, _, 10) cast input (emits decimal digits
+    * by construction); a literal index into a CreateArray of known
+    * size (resolved through aliases).
+    */
+  private[operators] def offendingAccess(df: DataFrame): Set[String] = {
+    val plan = df.queryExecution.analyzed
+    val facts = collectFacts(plan)
+    val bad = scala.collection.mutable.Set.empty[String]
+
+    def resolveArr(e: Expression, depth: Int): Expression = e match {
+      case a: Alias if depth < 10 => resolveArr(a.child, depth + 1)
+      case ar: AttributeReference if depth < 10 =>
+        facts.aliases.get(ar.exprId).map(resolveArr(_, depth + 1)).getOrElse(ar)
+      case other => other
+    }
+
+    def boundedArrayRead(arr: Expression, idx: Expression): Boolean =
+      litNum(idx).exists(_ > 0) && (resolveArr(arr, 0) match {
+        case ca: CreateArray => litNum(idx).exists(_ <= ca.children.size)
+        case _ => false
+      })
+
+    def stringCastTarget(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.BooleanType => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+    plan.collectWithSubqueries { case node =>
+      node.expressions.foreach { root =>
+        root.foreach {
+          case ea: ElementAt
+              if ea.left.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                ea.failOnError && !boundedArrayRead(ea.left, ea.right) =>
+            bad += ea.sql
+          case gai: GetArrayItem
+              if gai.failOnError && !boundedArrayRead(gai.child, gai.ordinal) =>
+            bad += gai.sql
+          case c: Cast
+              if c.evalMode == EvalMode.ANSI &&
+                c.child.dataType == org.apache.spark.sql.types.StringType &&
+                stringCastTarget(c.dataType) && !c.child.foldable &&
+                !c.child.isInstanceOf[Conv] =>
+            bad += c.sql
+          case _ => ()
+        }
+      }
+    }
+    bad.toSet
+  }
+
+  test("(access red-proof) the scan flags an unbounded array read and a data-dependent string cast") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(1, 2), "7", 5)).toDF("arr", "str", "i")
+    assert(offendingAccess(df.select(element_at(col("arr"), col("i")))).nonEmpty,
+      "an unbounded array element_at must flag")
+    assert(offendingAccess(df.select(col("str").cast("bigint"))).nonEmpty,
+      "a data-dependent string cast must flag")
+    assert(offendingAccess(df.select(expr("try_element_at(arr, i)"),
+      expr("try_cast(str AS BIGINT)"))).isEmpty, "try_ forms are safe")
+    assert(offendingAccess(df.select(element_at(array(col("i"), col("i")), lit(2)),
+      lit("42").cast("bigint"),
+      expr("CAST(conv('ff', 16, 10) AS BIGINT)"))).isEmpty,
+      "bounded literal reads, foldable casts, and conv-derived casts are safe")
+  }
+
+  test("every declared query's array reads and string casts are ANSI-safe or exempted with a reason") {
+    val offenders = SparkEntry.specs.flatMap { q =>
+      try {
+        val bad = offendingAccess(q.fn(spark, sfDir))
+        structurallySafeAccess.get(q.name) match {
+          case None =>
+            if (bad.nonEmpty) Some(s"${q.name}: ${bad.toSeq.sorted.mkString(", ")}") else None
+          case Some((_, pinned)) =>
+            if (bad == pinned) None
+            else Some(s"${q.name}: exemption pins {${pinned.toSeq.sorted.mkString(", ")}} " +
+              s"but scan found {${if (bad.isEmpty) "nothing — dead entry" else bad.toSeq.sorted.mkString(", ")}}")
+        }
+      } catch {
+        case e: Throwable => Some(s"${q.name} (failed to analyze: ${e.getMessage.take(100)})")
+      }
+    }
+    assert(
+      offenders.isEmpty,
+      s"ANSI-throwing array reads / string casts on data-dependent input (use try_element_at/" +
+        s"try_cast to match the oracle's NULL, raise loudly by the q45 convention, or allowlist " +
+        s"with the structural reason):\n  " + offenders.mkString("\n  "))
+  }
+
   test("every declared query's divisors are guarded or exempted with a reason") {
     val offenders = SparkEntry.specs.flatMap { q =>
       try {
