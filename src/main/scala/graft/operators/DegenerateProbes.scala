@@ -106,8 +106,22 @@ object DegenerateProbes {
           .select(lit("digit_ratio").as("probe"), col("k"),
             round(CurationOps.digitRatio, 6).as("v"))
 
+        // r17 access/cast siblings (q18's try_cast, q156's
+        // try_element_at): a non-numeric string and an out-of-bounds
+        // ARRAY read must be NULL on both engines, where the unguarded
+        // ANSI shapes throw CAST_INVALID_INPUT / INVALID_ARRAY_INDEX
+        val tcast = Seq((1L, "abc"), (2L, "7"))
+          .toDF("k", "sv")
+          .select(lit("try_cast").as("probe"), col("k"),
+            expr("try_cast(sv AS DOUBLE)").as("v"))
+        val aread = Seq((1L, Seq(0.5, 0.25), 5), (2L, Seq(0.5, 0.25), 2))
+          .toDF("k", "a", "i")
+          .select(lit("array_read").as("probe"), col("k"),
+            expr("try_element_at(a, i)").as("v"))
+
         cosine.unionByName(twap).unionByName(zscore).unionByName(ewma)
           .unionByName(shift).unionByName(mw).unionByName(esk).unionByName(ratio)
+          .unionByName(tcast).unionByName(aread)
           .orderBy("probe", "k")
       },
       Some(
@@ -156,7 +170,14 @@ object DegenerateProbes {
           "UNION ALL " +
           "SELECT 'digit_ratio' AS probe, CAST(k AS BIGINT) AS k, " +
           "round(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 6) AS v " +
-          "FROM (VALUES (1, ''), (2, 'a1b2')) t(k, text)"),
+          "FROM (VALUES (1, ''), (2, 'a1b2')) t(k, text) " +
+          "UNION ALL " +
+          "SELECT 'try_cast' AS probe, CAST(k AS BIGINT) AS k, TRY_CAST(sv AS DOUBLE) AS v " +
+          "FROM (VALUES (1, 'abc'), (2, '7')) t(k, sv) " +
+          "UNION ALL " +
+          "SELECT 'array_read' AS probe, CAST(k AS BIGINT) AS k, a[i] AS v " +
+          "FROM (SELECT k, CAST(a AS DOUBLE[]) AS a, i " +
+          "FROM (VALUES (1, [0.5, 0.25], 5), (2, [0.5, 0.25], 2)) t(k, a, i))"),
     ),
   )
 }

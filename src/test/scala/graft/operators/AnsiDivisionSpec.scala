@@ -348,10 +348,12 @@ class AnsiDivisionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
     val degenerate = Seq(
       ("cosine", 2L), ("twap", 1L), ("zscore", 1L), ("ewma_div", 1L),
-      ("mean_shift", 1L), ("mw_z", 1L), ("mw_z", 3L), ("es_key", 1L), ("digit_ratio", 1L))
+      ("mean_shift", 1L), ("mw_z", 1L), ("mw_z", 3L), ("es_key", 1L), ("digit_ratio", 1L),
+      ("try_cast", 1L), ("array_read", 1L))
     val control = Seq(
       ("cosine", 1L), ("twap", 2L), ("zscore", 2L), ("ewma_div", 2L),
-      ("mean_shift", 2L), ("mw_z", 2L), ("es_key", 2L), ("digit_ratio", 2L))
+      ("mean_shift", 2L), ("mw_z", 2L), ("es_key", 2L), ("digit_ratio", 2L),
+      ("try_cast", 2L), ("array_read", 2L))
     assert(rows.keySet == (degenerate ++ control).toSet, s"probe surface drifted: ${rows.keySet}")
     degenerate.foreach(k => assert(rows(k).isEmpty, s"$k must be NULL (guard regressed?)"))
     control.foreach(k => assert(rows(k).nonEmpty, s"$k must be real (over-guarded?)"))
