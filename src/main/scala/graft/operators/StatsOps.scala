@@ -108,6 +108,16 @@ object StatsOps {
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
+          // a NULL-valued measurement has no rank: without this filter
+          // it forms a NULL bin whose POSITION the two engines sort
+          // differently (Spark ASC puts NULLS FIRST, DuckDB defaults
+          // NULLS LAST) — silently divergent midranks, invisible to
+          // the gate because the fixtures carry no NULL values (r17
+          // NULL-ordering review; q185 already treats NULL-valued
+          // events as realistic). Excluding missing measurements is
+          // also the statistically correct U-test population — the
+          // oracle filters identically.
+          .filter(col("value").isNotNull)
           .select(
             // floor(value·10), not round(value,1): floor of one IEEE
             // multiply is bit-identical cross-engine; round() rounding
@@ -156,7 +166,8 @@ object StatsOps {
       Some(
         "WITH ev AS (SELECT CAST(floor(value * 10.0) AS BIGINT) AS v, " +
           "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a " +
-          "FROM events WHERE event_type IN ('click', 'purchase')), " +
+          "FROM events WHERE event_type IN ('click', 'purchase') " +
+          "AND value IS NOT NULL), " +
           "bins AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS ca " +
           "FROM ev GROUP BY 1), " +
           "ranked AS (SELECT v, cnt, ca, " +

@@ -193,6 +193,7 @@ class NewOpsPropertySpec extends SparkSpec {
     // Scala — no windows, no cumulative-count reconstruction
     val sample = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "purchase"))
+      .filter(col("value").isNotNull) // the query's population (r17)
       .select(col("event_type"), floor(col("value") * 10.0).cast("long").as("v"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val binned = sample.groupBy(_._2).toSeq.sortBy(_._1)
@@ -214,6 +215,33 @@ class NewOpsPropertySpec extends SparkSpec {
     assert((gna, gnb) == (na, nb))
     assert(gu == u, s"U: $gu vs $u")
     assert(math.abs(gz - z) <= 1e-9, s"z: $gz vs $z")
+  }
+
+  test("q179 excludes NULL-valued measurements (cross-engine NULL-bin ordering divergence, r17)") {
+    // A NULL-valued click has no rank: pre-fix it formed a NULL bin
+    // that Spark's ASC window put FIRST (NULLS FIRST) while DuckDB's
+    // default put LAST — silently divergent midranks, invisible to the
+    // gate (fixtures carry no NULL values). RED pre-fix: n_a counted
+    // the NULL row (3, not 2) and every midrank below shifted by one.
+    val s2 = spark; import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q179_nullval")
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+      Seq[(Long, java.sql.Timestamp, Long, String, java.lang.Double)](
+        (1L, ts, 1L, "click", 1.0),
+        (2L, ts, 2L, "click", null), // the unranked measurement
+        (3L, ts, 3L, "click", 2.0),
+        (4L, ts, 4L, "purchase", 1.5))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val Seq(row) = SparkEntry.queries("q179_mann_whitney")(spark, dir.toString)
+        .collect().toSeq
+      assert((row.getLong(0), row.getLong(1)) == ((2L, 1L)),
+        s"the NULL-valued click must not enter the sample: $row")
+      // bins 10, 15, 20 → midranks 1, 2, 3; R_A = 1 + 3 → U = 4 − 3 = 1
+      assert(row.getDouble(2) == 1.0, s"U over the 3 ranked rows: $row")
+    } finally graft.GraftSession.rmTree(dir.toFile)
   }
 
   test("q179 u2 arithmetic: decimal n_a product survives past the bigint overflow point (r15 ADVICE)") {
