@@ -44,7 +44,14 @@ object TemporalOps {
     * operator's failure mode is a readable error, not a stack trace.
     */
   private[graft] def int64Report(c: Column, query: String, colName: String): Column =
-    when(c <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("bigint"))
+    // NULL passes through as NULL: without the leading branch a NULL
+    // statistic falls to the otherwise-arm, where concat null-
+    // propagates and raise_error dies with a MESSAGE-LESS error —
+    // the loud contract must fire only on genuine overflow (r17
+    // ADVICE; unreachable for q207's structurally non-NULL s_abs,
+    // but the helper is private[graft] and reusable)
+    when(c.isNull, lit(null).cast("bigint"))
+      .when(c <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("bigint"))
       .otherwise(raise_error(concat(
         lit(s"$query: "), c.cast("string"),
         lit(s" exceeds the int64 reporting contract for $colName"))).cast("bigint"))

@@ -206,8 +206,14 @@ class DivisionConventionSpec extends SparkSpec {
     // when(a === b, 0).otherwise(... / (a - b)): else means a != b —
     // or a/b NULL, in which case the subtraction is NULL too (safe)
     case EqualTo(a, b) => Seq(Subtract(a, b), Subtract(b, a))
-    case LessThanOrEqual(x, l) if litNum(l).exists(_ <= 0) => Seq(x)
-    case GreaterThanOrEqual(x, l) if litNum(l).exists(_ >= 0) => Nil // x < l possible, sign unknown
+    // NOT(x <= l) gives x > l, which proves x != 0 only when l >= 0;
+    // the pre-r18 guard accepted l <= 0, where x > l admits x = 0 for
+    // any l < 0 — a silent false negative outside the allowlist
+    // contract (r17 ADVICE; red-proofed below)
+    case LessThanOrEqual(x, l) if litNum(l).exists(_ >= 0) => Seq(x)
+    // NOT(x >= l) gives x < l — sound exactly in the mirrored case
+    // l <= 0 (x < l <= 0); for l > 0 the sign is unknown
+    case GreaterThanOrEqual(x, l) if litNum(l).exists(_ <= 0) => Seq(x)
     case _ => Nil
   }
 
@@ -477,6 +483,17 @@ class DivisionConventionSpec extends SparkSpec {
       .select(col("s") / col("n"))
     assert(offendingDivisors(countCol).exists(_.contains("n")),
       "a grouped count(col) divisor must flag (all-NULL groups count 0)")
+    // negProven soundness (r17 ADVICE): the else branch of
+    // when(x <= l, _) proves only x > l — for l < 0 that admits x = 0,
+    // so the divisor must STILL flag...
+    val negLeak = df.select(when(col("den") <= -1.0, 0.0).otherwise(col("num") / col("den")))
+    assert(offendingDivisors(negLeak) == Set("den"),
+      "else of when(x <= -1, _) does NOT prove x nonzero (x = 0 > -1) — the detector " +
+        "accepting it is the false-negative shape the r17 ADVICE flagged")
+    // ...while l = 0 genuinely proves x > 0 in the else branch
+    val negOk = df.select(when(col("den") <= 0.0, 0.0).otherwise(col("num") / col("den")))
+    assert(offendingDivisors(negOk).isEmpty,
+      "else of when(x <= 0, _) proves x > 0 — must pass")
   }
 
   // ---------------------------------------------------------------- //

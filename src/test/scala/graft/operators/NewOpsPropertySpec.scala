@@ -326,6 +326,15 @@ class NewOpsPropertySpec extends SparkSpec {
     val bare = scala.util.Try(over.select(col("s_abs").cast("bigint")).collect())
     assert(bare.isFailure && !messages(bare.failed.get).exists(_.contains("q207")),
       "the bare cast no longer throws past int64 (or started naming q207) — re-adjudicate the guard")
+    // NULL input passes through as NULL, it does NOT fire the loud arm
+    // (r17 ADVICE red-proof: pre-fix, concat null-propagated and
+    // raise_error died with a message-less error on a NULL statistic)
+    val nullIn = Seq(Option.empty[String]).toDF("raw")
+      .select(TemporalOps.int64Report(
+        col("raw").cast("decimal(38,0)"), "q207_cusum_changepoint", "max_abs_cusum").as("v"))
+      .collect()
+    assert(nullIn.length == 1 && nullIn.head.isNullAt(0),
+      "int64Report over a NULL statistic must yield NULL, not a message-less raise_error")
   }
 
   test("q108: degenerate single-value input bins to 0, not the null-skipping LEAST artifact (r16 review)") {

@@ -56,9 +56,15 @@ step "4/6 bench at sf0.1 (primary = 8-file layout since r12; reuses step 3's rew
 # re-run + the bench_rN_final.json convention after every loaded close.
 bench_ok=0
 for attempt in 1 2 3; do
-  # remove any stale artifact FIRST: a failed bench must not let a
-  # previous run's numbers get copied below under this round's name
-  rm -f target/bench.json
+  # reset state per attempt AND preserve any prior attempt's artifact
+  # (r17 ADVICE): with the old rm -f, attempt 1 succeeding
+  # (cal_stable=false) followed by attempt 2's Bench FAILING left
+  # bench_ok=1 with the only usable reading deleted — the chain still
+  # went red, but the attempt-1 artifact was lost for adjudication.
+  # Now state and artifact stay consistent: bench_ok reflects THIS
+  # attempt, and earlier readings survive under $WORK.
+  bench_ok=0
+  [ -f target/bench.json ] && mv target/bench.json "$WORK/bench_art_prev_a$attempt.json"
   if SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_MULTI_DIR="$WORK/sf01_multi8" sbt "runMain graft.Bench" > "$WORK/bench_a$attempt.log" 2>&1; then
     bench_ok=1
     python3 - <<'EOF'
