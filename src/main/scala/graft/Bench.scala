@@ -71,9 +71,25 @@ object Bench {
     * finding).
     */
   private[graft] final case class Calibration(
-      effPre: Double, effPost: Double, nominal: Int) {
-    val effMean: Double = (effPre + effPost) / 2
-    val spread: Double = math.abs(effPre - effPost) / effMean
+      effPre: Double, effPost: Double, nominal: Int, effMid: Seq[Double] = Nil) {
+    /** every sample in run order — brackets plus any WITHIN-RUN probes
+      * (VERDICT r17 #2): the r17 re-close demonstrated that pre/post
+      * brackets alone are blind to load churning BETWEEN them — six
+      * same-plan runs held a tight 182–213 s raw band while the
+      * normalized column swung 65–175 s, several stamped
+      * cal_stable=true because the brackets happened to agree. Bench
+      * now probes every few queries inside the timed passes and folds
+      * the samples into the same spread statistic, so a
+      * bracket-fooling window reads UNSTABLE (CalibrationSpec
+      * red-proofs the exact scenario). Consumers with no mid probes
+      * (LuadPipeline's single-point e2e) keep the historical
+      * two-sample formula bit-for-bit.
+      */
+    val samples: Seq[Double] = (effPre +: effMid) :+ effPost
+    val effMean: Double = samples.sum / samples.size
+    // (max − min)/mean over ALL samples — identical to the historical
+    // |pre − post|/mean when only the brackets sample
+    val spread: Double = (samples.max - samples.min) / effMean
     // 0.15 relative spread ≈ the band quiet hosts stay inside; a
     // mid-run load change blows past it → read the RAW column
     val stable: Boolean = spread < 0.15
@@ -151,7 +167,18 @@ object Bench {
     // time = None on failure: a fast-failing pass must not win min().
     // Errors are layout-tagged and first-write-wins per (query, layout)
     // so a later single-file failure can't mask which layout broke.
-    def timedPass(dir: String, layout: String): Seq[(String, Option[Double])] = specs.map { q =>
+    // Within-run calibration probes (VERDICT r17 #2): one burn every
+    // `probeEvery` queries inside each timed pass, BETWEEN query
+    // timings (never inside a query's t0..t window, so per-query
+    // numbers are untouched) — ~0.3 s each, ~24 per dual-layout run,
+    // one sample every ~30 s of bench wall. Folded into Calibration's
+    // spread so load churning between the pre/post brackets flips
+    // cal_stable to false instead of silently corrupting the
+    // normalized column (the r17 re-close blind spot).
+    val midCal = scala.collection.mutable.Buffer.empty[Double]
+    val probeEvery = 40
+    def timedPass(dir: String, layout: String): Seq[(String, Option[Double])] = specs.zipWithIndex.map { case (q, qi) =>
+      if (qi > 0 && qi % probeEvery == 0) midCal += effectiveCores(nominal)._1
       val t0 = System.nanoTime()
       val ok =
         try { run(q, dir); true }
@@ -213,13 +240,14 @@ object Bench {
     // column" caveat (ADVICE r11): consumers can gate on it instead of
     // re-deriving the rule from prose. Formula + threshold live in
     // [[Calibration]], shared with the e2e runner.
-    val c = Calibration(calPre._1, calPost._1, nominal)
+    val c = Calibration(calPre._1, calPost._1, nominal, midCal.toSeq)
     def norm(v: Double): Double = r3(c.normalize(v))
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + norm(v) }
       .mkString("{", ",", "}")
     val normTotal = norm(results.map(_._2).sum)
     val cal =
       s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)},""" +
+        s""""mid":${midCal.map(r1).mkString("[", ",", "]")},""" +
         s""""single_s":${r3(calPre._2)},"wall32_s":${r3(calPre._3)}},""" +
         s""""cal_spread":${r3(c.spread)},"cal_stable":${c.stable},""" +
         s""""load_factor":${r3(c.loadFactor)},"value_normalized":$normTotal"""
