@@ -249,7 +249,7 @@ object CurationOps {
         // way the previous broadcast-closure UDF did
         val sketch = blocklist
           .agg(call_function("bloom_filter_agg", xxhash64(col("fp")), lit(expected)).as("bf"))
-          .head.getAs[Array[Byte]]("bf")
+          .head().getAs[Array[Byte]]("bf")
         val hit = call_function("might_contain", lit(sketch), xxhash64(col("fp")))
         d.filter(!hit)
           .unionByName(
@@ -517,7 +517,16 @@ object CurationOps {
       // window would concentrate the corpus on 10 reducers.
       "q124_balanced_resample",
       (s, dir) => {
+        // a NULL-text document has no length regime and no fingerprint:
+        // it would form a NULL len bin whose histogram POSITION the two
+        // engines sort differently (Spark ASC = NULLS FIRST, DuckDB =
+        // NULLS LAST), shifting the exclusive cumulative count - and
+        // hence the BUCKET - of every real length; its NULL md5 would
+        // likewise rank divergently inside the top-k windows. Excluding
+        // it is also the correct resample population (r18 NULL-ordering
+        // sweep; the oracle filters identically).
         val d = docs(s, dir)
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("len"))
         // tiny frame: one row per DISTINCT length — the global-order
         // window runs over hundreds of rows, never the corpus. n_total
@@ -547,7 +556,7 @@ object CurationOps {
       },
       Some(
         "WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len " +
-          "FROM documents), " +
+          "FROM documents WHERE text IS NOT NULL), " +
           "n AS (SELECT COUNT(*) AS n_total FROM d), " +
           "h AS (SELECT len, COUNT(*) AS n_l FROM d GROUP BY len), " +
           // CAST: DuckDB window SUM promotes to HUGEINT
@@ -882,7 +891,15 @@ object CurationOps {
       "q173_score_calibration",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        // a NULL n_chars has no rank: it would sit at OPPOSITE ends of
+        // the two engines' ASC orderings (Spark NULLS FIRST, DuckDB
+        // NULLS LAST), shifting every row_number - hence every pct_src
+        // and the global CDF - in its source. A doc with no measured
+        // length cannot be calibrated; the oracle filters identically
+        // (r18 NULL-ordering sweep, the q179 population rule).
+        val d = docs(s, dir)
+          .filter(col("n_chars").isNotNull)
+          .select(col("doc_id"), col("source"), col("n_chars"))
         val wSrc = W.partitionBy("source")
           .orderBy(col("n_chars").asc, col("doc_id").asc)
         val ranked = d
@@ -902,7 +919,8 @@ object CurationOps {
             col("pct_src"), col("cdf_global"))
       },
       Some(
-        "WITH d AS (SELECT doc_id, source, n_chars FROM documents), " +
+        "WITH d AS (SELECT doc_id, source, n_chars FROM documents " +
+          "WHERE n_chars IS NOT NULL), " +
           "r AS (SELECT doc_id, source, n_chars, " +
           "row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rk, " +
           "COUNT(*) OVER (PARTITION BY source) AS cnt FROM d), " +
@@ -964,6 +982,12 @@ object CurationOps {
         import org.apache.spark.sql.expressions.Window
         val win = Window.partitionBy("source").orderBy("n_chars", "doc_id")
         Tables(s, dir, "documents")
+          // a NULL n_chars would rank at OPPOSITE ends per engine
+          // (Spark ASC NULLS FIRST, DuckDB NULLS LAST), shifting every
+          // percent_rank in its source; an unmeasured doc cannot be
+          // rank-normalized - the oracle filters identically (r18
+          // NULL-ordering sweep, the q179 population rule)
+          .filter(col("n_chars").isNotNull)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .withColumn("pr", percent_rank().over(win))
           .withColumn("decile", least(floor(col("pr") * 10), lit(9L)).cast("long"))
@@ -974,7 +998,7 @@ object CurationOps {
           "round(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pr, " +
           "CAST(LEAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id) " +
           "* 10), 9) AS BIGINT) AS decile " +
-          "FROM documents"),
+          "FROM documents WHERE n_chars IS NOT NULL"),
     ),
     QuerySpec(
       // l-diversity — the check k-anonymity (q152) misses: a cell can

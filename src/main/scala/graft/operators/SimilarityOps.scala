@@ -85,6 +85,13 @@ object SimilarityOps {
     * and far below any real centroid separation.
     */
   private[graft] def ivfCentroids(e: DataFrame): DataFrame = e
+    // an unlabeled vector belongs to no IVF cell — it can't be routed
+    // at index-build time (candidates already drop it: the cell join
+    // rejects NULL keys on both engines) and a NULL-label CENTROID
+    // would tie-break the probe window divergently (Spark ASC NULLS
+    // FIRST vs DuckDB NULLS LAST — r18 NULL-ordering sweep), flipping
+    // WHICH cells get probed on exact-tie scores
+    .filter(col("label").isNotNull)
     .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
     .groupBy("label", "i")
     .agg(round(avg(col("v").cast("double")), 9).as("c"))
@@ -166,7 +173,8 @@ object SimilarityOps {
       },
       Some(
         "WITH cent AS (SELECT label, i, round(AVG(CAST(embedding[i] AS DOUBLE)), 9) AS c " +
-          "FROM embeddings, unnest(range(1, 65)) AS u(i) GROUP BY label, i), " +
+          "FROM embeddings, unnest(range(1, 65)) AS u(i) " +
+          "WHERE label IS NOT NULL GROUP BY label, i), " +
           "centroids AS (SELECT label, list(c ORDER BY i) AS cemb FROM cent GROUP BY label), " +
           "q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5), " +
           "probescore AS (SELECT q.qid, q.qemb, c.label, " +
@@ -646,11 +654,20 @@ object SimilarityOps {
       // gate; only counts and their exact ratios are emitted.
       "q170_classifier_metrics",
       (s, dir) => {
+        // population rule (r18 NULL-ordering sweep): an UNLABELED
+        // vector has no place in a confusion matrix (its NULL clabel
+        // centroid would also tie-break the argmin window divergently —
+        // Spark ASC NULLS FIRST vs DuckDB NULLS LAST), and a NULL
+        // DIMENSION carries no distance (the null-skipping avg/sum
+        // would otherwise leave d2 NULL for an all-null vector, ranked
+        // at opposite ends per engine). Both excluded on both engines.
         val e = emb(s, dir)
+          .filter(col("label").isNotNull)
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
           .select(col("vec_id"), col("label"), col("dim"),
             col("v").cast("double").as("v"))
+          .filter(col("v").isNotNull)
         val cent = e.groupBy(col("label").as("clabel"), col("dim"))
           .agg(avg(col("v")).as("c"))
         val w = org.apache.spark.sql.expressions.Window
@@ -681,7 +698,8 @@ object SimilarityOps {
       Some(
         "WITH e AS (SELECT vec_id, label, i - 1 AS dim, " +
           "CAST(embedding[i] AS DOUBLE) AS v " +
-          "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), " +
+          "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i) " +
+          "WHERE label IS NOT NULL AND embedding[i] IS NOT NULL), " +
           "cent AS (SELECT label AS clabel, dim, AVG(v) AS c FROM e GROUP BY 1, 2), " +
           "d2 AS (SELECT e.vec_id, e.label, cent.clabel, " +
           "SUM((e.v - cent.c) ^ 2) AS d2 FROM e JOIN cent USING (dim) GROUP BY 1, 2, 3), " +
