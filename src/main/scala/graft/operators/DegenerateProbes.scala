@@ -106,6 +106,27 @@ object DegenerateProbes {
           .select(lit("digit_ratio").as("probe"), col("k"),
             round(CurationOps.digitRatio, 6).as("v"))
 
+        // NULL-ordering probe (VERDICT r17 #3, the THIRD oracle-blind
+        // class — wrong answers, not crashes): a NULL-valued
+        // measurement through q179's shared midrank expression
+        // (StatsOps.mwRankedBins) must be EXCLUDED from ranking on
+        // both engines. Unlike the division probes, the degenerate key
+        // (k=1, one NULL measurement) yields a NON-NULL v — the rank
+        // sum over the filtered population; if the population filter
+        // regresses, Spark ranks the NULL bin FIRST (DuckDB LAST) and
+        // every midrank shifts, failing the hash. k=2 is the NULL-free
+        // control.
+        val mwr = Seq(
+          (1L, Some(1.0), 1L), (1L, None, 1L), (1L, Some(2.0), 0L),
+          (2L, Some(1.0), 1L), (2L, Some(2.0), 1L), (2L, Some(3.0), 0L))
+          .toDF("k", "value", "is_a")
+          .select(col("k"),
+            floor(col("value") * lit(10.0)).cast("long").as("v"), col("is_a"))
+        val mwRank = StatsOps.mwRankedBins(mwr, Seq("k"))
+          .groupBy("k")
+          .agg(sum(col("ca").cast("decimal(38,0)") * col("r2")).cast("double").as("v"))
+          .select(lit("mw_rank").as("probe"), col("k"), col("v"))
+
         // r17 access/cast siblings (q18's try_cast, q156's
         // try_element_at): a non-numeric string and an out-of-bounds
         // ARRAY read must be NULL on both engines, where the unguarded
@@ -121,7 +142,7 @@ object DegenerateProbes {
 
         cosine.unionByName(twap).unionByName(zscore).unionByName(ewma)
           .unionByName(shift).unionByName(mw).unionByName(esk).unionByName(ratio)
-          .unionByName(tcast).unionByName(aread)
+          .unionByName(mwRank).unionByName(tcast).unionByName(aread)
           .orderBy("probe", "k")
       },
       Some(
@@ -171,6 +192,20 @@ object DegenerateProbes {
           "SELECT 'digit_ratio' AS probe, CAST(k AS BIGINT) AS k, " +
           "round(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 6) AS v " +
           "FROM (VALUES (1, ''), (2, 'a1b2')) t(k, text) " +
+          "UNION ALL " +
+          // the mw_rank oracle arm states the SAME population rule the
+          // shared mwRankedBins encodes: the NULL bin is excluded
+          // BEFORE ranking — DuckDB unfiltered would rank it LAST where
+          // Spark ranks it FIRST, so a regressed filter diverges the
+          // hash from either side
+          "SELECT 'mw_rank' AS probe, k, CAST(SUM(ca * r2) AS DOUBLE) AS v FROM (" +
+          "SELECT k, ca, 2 * (SUM(cnt) OVER (PARTITION BY k ORDER BY v " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS r2 " +
+          "FROM (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS ca " +
+          "FROM (SELECT CAST(k AS BIGINT) AS k, CAST(floor(value * 10.0) AS BIGINT) AS v, is_a " +
+          "FROM (VALUES (1, 1.0, 1), (1, NULL, 1), (1, 2.0, 0), " +
+          "(2, 1.0, 1), (2, 2.0, 1), (2, 3.0, 0)) t(k, value, is_a)) " +
+          "WHERE v IS NOT NULL GROUP BY k, v)) GROUP BY k " +
           "UNION ALL " +
           "SELECT 'try_cast' AS probe, CAST(k AS BIGINT) AS k, TRY_CAST(sv AS DOUBLE) AS v " +
           "FROM (VALUES (1, 'abc'), (2, '7')) t(k, sv) " +

@@ -39,6 +39,31 @@ object StatsOps {
     * side gives sigma2 = 0.0 exactly, handled by [[mwZ]].) Shared with
     * q209's degenerate probe so the gate exercises THIS expression.
     */
+  /** q179's binned-midrank frame, shared with q209's NULL-ordering
+    * probe (VERDICT r17 #3) so the gate exercises THIS expression, not
+    * a copy: takes a (keys..., v, is_a) sample, EXCLUDES NULL bins —
+    * a NULL-valued measurement has no rank, and without the filter it
+    * forms a NULL bin whose POSITION the two engines sort differently
+    * (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), silently shifting
+    * every midrank (the r17 q179 find; NullOrderingConventionSpec is
+    * the mechanical sweep) — then rebuilds exact doubled midranks
+    * (r2 = 2·cum_before + cnt + 1, integral) from cumulative counts on
+    * the bins-sized frame. The window runs per key group (global for
+    * q179's empty key set), bounded by the value domain, never the
+    * corpus.
+    */
+  private[graft] def mwRankedBins(ev: DataFrame, keys: Seq[String]): DataFrame = {
+    val bins = ev
+      .filter(col("v").isNotNull)
+      .groupBy((keys :+ "v").map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("is_a")).as("ca"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+  }
+
   private[graft] def mwSigma2(nA: Column, nB: Column, nn: Column, ties: Column): Column =
     when(nn > 1,
       nA.cast("double") * nB / lit(12.0) *
@@ -108,15 +133,14 @@ object StatsOps {
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
-          // a NULL-valued measurement has no rank: without this filter
-          // it forms a NULL bin whose POSITION the two engines sort
-          // differently (Spark ASC puts NULLS FIRST, DuckDB defaults
-          // NULLS LAST) — silently divergent midranks, invisible to
-          // the gate because the fixtures carry no NULL values (r17
-          // NULL-ordering review; q185 already treats NULL-valued
-          // events as realistic). Excluding missing measurements is
-          // also the statistically correct U-test population — the
-          // oracle filters identically.
+          // a NULL-valued measurement has no rank: this filter (kept
+          // here so the predicate pushes to the scan) and the shared
+          // mwRankedBins NULL-bin exclusion below are the SAME
+          // population rule — the r17 q179 find (Spark ASC NULLS FIRST
+          // vs DuckDB NULLS LAST silently shifts every midrank),
+          // statistically correct for the U test, mirrored in the
+          // oracle, and since r18 driven through q209's mw_rank probe
+          // so a regression fails CORRECTNESS itself.
           .filter(col("value").isNotNull)
           .select(
             // floor(value·10), not round(value,1): floor of one IEEE
@@ -125,12 +149,7 @@ object StatsOps {
             // boundary doubles and shift a row across bins.
             floor(col("value") * lit(10.0)).cast("long").as("v"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
-        val bins = ev.groupBy("v")
-          .agg(count(lit(1)).as("cnt"), sum(col("is_a")).as("ca"))
-        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = bins
-          .withColumn("cum", sum(col("cnt")).over(w))
-          .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+        val ranked = mwRankedBins(ev, Nil)
         // DECIMAL(38,0) accumulators for the two cubically/quadratically
         // growing sums (r15 operators review): in BIGINT, cnt³ in the
         // tie term overflows at ~2.1M rows per bin (a point mass —

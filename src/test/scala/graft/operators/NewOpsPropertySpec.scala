@@ -244,6 +244,38 @@ class NewOpsPropertySpec extends SparkSpec {
     } finally graft.GraftSession.rmTree(dir.toFile)
   }
 
+  test("q209 mw_rank probe pins the shared midrank population filter (r18: the third oracle-blind class, gate-visible)") {
+    // The probe's gated values: degenerate key 1 (one NULL measurement,
+    // excluded → bins 10, 20 → 2·R_A = 1·2 = 2) and control key 2
+    // (NULL-free → 2·R_A = 2 + 4 = 6). The oracle computes the same
+    // filtered arithmetic, so these ARE the hash-gated cells.
+    val rows = SparkEntry.queries("q209_degenerate_probes")(spark, sfDir)
+      .filter(col("probe") === "mw_rank")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(rows == Map(1L -> 2.0, 2L -> 6.0), s"gated mw_rank values: $rows")
+    // Falsifiability: the UNFILTERED shape (the pre-r17 q179 bug, the
+    // regression the probe exists to catch) ranks the NULL bin FIRST
+    // under Spark's ASC default, shifting the degenerate key to 6.0 —
+    // which the oracle's filtered 2.0 would hash-reject. If this stops
+    // differing, NULL bins stopped ranking and the probe is dead.
+    val s2 = spark; import s2.implicits._
+    val unfiltered = Seq(
+      (1L, Some(1.0), 1L), (1L, None, 1L), (1L, Some(2.0), 0L))
+      .toDF("k", "value", "is_a")
+      .select(col("k"), floor(col("value") * lit(10.0)).cast("long").as("v"), col("is_a"))
+      .groupBy("k", "v")
+      .agg(count(lit(1)).as("cnt"), sum(col("is_a")).as("ca"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .groupBy("k").agg(sum(col("ca") * col("r2")).cast("double").as("ra2"))
+      .head().getDouble(1)
+    assert(unfiltered == 6.0,
+      s"the unfiltered NULL-bin shape must shift the rank sum (got $unfiltered) — " +
+        "if it reads 2.0 the probe can no longer detect a regressed population filter")
+  }
+
   test("q179 u2 arithmetic: decimal n_a product survives past the bigint overflow point (r15 ADVICE)") {
     val s = spark; import s.implicits._
     // One synthetic aggregate row at n_a = 3.1e9 — past bigint's
