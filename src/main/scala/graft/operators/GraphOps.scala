@@ -433,23 +433,7 @@ object GraphOps {
       // BIGINT end-to-end, so relaxation is exact on both engines and
       // min() needs no float tolerance.
       "q184_weighted_sssp",
-      (s, dir) => {
-        val edges = weightedTradeEdges(s, dir).localCheckpoint()
-        val seeds = Seq(2L, 4L, 6L, 8L, 10L)
-        var dist = edges.select(col("src").as("id")).distinct()
-          .filter(col("id").isin(seeds: _*))
-          .withColumn("d", lit(0L))
-          .localCheckpoint(true)
-        for (_ <- 1 to 4) {
-          val relaxed = edges
-            .join(dist, col("src") === col("id"))
-            .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
-          dist = dist.unionByName(relaxed)
-            .groupBy("id").agg(min(col("d")).as("d"))
-            .localCheckpoint(true)
-        }
-        dist.select(col("id"), col("d").as("cost"))
-      },
+      (s, dir) => ssspVariant(s, dir, incremental = false),
       Some {
         def iter(prev: String, nm: String): String =
           s"$nm AS (SELECT id, MIN(d) AS d FROM (" +
@@ -467,6 +451,55 @@ object GraphOps {
       },
     ),
   )
+
+  /** q184's body, both relaxation shapes for the r18 A/B (VERDICT r17
+    * #4). `incremental = false` is the committed shape: every round
+    * relaxes the FULL nodes-sized dist frame against the checkpointed
+    * edges. `incremental = true` is q169's frontier form — relax only
+    * nodes whose cost improved last round, at the price of one extra
+    * nodes-sized left join + checkpoint per round to compute the
+    * frontier. The two are output-identical by the standard
+    * Bellman-Ford argument: a node whose cost did not improve was
+    * already relaxed at that cost in an earlier round, and its
+    * contributions persist in the monotone min-folded dist frame.
+    * Measured (BASELINE.md r18, q208 discipline — 15,999 output rows
+    * asserted identical, interleaved reps, cal 19.2/17.2): full relax
+    * won EVERY rep at sf0.1 — warm-3rd 3.07 s vs 3.52 s (full reps
+    * 3.18/3.16/3.07; incremental 3.78/4.04/3.52). On this dense
+    * 4-round trade graph the frontier barely shrinks (most nodes keep
+    * improving through round 4), so the extra nodes-sized join +
+    * checkpoint per round costs more than the smaller relax input
+    * saves; the incremental form pays off only when frontiers collapse
+    * (deep graphs, many rounds — q169's BFS, where reached-at-hop IS
+    * the frontier for free). Full relax stays the committed plan.
+    */
+  private[graft] def ssspVariant(
+      s: SparkSession, dir: String, incremental: Boolean): DataFrame = {
+    val edges = weightedTradeEdges(s, dir).localCheckpoint()
+    val seeds = Seq(2L, 4L, 6L, 8L, 10L)
+    var dist = edges.select(col("src").as("id")).distinct()
+      .filter(col("id").isin(seeds: _*))
+      .withColumn("d", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to 4) {
+      val relaxed = edges
+        .join(if (incremental) frontier else dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      if (incremental) {
+        frontier = next
+          .join(dist.withColumnRenamed("d", "d_prev"), Seq("id"), "left")
+          .filter(col("d_prev").isNull || col("d") < col("d_prev"))
+          .select(col("id"), col("d"))
+          .localCheckpoint(true)
+      }
+      dist = next
+    }
+    dist.select(col("id"), col("d").as("cost"))
+  }
 
   /** [[tradeEdges]] with an integral weight: the lineitem count behind
     * each (customer, supplier) pair, symmetrized. One groupBy replaces

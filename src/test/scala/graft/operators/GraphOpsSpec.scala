@@ -46,4 +46,23 @@ class GraphOpsSpec extends SparkSpec {
     // sanity: ranks bounded below by the teleport term
     assert(got.values.forall(_ >= 0.15d - 1e-12))
   }
+
+  test("q184: incremental-frontier Bellman-Ford == full relax (the r18 A/B's equivalence contract)") {
+    // The committed q184 shape is the FULL relax (it won the measured
+    // A/B — GraphOps.ssspVariant's scaladoc has the numbers); the
+    // incremental frontier stays as the documented alternative. This
+    // pins the equivalence argument the adjudication leans on: a
+    // non-improved node's contributions already persist in the
+    // min-folded dist frame, so relaxing only improved nodes reaches
+    // the same <=4-edge shortest paths.
+    val dir = "/root/testdata/sf0.001"
+    def rows(inc: Boolean): Seq[(Long, Long)] =
+      GraphOps.ssspVariant(spark, dir, incremental = inc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val full = rows(false)
+    val incr = rows(true)
+    assert(full.nonEmpty && full == incr,
+      s"variants diverged: ${full.size} vs ${incr.size} rows, first diff " +
+        full.zip(incr).find(p => p._1 != p._2))
+  }
 }
