@@ -199,8 +199,9 @@ object DegenerateProbes {
           // Spark ranks it FIRST, so a regressed filter diverges the
           // hash from either side
           "SELECT 'mw_rank' AS probe, k, CAST(SUM(ca * r2) AS DOUBLE) AS v FROM (" +
-          "SELECT k, ca, 2 * (SUM(cnt) OVER (PARTITION BY k ORDER BY v " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS r2 " +
+          // CAST: DuckDB window SUM promotes to HUGEINT
+          "SELECT k, ca, 2 * (CAST(SUM(cnt) OVER (PARTITION BY k ORDER BY v " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt) + cnt + 1 AS r2 " +
           "FROM (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS ca " +
           "FROM (SELECT CAST(k AS BIGINT) AS k, CAST(floor(value * 10.0) AS BIGINT) AS v, is_a " +
           "FROM (VALUES (1, 1.0, 1), (1, NULL, 1), (1, 2.0, 0), " +

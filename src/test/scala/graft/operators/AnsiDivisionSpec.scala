@@ -354,9 +354,20 @@ class AnsiDivisionSpec extends SparkSpec {
       ("cosine", 1L), ("twap", 2L), ("zscore", 2L), ("ewma_div", 2L),
       ("mean_shift", 2L), ("mw_z", 2L), ("es_key", 2L), ("digit_ratio", 2L),
       ("try_cast", 2L), ("array_read", 2L))
-    assert(rows.keySet == (degenerate ++ control).toSet, s"probe surface drifted: ${rows.keySet}")
+    // the r18 mw_rank pair belongs to the NULL-ORDERING class, whose
+    // failure mode is a SHIFTED VALUE, not a throw: its degenerate key
+    // (a NULL measurement in the sample) yields the rank sum of the
+    // FILTERED population — a real number the oracle hash pins.
+    // NewOpsPropertySpec pins both values and the regression shift.
+    val valuePinned = Seq(
+      ("mw_rank", 1L) -> 2.0, ("mw_rank", 2L) -> 6.0)
+    assert(rows.keySet == (degenerate ++ control ++ valuePinned.map(_._1)).toSet,
+      s"probe surface drifted: ${rows.keySet}")
     degenerate.foreach(k => assert(rows(k).isEmpty, s"$k must be NULL (guard regressed?)"))
     control.foreach(k => assert(rows(k).nonEmpty, s"$k must be real (over-guarded?)"))
+    valuePinned.foreach { case (k, v) =>
+      assert(rows(k).contains(v), s"$k must be the filtered-population rank sum $v: ${rows(k)}")
+    }
   }
 
   test("q30/q32 cosine: a zero vector gets a NULL cosine (ranked last / filtered), not DIVIDE_BY_ZERO") {
