@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   *
   *  - being a non-null literal, a total function of proven inputs
   *    (arithmetic, ANSI casts, hashes, string/date kernels — the
-  *    pinned whitelist in [[nonNull]]), a rank-family window function,
+  *    pinned whitelist in [[NullProof.nonNull]]), a rank-family window function,
   *    or a grouped MAX/MIN/SUM/AVG/FIRST/LAST over a proven child (a
   *    grouped aggregate's group exists only with ≥ 1 row);
   *  - a SUBTREE-SCOPED null-rejecting Filter / Inner-join / semi-join
@@ -77,38 +77,29 @@ import org.apache.spark.sql.functions._
   * logic, sorts inside subqueries — is scanned. NullsLast keys agree
   * with DuckDB in both directions and are safe by construction.
   * Array-function ordering (array_sort/sort_array NULL placement) is a
-  * different, non-SortOrder surface: no declared query sorts arrays
-  * with nullable elements (the cosine/top-k paths filter NULL
-  * similarities before every cut).
+  * different, non-SortOrder surface with its own divergence matrix —
+  * mechanized since r19 as [[ArrayOrderingConventionSpec]] (VERDICT
+  * r18 #3), sharing this spec's prover.
+  *
+  * Since r19 the prover itself lives in [[NullProof]] — ONE evaluator
+  * for both ordering walks — carrying the three r18 ADVICE soundness
+  * fixes (size() inversion, three-valued NOT/AND/OR, concat_ws
+  * separator; each red-proofed below) and the static nullable=false
+  * fast path that retired the q195 allowlist entry.
   */
 class NullOrderingConventionSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Base parquet columns the engine CONTRACTS non-null (class doc). */
-  private val contractNonNull: Set[String] = Set(
-    // TPC-H spec tables: every column NOT NULL per the spec
-    "r_regionkey", "r_name",
-    "n_nationkey", "n_name", "n_regionkey",
-    "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
-    "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
-    "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
-    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-    "o_orderdate", "o_orderpriority",
-    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-    "l_linestatus", "l_shipdate",
-    // synthetic tables: identity/type/time spine only — payloads stay
-    // nullable (value, props, text, lang, source, n_chars, embedding,
-    // label)
-    "doc_id", "event_id", "user_id", "ts", "event_type", "vec_id")
-
   /** query -> (why each pinned NullsFirst key cannot carry a NULL, the
-    * exact key-SQL set excused). Three of the four are CHECKPOINT
+    * exact key-SQL set excused). Two of the three are CHECKPOINT
     * OPACITY, not semantics: localCheckpoint truncates lineage to a
     * LogicalRDD leaf, so the scan cannot trace a key it could
     * otherwise prove — the reason must spell out the pre-checkpoint
-    * derivation.
+    * derivation. (q195's entry retired in r19: xxhash64 types
+    * statically non-nullable, which the [[NullProof]] fast path now
+    * reads through the checkpoint — the dead-entry discipline forced
+    * the removal.)
     */
   private val structurallySafeOrder: Map[String, (String, Set[String])] = Map(
     "q190_path_trigrams" -> ("e2 = LEAD(event_type, 1) under the e3 = LEAD(event_type, 2) isNotNull filter: event_type is contract non-null, so LEAD(k) is NULL only past the partition end — NULL-monotone in k, and e3 non-null implies row i+1 exists, hence e2 non-null",
@@ -117,296 +108,7 @@ class NullOrderingConventionSpec extends SparkSpec {
       Set("bin")),
     "q149_concurrency_sweep" -> ("all three keys cross the boundary-list localCheckpoint: ts = grouped MIN/MAX over the contract-non-null events.ts, hr = date_trunc('HOUR', ts) (total, literal format), user_id is contract non-null",
       Set("hr", "ts", "user_id")),
-    "q195_kmv_intersect" -> ("h crosses the distinct-users localCheckpoint; it is xxhash64(user_id) — non-null by construction (Spark hashes treat NULL input as a value, never returning NULL)",
-      Set("h")),
   )
-
-  // ---------------------------------------------------------------- //
-  // facts                                                            //
-  // ---------------------------------------------------------------- //
-
-  private final class Facts(
-      val aliases: Map[ExprId, (Expression, Boolean)], // defn, insideGroupedAgg
-      val leafCols: Map[ExprId, String], // parquet-scan leaves only
-      val outerNullable: Set[ExprId],
-      val genNonNull: Set[ExprId]) {
-    // per-consumer-subtree null-rejection facts, memoized by node identity
-    private val cache = scala.collection.mutable.Map.empty[LogicalPlan, (Set[ExprId], Seq[Expression])]
-    def subtreeNotNull(scope: LogicalPlan): (Set[ExprId], Seq[Expression]) =
-      cache.getOrElseUpdate(scope, collectSubtreeNotNull(scope))
-    // topmost Union per (scope, exprId) — pre-order collect puts the
-    // outermost mixing point first
-    private val uCache = scala.collection.mutable.Map.empty[LogicalPlan, Seq[Union]]
-    def unionsIn(scope: LogicalPlan): Seq[Union] =
-      uCache.getOrElseUpdate(scope, scope.collect { case u: Union => u })
-  }
-
-  /** Expressions proven NON-NULL on rows where `cond` held TRUE: a
-    * NULL operand makes every null-intolerant predicate NULL, and a
-    * Filter/Join keeps only TRUE rows. From each proven root, children
-    * of null-intolerant nodes are proven too (a non-NULL result
-    * implies every null-intolerant input was non-NULL).
-    */
-  private def nullRejected(cond: Expression): Seq[Expression] = {
-    def unwrap(e: Expression): Seq[Expression] =
-      if (e.nullIntolerant) e +: e.children.flatMap(unwrap) else Seq(e)
-    cond match {
-      case And(a, b) => nullRejected(a) ++ nullRejected(b)
-      case IsNotNull(e) => unwrap(e)
-      case _: EqualNullSafe => Nil // <=> passes NULL pairs through
-      case bc: BinaryComparison => unwrap(bc.left) ++ unwrap(bc.right)
-      case In(v, _) => unwrap(v)
-      case InSet(v, _) => unwrap(v)
-      case sp: StringPredicate => unwrap(sp.left) ++ unwrap(sp.right)
-      case l: Like => unwrap(l.left)
-      case r: RLike => unwrap(r.left)
-      case _ => Nil
-    }
-  }
-
-  /** Null-rejection facts from Filter/Join conditions INSIDE `scope` —
-    * everything in the subtree runs before the consumer sorts, so its
-    * facts hold for every row the sort sees. The walk STOPS at Union
-    * nodes: rows from every branch mix under the first branch's
-    * ExprIds, so a branch-local filter proves nothing about the
-    * union's output (the per-branch proof in [[nonNull]] handles
-    * unions soundly instead).
-    */
-  private def collectSubtreeNotNull(scope: LogicalPlan): (Set[ExprId], Seq[Expression]) = {
-    val ids = scala.collection.mutable.Set.empty[ExprId]
-    val glob = scala.collection.mutable.Buffer.empty[Expression]
-    def addProven(x: Expression): Unit = {
-      glob += x
-      x match {
-        case ar: AttributeReference => ids += ar.exprId
-        case _ => ()
-      }
-    }
-    def go(node: LogicalPlan): Unit = node match {
-      case _: Union => () // stop: facts below the mix don't bind its output
-      case f: Filter =>
-        nullRejected(f.condition).foreach(addProven); go(f.child)
-      case j: Join =>
-        j.joinType match {
-          case Inner | Cross =>
-            j.condition.toSeq.flatMap(nullRejected).foreach(addProven)
-          case LeftSemi =>
-            // only left-side attrs survive a semi join's output
-            val leftIds = j.left.outputSet
-            j.condition.toSeq.flatMap(nullRejected).foreach {
-              case ar: AttributeReference if leftIds.contains(ar) => addProven(ar)
-              case _ => ()
-            }
-          case _ => ()
-        }
-        j.children.foreach(go)
-      case other => other.children.foreach(go)
-    }
-    go(scope)
-    (ids.toSet, glob.toSeq)
-  }
-
-  private def collectFacts(plan: LogicalPlan): Facts = {
-    val aliases = scala.collection.mutable.Map.empty[ExprId, (Expression, Boolean)]
-    val leafCols = scala.collection.mutable.Map.empty[ExprId, String]
-    val outerNullable = scala.collection.mutable.Set.empty[ExprId]
-    val genNonNull = scala.collection.mutable.Set.empty[ExprId]
-
-    plan.collectWithSubqueries { case node =>
-      val grouped = node match {
-        case a: Aggregate => a.groupingExpressions.nonEmpty
-        case _ => false
-      }
-      node.expressions.foreach { root =>
-        root.foreach {
-          case a: Alias => aliases(a.exprId) = (a.child, grouped)
-          case _ => ()
-        }
-      }
-      node match {
-        case j: Join =>
-          j.joinType match {
-            case LeftOuter => outerNullable ++= j.right.output.map(_.exprId)
-            case RightOuter => outerNullable ++= j.left.output.map(_.exprId)
-            case FullOuter =>
-              outerNullable ++= (j.left.output ++ j.right.output).map(_.exprId)
-            case _ => ()
-          }
-        case g: Generate if !g.outer =>
-          // explode/posexplode emit no row for a NULL collection; the
-          // ELEMENT is non-null when the collection provably holds no
-          // null elements: containsNull = false (split/sequence), or a
-          // regexp_extract_all (its matches are never null strings —
-          // Spark types it containsNull = true conservatively)
-          def elementsNonNull(col: Expression): Boolean = col.dataType match {
-            case at: org.apache.spark.sql.types.ArrayType if !at.containsNull => true
-            case _ => col match {
-              case a: Alias => elementsNonNull(a.child)
-              case ar: AttributeReference =>
-                aliases.get(ar.exprId).exists(d => elementsNonNull(d._1))
-              case _: RegExpExtractAll => true
-              case _ => false
-            }
-          }
-          g.generator match {
-            case e: Explode =>
-              if (elementsNonNull(e.child)) genNonNull ++= g.generatorOutput.map(_.exprId)
-            case e: PosExplode =>
-              // pos is always non-null; the element needs the proof
-              g.generatorOutput.headOption.foreach(a => genNonNull += a.exprId)
-              if (elementsNonNull(e.child)) genNonNull ++= g.generatorOutput.map(_.exprId)
-            case _ => ()
-          }
-        case leaf: LeafNode =>
-          // contract columns are matched ONLY on real source scans: a
-          // LogicalRDD (localCheckpoint) or LocalRelation column that
-          // happens to share a contract name proves nothing
-          val cn = leaf.getClass.getSimpleName
-          if (cn.contains("LogicalRelation") || cn.contains("DataSourceV2Relation"))
-            leaf.output.foreach(a => leafCols(a.exprId) = a.name)
-        case _ => ()
-      }
-    }
-    new Facts(aliases.toMap, leafCols.toMap, outerNullable.toSet, genNonNull.toSet)
-  }
-
-  // ---------------------------------------------------------------- //
-  // the null-propagation evaluator                                   //
-  // ---------------------------------------------------------------- //
-
-  /** True iff `e` is provably non-NULL for every row `scope` emits.
-    * `grouped` is true when `e` sits among a grouped Aggregate's
-    * aggregate expressions (its group exists only with ≥ 1 row).
-    */
-  private def nonNull(
-      e: Expression, facts: Facts, scope: LogicalPlan,
-      grouped: Boolean, depth: Int): Boolean = {
-    if (depth > 24) return false
-    lazy val (scopeIds, scopeGlobal) = facts.subtreeNotNull(scope)
-    def rec(c: Expression): Boolean =
-      nonNull(c, facts, scope, grouped, depth + 1)
-    def all(cs: Seq[Expression]): Boolean = cs.forall(rec)
-    if (scopeGlobal.exists(_.semanticEquals(e))) return true
-    e match {
-      case l: Literal => l.value != null
-      case a: Alias => rec(a.child)
-      case ar: AttributeReference =>
-        // a Union inside the scope that outputs this ExprId mixes every
-        // branch's rows under it: the attr is proven only if EVERY
-        // branch's corresponding output is proven within that branch's
-        // own scope (pre-order collect → outermost mixing point first;
-        // nested unions recurse through strictly-shrinking scopes)
-        facts.unionsIn(scope).find(_.output.exists(_.exprId == ar.exprId)) match {
-          case Some(u) =>
-            val i = u.output.indexWhere(_.exprId == ar.exprId)
-            u.children.forall(ch =>
-              nonNull(ch.output(i), facts, ch, grouped = false, depth + 1))
-          case None =>
-            scopeIds.contains(ar.exprId) ||
-              facts.genNonNull.contains(ar.exprId) ||
-              (!facts.outerNullable.contains(ar.exprId) && (
-                facts.leafCols.get(ar.exprId).exists(contractNonNull.contains) ||
-                  facts.aliases.get(ar.exprId).exists { case (defn, g) =>
-                    nonNull(defn, facts, scope, g, depth + 1)
-                  }))
-        }
-      // ANSI casts throw on bad non-null input instead of returning
-      // NULL (AnsiDivisionSpec pins the mode) — null-preserving-total
-      case c: Cast if c.evalMode == EvalMode.ANSI => rec(c.child)
-      case co: CheckOverflow => rec(co.child)
-      // total arithmetic (ANSI division throws on 0, never NULLs)
-      case b @ (_: Add | _: Subtract | _: Multiply) => all(b.children)
-      case d: Divide if d.evalMode == EvalMode.ANSI => all(d.children)
-      case d: IntegralDivide if d.evalMode == EvalMode.ANSI => all(d.children)
-      case d: Remainder if d.evalMode == EvalMode.ANSI => all(d.children)
-      case d: Pmod if d.evalMode == EvalMode.ANSI => all(d.children)
-      case u: UnaryMinus => rec(u.child)
-      case a: Abs => rec(a.child)
-      // total math kernels (sqrt/log of a bad domain give NaN/throw
-      // paths, never a quiet NULL — log is EXCLUDED: ln(0) is NULL)
-      case m @ (_: Floor | _: Ceil | _: Round | _: BRound | _: Exp | _: Sqrt | _: Pow) =>
-        all(m.children)
-      // hashes of non-null input; xxhash64/murmur3 hash NULL as a value
-      case m: Md5 => rec(m.child)
-      case _: XxHash64 | _: Murmur3Hash => true
-      case c: Crc32 => rec(c.child)
-      case s: Sha1 => rec(s.child)
-      // string kernels, total over non-null input
-      case s @ (_: Length | _: Lower | _: Upper | _: Substring | _: StringTrim |
-          _: StringTrimLeft | _: StringTrimRight | _: StringReplace | _: RegExpReplace |
-          _: RegExpExtract | _: RegExpExtractAll | _: StringSplit | _: Concat |
-          _: StringRepeat | _: StringLPad | _: StringRPad) => all(s.children)
-      case _: ConcatWs => true // skips NULL args; never returns NULL
-      // date/time kernels: trunc/format NULL only on a bad FORMAT —
-      // foldable non-null format literals are checked right here
-      case t: TruncTimestamp if t.format.foldable && t.format.eval() != null => rec(t.timestamp)
-      case t: TruncDate if t.format.foldable && t.format.eval() != null => rec(t.date)
-      case d: DateFormatClass if d.right.foldable && d.right.eval() != null => rec(d.left)
-      case d @ (_: DateDiff | _: DateAdd | _: DateSub | _: Year | _: Month |
-          _: DayOfMonth | _: DayOfWeek | _: WeekDay | _: Hour | _: Minute | _: Second |
-          _: DayOfYear | _: WeekOfYear | _: LastDay | _: UnixDate | _: UnixMicros) =>
-        all(d.children)
-      // to_date/to_timestamp WITHOUT a user format is a cast from a
-      // temporal type — total; the with-format parse can NULL
-      case p: ParseToDate if p.format.isEmpty => rec(p.left)
-      case p: ParseToTimestamp if p.format.isEmpty => rec(p.left)
-      case m: MonotonicallyIncreasingID => true
-      case s: SparkPartitionID => true
-      case i: If => rec(i.trueValue) && rec(i.falseValue)
-      case cw: CaseWhen =>
-        cw.branches.forall(b => rec(b._2)) && cw.elseValue.exists(rec)
-      case c: Coalesce => c.children.exists(rec) // first non-null wins
-      case g: Greatest => g.children.exists(rec) // null-skipping
-      case l: Least => l.children.exists(rec)
-      case n: NaNvl => all(n.children)
-      case _: IsNull | _: IsNotNull | _: Not | _: And | _: Or => true // booleans of the predicate algebra used as keys
-      case st: CreateNamedStruct => true // the struct itself (fields carry their own nullability)
-      case ca: CreateArray => true
-      case s: Size => s.legacySizeOfNull == false || rec(s.child)
-      // rank-family window functions are non-null by definition
-      case WindowExpression(_: RowNumber | _: Rank | _: DenseRank | _: NTile |
-          _: PercentRank | _: CumeDist, _) => true
-      case WindowExpression(ae: AggregateExpression, spec) =>
-        // a frame INCLUDING the current row is never empty; count is
-        // always non-null, the others need a proven child
-        val frameHasCurrent = spec.frameSpecification match {
-          case SpecifiedWindowFrame(_, lower, upper) =>
-            (lower == UnboundedPreceding || lower == CurrentRow ||
-              (lower match { case Literal(v: Int, _) => v <= 0; case Literal(v: Long, _) => v <= 0L; case _ => false })) &&
-              (upper == UnboundedFollowing || upper == CurrentRow ||
-                (upper match { case Literal(v: Int, _) => v >= 0; case Literal(v: Long, _) => v >= 0L; case _ => false }))
-          case _ => true // UnspecifiedFrame resolves to default (incl. current)
-        }
-        ae.aggregateFunction match {
-          case _: Count => true
-          case f: Max if frameHasCurrent => rec(f.child)
-          case f: Min if frameHasCurrent => rec(f.child)
-          case f: Sum if frameHasCurrent && ae.filter.isEmpty => rec(f.child)
-          case f: Average if frameHasCurrent && ae.filter.isEmpty => rec(f.child)
-          case _ => false
-        }
-      // grouped aggregates: the group exists only with >= 1 row
-      case ae: AggregateExpression if grouped && ae.filter.isEmpty && !ae.isDistinct =>
-        ae.aggregateFunction match {
-          case _: Count => true
-          case f: Max => rec(f.child)
-          case f: Min => rec(f.child)
-          case f: Sum => rec(f.child)
-          case f: Average => rec(f.child)
-          case f: First if !f.ignoreNulls => rec(f.child)
-          case f: Last if !f.ignoreNulls => rec(f.child)
-          case _ => false
-        }
-      case ae: AggregateExpression if ae.aggregateFunction.isInstanceOf[Count] &&
-          ae.filter.isEmpty => false // GLOBAL count is non-null but 0-able; irrelevant for ordering — still non-null, actually
-      case rr: RuntimeReplaceable =>
-        rr.replacement match {
-          case w: With => rec(w.children.head)
-          case other => rec(other)
-        }
-      case _ => false
-    }
-  }
 
   // ---------------------------------------------------------------- //
   // the walk                                                         //
@@ -417,12 +119,12 @@ class NullOrderingConventionSpec extends SparkSpec {
     */
   private[operators] def offendingSortKeys(df: DataFrame): Set[String] = {
     val plan = df.queryExecution.analyzed
-    val facts = collectFacts(plan)
+    val facts = NullProof.collectFacts(plan)
     val bad = scala.collection.mutable.Set.empty[String]
 
     def check(so: SortOrder, scope: LogicalPlan, grouped: Boolean): Unit =
       if (so.nullOrdering == NullsFirst &&
-          !nonNull(so.child, facts, scope, grouped, 0)) bad += so.child.sql
+          !NullProof.nonNull(so.child, facts, scope, grouped, 0)) bad += so.child.sql
 
     def exprSorts(e: Expression, scope: LogicalPlan, grouped: Boolean): Unit = e.foreach {
       case so: SortOrder => check(so, scope, grouped)
@@ -509,6 +211,53 @@ class NullOrderingConventionSpec extends SparkSpec {
       .withColumn("cum", sum(col("n")).over(W.orderBy("price")
         .rowsBetween(W.unboundedPreceding, W.currentRow))),
       "ANSI cast of a contract column as a grouped key (the q191 shape)")
+  }
+
+  test("evaluator soundness red-proofs: size(), three-valued NOT/AND/OR, concat_ws separator (r18 ADVICE), static fast path") {
+    val s = spark; import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val df = Seq(
+        (1L, Some(2.0), Some(Seq(1.0, 2.0)), Some("-")),
+        (2L, None, None, None))
+      .toDF("k", "v", "arr", "sep")
+    // size(nullable collection) under the modern default
+    // (legacySizeOfNull = false) propagates NULL — the pre-r19 branch
+    // had the condition INVERTED, proving exactly the unsound
+    // direction (ADVICE r18 #1)
+    assert(offendingSortKeys(
+        df.withColumn("r", row_number().over(W.orderBy(size(col("arr")))))).nonEmpty,
+      "size() of a nullable collection must flag under legacySizeOfNull=false")
+    // NOT/AND/OR are three-valued: NOT NULL = NULL, NULL AND TRUE =
+    // NULL — the pre-r19 evaluator proved the whole predicate algebra
+    // unconditionally (ADVICE r18 #2)
+    assert(offendingSortKeys(
+        df.withColumn("r", row_number().over(W.orderBy(not(col("v") > lit(1.0)))))).nonEmpty,
+      "NOT over a nullable comparison must flag (three-valued logic)")
+    // concat_ws skips NULL ARGUMENTS but returns NULL on a NULL
+    // SEPARATOR (ADVICE r18 #3)
+    assert(offendingSortKeys(
+        df.withColumn("r", row_number().over(W.orderBy(expr("concat_ws(sep, 'a', 'b')"))))).nonEmpty,
+      "concat_ws with a nullable separator must flag")
+    // the accept side of each fix: proofs still flow where they should
+    def ok(q: DataFrame, what: String): Unit = {
+      val off = offendingSortKeys(q)
+      assert(off.isEmpty, s"$what flagged: $off")
+    }
+    ok(df.filter(col("arr").isNotNull)
+        .withColumn("r", row_number().over(W.orderBy(size(col("arr"))))),
+      "size() of a null-rejected collection")
+    ok(df.filter(col("v").isNotNull)
+        .withColumn("r", row_number().over(W.orderBy(not(col("v") > lit(1.0))))),
+      "NOT over a comparison of proven operands (comparisons of non-NULLs are total)")
+    ok(df.withColumn("r", row_number().over(W.orderBy(expr("concat_ws('-', k, 'b')")))),
+      "concat_ws with a literal separator (arguments are null-skipped)")
+    // the static nullable=false fast path reads through a
+    // localCheckpoint: the q195 shape whose allowlist entry it retired
+    // (xxhash64 types non-nullable; LogicalRDD preserves schema
+    // nullability)
+    ok(df.select(xxhash64(col("v")).as("h")).localCheckpoint()
+        .withColumn("r", row_number().over(W.orderBy("h"))),
+      "statically non-nullable key behind a localCheckpoint (the retired q195 entry's shape)")
   }
 
   test("detector is not fooled by NULL-introducers, outer joins, unions, or facts ABOVE the sort") {

@@ -62,9 +62,19 @@ for attempt in 1 2 3; do
   # bench_ok=1 with the only usable reading deleted — the chain still
   # went red, but the attempt-1 artifact was lost for adjudication.
   # Now state and artifact stay consistent: bench_ok reflects THIS
-  # attempt, and earlier readings survive under $WORK.
+  # attempt, and earlier readings survive under $WORK — named for the
+  # attempt that PRODUCED them (r18 ADVICE: the old
+  # bench_art_prev_a$attempt name was off by one — written during
+  # attempt N it holds attempt N-1's reading, or a stale pre-run
+  # artifact when N=1, which misleads post-hoc adjudication).
   bench_ok=0
-  [ -f target/bench.json ] && mv target/bench.json "$WORK/bench_art_prev_a$attempt.json"
+  if [ -f target/bench.json ]; then
+    if [ "$attempt" -eq 1 ]; then
+      mv target/bench.json "$WORK/bench_art_stale.json"
+    else
+      mv target/bench.json "$WORK/bench_art_a$((attempt-1)).json"
+    fi
+  fi
   if SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_MULTI_DIR="$WORK/sf01_multi8" sbt "runMain graft.Bench" > "$WORK/bench_a$attempt.log" 2>&1; then
     bench_ok=1
     python3 - <<'EOF'
