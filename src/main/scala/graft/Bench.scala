@@ -87,15 +87,55 @@ object Bench {
       */
     val samples: Seq[Double] = (effPre +: effMid) :+ effPost
     val effMean: Double = samples.sum / samples.size
-    // (max − min)/mean over ALL samples — identical to the historical
-    // |pre − post|/mean when only the brackets sample
-    val spread: Double = (samples.max - samples.min) / effMean
-    // 0.15 relative spread ≈ the band quiet hosts stay inside; a
-    // mid-run load change blows past it → read the RAW column
-    val stable: Boolean = spread < 0.15
+    private def quantile(p: Double): Double = {
+      val ss = samples.sorted
+      val h = (ss.size - 1) * p
+      val lo = h.toInt
+      val hi = math.min(lo + 1, ss.size - 1)
+      ss(lo) + (h - lo) * (ss(hi) - ss(lo))
+    }
+    /** the r18 instrument's statistic, kept for cross-generation
+      * comparability in the artifact — a RANGE, which grows with
+      * sample count even under benign jitter (≈3.9σ expected over 26
+      * i.i.d. samples vs ≈1.1σ over 2), so at the 26-sample size the
+      * 0.15 threshold calibrated for 2 samples flags quiet hosts
+      */
+    val spreadRange: Double = (samples.max - samples.min) / effMean
+    /** two-sample consumers (bracket-only runs, the e2e row's
+      * historical column): the r12-era (max−min)/mean, identical to
+      * |pre−post|/mean — BIT-FOR-BIT what every recorded row was
+      * adjudicated under. Multi-sample runs (within-run probes, r18+):
+      * (P90−P10)/mean, whose expectation is σ-stable in sample count
+      * (≈2.56σ for n≳10), at the r19-derived 0.30 threshold — see
+      * BASELINE.md r19 for the derivation (σ-equivalence with the
+      * historical gate + separation from every measured churn window)
+      * and CalibrationSpec for the red-proofs in both directions.
+      */
+    val spread: Double =
+      if (samples.size <= 2) spreadRange
+      else (quantile(0.9) - quantile(0.1)) / effMean
+    val stable: Boolean =
+      spread < (if (samples.size <= 2) 0.15 else Calibration.robustThreshold)
     val loadFactor: Double = nominal / effMean
     /** raw wall → the wall this run would post at nominal throughput */
     def normalize(v: Double): Double = v * effMean / nominal
+  }
+
+  private[graft] object Calibration {
+    /** Threshold for the multi-sample (P90−P10)/mean spread (r19,
+      * VERDICT r18 #1 — a re-derivation, NOT a bump of the two-sample
+      * 0.15): (a) in underlying-jitter terms it is STRICTER than the
+      * historical gate (flags at σ ≈ 0.30/2.56 ≈ 12% vs the
+      * two-sample gate's typical-flag point σ ≈ 0.15/0.95 ≈ 16%);
+      * (b) a genuinely quiet host — σ ≈ 3-5% per the calm bracket
+      * pairs on record (spreads 0.016-0.08) — reads ≈ 0.08-0.13,
+      * 2.3×+ of headroom, where the old RANGE statistic reads
+      * ≈ 3.9σ ≈ 0.12-0.20 over 26 samples and flags it; (c) every
+      * measured churn window on record reads ≥ 0.51 (bench_r18_loaded
+      * 0.510, r19-open attempts 0.526/0.693/0.574), 1.7×+ above the
+      * gate in the flagging direction.
+      */
+    val robustThreshold: Double = 0.30
   }
 
   def main(args: Array[String]): Unit = {
@@ -249,7 +289,10 @@ object Bench {
       s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)},""" +
         s""""mid":${midCal.map(r1).mkString("[", ",", "]")},""" +
         s""""single_s":${r3(calPre._2)},"wall32_s":${r3(calPre._3)}},""" +
-        s""""cal_spread":${r3(c.spread)},"cal_stable":${c.stable},""" +
+        // cal_spread_range = the r18 instrument's statistic, kept so
+        // cross-generation rows can be read side by side (r19)
+        s""""cal_spread":${r3(c.spread)},"cal_spread_range":${r3(c.spreadRange)},""" +
+        s""""cal_stable":${c.stable},""" +
         s""""load_factor":${r3(c.loadFactor)},"value_normalized":$normTotal"""
     val totalSingle = r3(resultsSingle.map(_._2).sum)
     // the per-query normalized + single-file columns go ONLY to the

@@ -155,8 +155,10 @@ object LuadPipeline {
     * the full sbt wall, so cross-round rows should compare
     * pipeline_s + session_s and note the ~25 s fixed sbt cost
     * separately. Normalization and cal_stable semantics are exactly
-    * Bench's (normalized = raw × eff/nominal; spread ≥ 0.15 → read
-    * raw).
+    * Bench's (normalized = raw × eff/nominal; spread over threshold →
+    * read raw); since r19 the line carries BOTH instruments — the
+    * bracket-only historical columns (*_2s, pipeline_normalized_s)
+    * and the three-sample robust-spread columns (see the main body).
     */
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -168,6 +170,14 @@ object LuadPipeline {
     val t0 = System.nanoTime()
     val spark = graft.GraftSession.fromEnv()
     val sessionS = (System.nanoTime() - t0) / 1e9
+    // a third calibration sample BETWEEN session construction and the
+    // pipeline wall (VERDICT r18 #4): it sits OUTSIDE both timed
+    // windows, so the e2e walls are unperturbed — unlike Bench, whose
+    // totals are sums of per-query times, this main's metric IS a
+    // wall, so probing INSIDE it would inflate the thing measured.
+    // Three samples spanning ~50 s catch the ~30 s-timescale churn
+    // the two brackets alone were blind to.
+    val calMid = graft.Bench.effectiveCores(nominal)
     val t1 = System.nanoTime()
     val config = DefParser.parseFile(defFile)
     val result = run(spark, baseDir, config)
@@ -177,14 +187,23 @@ object LuadPipeline {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def r1(v: Double): Double = math.rint(v * 10) / 10
     // normalization formula + cal_stable threshold are Bench's, by
-    // construction (shared Calibration), not by parallel maintenance
-    val c = graft.Bench.Calibration(calPre._1, calPost._1, nominal)
+    // construction (shared Calibration), not by parallel maintenance.
+    // TWO instruments side by side (r19): `c2` is the bracket-only
+    // historical formula — pipeline_normalized_s and the *_2s fields
+    // keep the exact meaning every recorded creep-watch row was
+    // adjudicated under — while `c` folds the mid probe through the
+    // robust spread (the r19 instrument); cross-round rows compare
+    // like with like and the new columns take over once anchored.
+    val c2 = graft.Bench.Calibration(calPre._1, calPost._1, nominal)
+    val c = graft.Bench.Calibration(calPre._1, calPost._1, nominal, Seq(calMid._1))
     System.err.println(
       s"""{"metric":"luad_e2e","pipeline_s":${r3(pipelineS)},""" +
-        s""""pipeline_normalized_s":${r3(c.normalize(pipelineS))},""" +
+        s""""pipeline_normalized_s":${r3(c2.normalize(pipelineS))},""" +
+        s""""pipeline_normalized_all_s":${r3(c.normalize(pipelineS))},""" +
         s""""session_s":${r3(sessionS)},""" +
         s""""n_probes_before":${result.nProbesBefore},"n_probes_after":${result.nProbesAfter},""" +
-        s""""effective_cores":{"pre":${r1(calPre._1)},"post":${r1(calPost._1)}},""" +
+        s""""effective_cores":{"pre":${r1(calPre._1)},"mid":${r1(calMid._1)},"post":${r1(calPost._1)}},""" +
+        s""""cal_spread_2s":${r3(c2.spread)},"cal_stable_2s":${c2.stable},""" +
         s""""cal_spread":${r3(c.spread)},"cal_stable":${c.stable},""" +
         s""""load_factor":${r3(c.loadFactor)}}""")
     spark.stop()

@@ -49,4 +49,64 @@ class CalibrationSpec extends AnyFunSuite {
     assert(loaded.stable, "consistently loaded is STABLE (normalization is then honest)")
     assert(loaded.loadFactor > 3.0)
   }
+
+  // ---------------------------------------------------------------- //
+  // the r19 robust spread (VERDICT r18 #1) — red-proofed in BOTH      //
+  // directions against MEASURED sample vectors                        //
+  // ---------------------------------------------------------------- //
+
+  /** The r19-open close attempt 1's actual 26 samples
+    * (bench/bench_r19.json: brackets 20.5/17.3 around two deep load
+    * dips) — the churn signature every window of the r18/r19 period
+    * carried. bench_r18_loaded.json's vector reads 0.510 by the same
+    * statistic; the other two r19-open attempts 0.693/0.574.
+    */
+  private val churnR19Open = Bench.Calibration(20.5, 17.3, 32, effMid = Seq(
+    24.2, 19.8, 22.7, 19.9, 20.3, 26.5, 22.3, 20.9, 18.9, 21.6, 4.4, 21.0,
+    20.5, 16.0, 19.6, 19.7, 16.2, 20.2, 25.5, 18.0, 11.9, 5.0, 15.3, 19.1))
+
+  /** 26 samples of benign σ ≈ 4% jitter around 21 effective cores —
+    * the shape the calm bracket pairs on record imply (two-sample
+    * spreads 0.016–0.08 ⇒ σ ≈ 1.5–7%). No genuinely quiet window
+    * existed in the whole r18–r19 measurement period to record one
+    * live (five same-plan r18 readings and three r19-open attempts
+    * all churned), which is exactly why this vector is synthetic and
+    * labeled as such; its range/mean is 0.185 — REALISTIC quiet
+    * jitter, not a crafted edge case.
+    */
+  private val quietJitter = Bench.Calibration(21.0, 21.7, 32, effMid = Seq(
+    20.3, 21.8, 20.9, 22.1, 19.6, 21.4, 20.6, 21.9, 20.1, 21.2, 22.6, 20.8,
+    21.5, 19.3, 20.4, 21.1, 22.0, 20.7, 21.6, 19.9, 21.3, 20.2, 23.2, 20.9))
+
+  test("red-proof (flag direction): the measured r19-open churn vector reads UNSTABLE under the robust spread") {
+    assert(!churnR19Open.stable,
+      s"a bimodal churn window (dips to 4.4/5.0 inside ~20-core brackets) must flag " +
+        s"(robust spread ${churnR19Open.spread})")
+    assert(churnR19Open.spread > 0.5, "measured churn sits 1.7x+ above the 0.30 gate")
+  }
+
+  test("red-proof (false-alarm direction): realistic quiet jitter reads STABLE under the robust spread where the r18 RANGE formula flagged it") {
+    // this is the r18 watch item / VERDICT r18 #1 scenario: a RANGE
+    // over 26 samples grows with n (E[range] ≈ 3.9σ vs the 2-sample
+    // 1.1σ), so the 0.15 threshold calibrated for 2 samples would
+    // flag a quiet host FOREVER, silently retiring the normalized
+    // column — this assertion fails under the pre-r19 statistic
+    assert(quietJitter.stable,
+      s"σ≈4% jitter must read stable (robust spread ${quietJitter.spread})")
+    assert(quietJitter.spreadRange > 0.15,
+      "…while the old range statistic reads it as unstable — the exact false-alarm this " +
+        "re-derivation removes (if this assertion fails, the vector no longer demonstrates " +
+        "the r18 blind spot and should be re-drawn)")
+    assert(quietJitter.spread < quietJitter.spreadRange,
+      "the quantile gap must be immune to the single-sample tails that inflate a range")
+  }
+
+  test("two-sample consumers are UNTOUCHED by the r19 re-derivation (bit-for-bit historical)") {
+    val c = Bench.Calibration(17.4, 21.1, 32)
+    assert(math.abs(c.spread - c.spreadRange) < 1e-15,
+      "n<=2 must keep spread == range == |pre-post|/mean")
+    assert(!c.stable, "a 0.19 two-sample spread is 0.15-gated exactly as every recorded row was")
+    val c2 = Bench.Calibration(18.4, 20.9, 32)
+    assert(c2.stable, "just under the historical 0.15 gate stays stable")
+  }
 }
