@@ -62,10 +62,12 @@ object Bench {
   }
 
   /** Pre/post-calibration summary — ONE implementation of the
-    * normalization formula, the 0.15 cal_stable threshold, and
-    * load_factor, shared by every main that adjudicates a wall time
-    * against host load (Bench, LuadPipeline's e2e line). Tuning the
-    * threshold or the formula here moves ALL consumers together —
+    * normalization formula, BOTH cal_stable gates (the two-sample
+    * 0.15 range gate for bracket-only runs, and the n-aware
+    * multi-sample robust gate — see [[Calibration.robustThresholdFor]])
+    * and load_factor, shared by every main that adjudicates a wall
+    * time against host load (Bench, LuadPipeline's e2e line). Tuning
+    * a threshold or the formula here moves ALL consumers together —
     * duplicated copies would silently diverge and cross-round rows
     * would be adjudicated under different stability rules (r15 review
     * finding).
@@ -81,9 +83,13 @@ object Bench {
       * now probes every few queries inside the timed passes and folds
       * the samples into the same spread statistic, so a
       * bracket-fooling window reads UNSTABLE (CalibrationSpec
-      * red-proofs the exact scenario). Consumers with no mid probes
-      * (LuadPipeline's single-point e2e) keep the historical
-      * two-sample formula bit-for-bit.
+      * red-proofs the exact scenario). Two-sample (bracket-only)
+      * constructions keep the historical formula bit-for-bit; since
+      * r19 LuadPipeline's e2e takes a THIRD probe between session
+      * build and the pipeline wall (outside both timed windows) and
+      * emits both instruments side by side — its *_2s columns are the
+      * historical two-sample ones, its n=3 robust column gates at the
+      * n-aware threshold below.
       */
     val samples: Seq[Double] = (effPre +: effMid) :+ effPost
     val effMean: Double = samples.sum / samples.size
@@ -106,16 +112,19 @@ object Bench {
       * |pre−post|/mean — BIT-FOR-BIT what every recorded row was
       * adjudicated under. Multi-sample runs (within-run probes, r18+):
       * (P90−P10)/mean, whose expectation is σ-stable in sample count
-      * (≈2.56σ for n≳10), at the r19-derived 0.30 threshold — see
-      * BASELINE.md r19 for the derivation (σ-equivalence with the
-      * historical gate + separation from every measured churn window)
-      * and CalibrationSpec for the red-proofs in both directions.
+      * (≈2.56σ for n≳10), gated at the r19-derived 0.30 threshold
+      * scaled per sample count since r20
+      * ([[Calibration.robustThresholdFor]]) — see BASELINE.md r19 for
+      * the derivation (σ-equivalence with the historical gate +
+      * separation from every measured churn window) and
+      * CalibrationSpec for the red-proofs in both directions.
       */
     val spread: Double =
       if (samples.size <= 2) spreadRange
       else (quantile(0.9) - quantile(0.1)) / effMean
     val stable: Boolean =
-      spread < (if (samples.size <= 2) 0.15 else Calibration.robustThreshold)
+      spread < (if (samples.size <= 2) 0.15
+        else Calibration.robustThresholdFor(samples.size))
     val loadFactor: Double = nominal / effMean
     /** raw wall → the wall this run would post at nominal throughput */
     def normalize(v: Double): Double = v * effMean / nominal
@@ -136,6 +145,32 @@ object Bench {
       * gate in the flagging direction.
       */
     val robustThreshold: Double = 0.30
+
+    /** E[(P90−P10)]/σ of the interpolated-quantile spread over n
+      * i.i.d. normal samples, for the small n where it degenerates:
+      * at n=3 the statistic collapses to 0.8×range (expectation
+      * ≈1.35σ, from the expected normal order statistics ±0.8463σ ×
+      * the interpolation weights), NOT the ≈2.56σ asymptote the 0.30
+      * derivation assumed — so a flat gate would flag n=3 runs only
+      * at σ≈22%, LOOSER than the historical two-sample gate (≈16%).
+      * Values: expected top/bottom normal order statistics composed
+      * with quantile()'s linear interpolation at h=(n−1)×{0.9,0.1}.
+      */
+    private val expectedGapSigma: Map[Int, Double] = Map(
+      3 -> 1.354, 4 -> 1.619, 5 -> 1.792, 6 -> 1.909,
+      7 -> 1.991, 8 -> 2.047, 9 -> 2.086)
+
+    /** The n-aware robust gate (r20, ADVICE r19 #2): scale the 0.30
+      * threshold by the per-n expected-gap factor so the underlying-σ
+      * flag point (≈12%) is CONSTANT across sample counts. n≥10 uses
+      * the 2.56 asymptote the derivation quoted, so the factor
+      * divides out and Bench's ~26-sample gate stays exactly 0.30 —
+      * bit-for-bit with every recorded multi-sample row. The n=3
+      * consumer (LuadPipeline's e2e) gates at 0.30×1.354/2.56 ≈ 0.159.
+      * Red-proofed in CalibrationSpec on the advice's dip vector.
+      */
+    def robustThresholdFor(n: Int): Double =
+      robustThreshold * expectedGapSigma.getOrElse(n, 2.56) / 2.56
   }
 
   def main(args: Array[String]): Unit = {

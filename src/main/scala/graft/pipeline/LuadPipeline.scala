@@ -192,8 +192,12 @@ object LuadPipeline {
     // historical formula — pipeline_normalized_s and the *_2s fields
     // keep the exact meaning every recorded creep-watch row was
     // adjudicated under — while `c` folds the mid probe through the
-    // robust spread (the r19 instrument); cross-round rows compare
-    // like with like and the new columns take over once anchored.
+    // robust spread (the r19 instrument; its cal_stable gates at the
+    // n-aware Calibration.robustThresholdFor(3) ≈ 0.159 since r20 —
+    // at n=3 the quantile gap degenerates to 0.8×range, so the flat
+    // 0.30 gate was materially looser than the two-sample gate it
+    // replaced, ADVICE r19 #2); cross-round rows compare like with
+    // like and the new columns take over once anchored.
     val c2 = graft.Bench.Calibration(calPre._1, calPost._1, nominal)
     val c = graft.Bench.Calibration(calPre._1, calPost._1, nominal, Seq(calMid._1))
     System.err.println(

@@ -101,6 +101,31 @@ class CalibrationSpec extends AnyFunSuite {
       "the quantile gap must be immune to the single-sample tails that inflate a range")
   }
 
+  test("n-aware small-n gate (r20, ADVICE r19 #2): the n=3 e2e shape flags a mid dip the flat 0.30 gate stamped stable") {
+    // the advice's exact scenario: agreeing ~21-core brackets around a
+    // mid dip to 14.5 effective cores. At n=3 the interpolated
+    // (P90−P10) degenerates to 0.8×range, expectation ≈1.35σ — not
+    // the ≈2.56σ the 0.30 derivation assumed — so the flat gate only
+    // flags at σ≈22%, LOOSER than both the historical two-sample gate
+    // (≈16%) and the documented σ≈12% flag point. The per-n threshold
+    // scales by the expected-gap factor so the σ flag point is
+    // constant across sample counts.
+    val dip = Bench.Calibration(21.0, 21.0, 32, effMid = Seq(14.5))
+    assert(dip.spread < 0.30,
+      s"precondition: this vector slips the flat 0.30 gate (spread ${dip.spread}) — " +
+        "if not, it no longer demonstrates the hole")
+    assert(!dip.stable,
+      s"a ~31% mid-throughput dip must flag at n=3 (spread ${dip.spread} vs gate " +
+        s"${Bench.Calibration.robustThresholdFor(3)})")
+    // false-alarm direction: quiet n=3 jitter keeps 5×+ headroom
+    val quiet3 = Bench.Calibration(20.8, 20.5, 32, effMid = Seq(21.2))
+    assert(quiet3.stable, s"σ≈2% n=3 jitter must stay stable (spread ${quiet3.spread})")
+    // and the n≳10 consumers (Bench's ~26-sample runs) are bit-for-bit
+    // untouched: the asymptotic factor divides out to the same 0.30
+    assert(math.abs(Bench.Calibration.robustThresholdFor(10) - 0.30) < 1e-12)
+    assert(math.abs(Bench.Calibration.robustThresholdFor(26) - 0.30) < 1e-12)
+  }
+
   test("two-sample consumers are UNTOUCHED by the r19 re-derivation (bit-for-bit historical)") {
     val c = Bench.Calibration(17.4, 21.1, 32)
     assert(math.abs(c.spread - c.spreadRange) < 1e-15,

@@ -4,9 +4,9 @@ import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, MapType, StructType}
 
 /** Mechanical enforcement of the ARRAY-ordering convention — the one
   * scope note NullOrderingConventionSpec carried as prose ("no
@@ -102,20 +102,13 @@ class ArrayOrderingConventionSpec extends SparkSpec {
     case _ => false
   }
 
-  /** Follow Alias / single-definition AttributeReference chains to the
-    * defining expression. Union-output attrs stop the chase (branch
-    * rows mix under the first branch's ExprIds — resolving would read
-    * one branch's definition for every branch's rows).
+  /** Alias/attr chains resolve through the shared prover's
+    * [[NullProof.resolveDefn]] (r20 extraction — the bounded-window
+    * and top-k walks reuse it, so the walks cannot diverge on what
+    * "the defining expression" means).
     */
-  private def resolve(e: Expression, facts: NullProof.Facts, scope: LogicalPlan, depth: Int = 0): Expression =
-    e match {
-      case a: Alias if depth < 16 => resolve(a.child, facts, scope, depth + 1)
-      case ar: AttributeReference
-          if depth < 16 && !facts.unionsIn(scope).exists(_.output.exists(_.exprId == ar.exprId)) =>
-        facts.aliases.get(ar.exprId)
-          .map(d => resolve(d._1, facts, scope, depth + 1)).getOrElse(ar)
-      case other => other
-    }
+  private def resolve(e: Expression, facts: NullProof.Facts, scope: LogicalPlan): Expression =
+    NullProof.resolveDefn(e, facts, scope)
 
   /** The collected element-construction expression, when `base` is a
     * NULL-skipping collect.
@@ -165,8 +158,10 @@ class ArrayOrderingConventionSpec extends SparkSpec {
   /** All array sorts in `df`'s analyzed plan whose NULL placement
     * could diverge cross-engine, as `fn:rule:arraySql` strings.
     */
-  private[operators] def offendingArraySorts(df: DataFrame): Set[String] = {
-    val plan = df.queryExecution.analyzed
+  private[operators] def offendingArraySorts(df: DataFrame): Set[String] =
+    offendingArraySortsIn(df.queryExecution.analyzed)
+
+  private[operators] def offendingArraySortsIn(plan: LogicalPlan): Set[String] = {
     val facts = NullProof.collectFacts(plan)
     val bad = scala.collection.mutable.Set.empty[String]
 
@@ -227,10 +222,16 @@ class ArrayOrderingConventionSpec extends SparkSpec {
       node.expressions.foreach { root =>
         root.foreach {
           case sa: SortArray =>
-            val asc = sa.ascendingOrder.foldable && sa.ascendingOrder.eval() == true
-            // DESC agrees cross-engine at top level (both LAST);
-            // struct fields diverge in BOTH directions
-            check("sort_array", topDiverges = asc, sa.base, node, scope, grouped)
+            // classify by the FOLDED order value: only a literal FALSE
+            // is the DESC-agrees case (both engines place NULLs last).
+            // TRUE diverges; a NULL or non-literal order — rejected by
+            // the analyzer for API-built plans but expressible in raw
+            // Catalyst — is treated as DIVERGENT so the odd shape is
+            // flagged for audit instead of riding the safe branch
+            // (r19 ADVICE, red-proofed below on a hand-built plan)
+            val ord: Any =
+              if (sa.ascendingOrder.foldable) sa.ascendingOrder.eval() else null
+            check("sort_array", topDiverges = ord != false, sa.base, node, scope, grouped)
           case as: ArraySort =>
             if (isDefaultComparator(as.function))
               // default comparator: top-level NULLs LAST in both
@@ -292,6 +293,19 @@ class ArrayOrderingConventionSpec extends SparkSpec {
       .agg(array_sort(collect_list(struct(col("v"), col("k")))).as("items"))
     assert(offendingArraySorts(firstField).exists(_.startsWith("array_sort:struct-field")),
       "a nullable FIRST struct field shifts the whole array order, not just ties")
+  }
+
+  test("red-proof: a foldable-but-NULL sort_array order flags instead of riding the DESC-agrees branch (r19 ADVICE)") {
+    // not constructible through the public API (the analyzer rejects a
+    // non-boolean-literal order), but raw Catalyst expresses it — and
+    // the pre-r20 classifier evaluated `asc` to false on it, silently
+    // filing the unknown shape under "DESC, engines agree"
+    val elem = AttributeReference("v", ArrayType(DoubleType, containsNull = true))()
+    val plan = Project(
+      Seq(Alias(SortArray(elem, Literal(null, BooleanType)), "s")()),
+      LocalRelation(Seq(elem)))
+    assert(offendingArraySortsIn(plan).exists(_.startsWith("sort_array:top-null")),
+      "a NULL/non-boolean sort order must be flagged for audit, not classified as the agreeing DESC case")
   }
 
   test("the detector accepts every proof shape the convention prescribes") {

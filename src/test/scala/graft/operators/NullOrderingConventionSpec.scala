@@ -117,8 +117,10 @@ class NullOrderingConventionSpec extends SparkSpec {
   /** All value-affecting NullsFirst sort keys in `df`'s analyzed plan
     * that are not provably non-null, as key-SQL strings.
     */
-  private[operators] def offendingSortKeys(df: DataFrame): Set[String] = {
-    val plan = df.queryExecution.analyzed
+  private[operators] def offendingSortKeys(df: DataFrame): Set[String] =
+    offendingSortKeysIn(df.queryExecution.analyzed)
+
+  private[operators] def offendingSortKeysIn(plan: LogicalPlan): Set[String] = {
     val facts = NullProof.collectFacts(plan)
     val bad = scala.collection.mutable.Set.empty[String]
 
@@ -258,6 +260,30 @@ class NullOrderingConventionSpec extends SparkSpec {
     ok(df.select(xxhash64(col("v")).as("h")).localCheckpoint()
         .withColumn("r", row_number().over(W.orderBy("h"))),
       "statically non-nullable key behind a localCheckpoint (the retired q195 entry's shape)")
+  }
+
+  test("red-proof: the static fast path must not trust nullable=false on a composite of a pre-outer-join attr (r19 ADVICE)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, JoinHint, LocalRelation}
+    import org.apache.spark.sql.types.LongType
+    // the class-doc staleness the attr case routes around, wrapped in
+    // a composite that INHERITS nullable=false wholesale: an attr
+    // instance resolved BEFORE a left join, used in abs(attr) as a
+    // value-affecting sort key above it. Not constructible through the
+    // DataFrame API (the analyzer repairs resolved-column nullability
+    // on its way up), but raw Catalyst hands the walk exactly this
+    // shape — and the pre-r20 fast path proved it non-null.
+    val k = AttributeReference("k", LongType, nullable = false)()
+    val k2 = AttributeReference("k2", LongType, nullable = false)()
+    val join = Join(LocalRelation(Seq(k)), LocalRelation(Seq(k2)),
+      LeftOuter, Some(EqualTo(k, k2)), JoinHint.NONE)
+    val sorted = org.apache.spark.sql.catalyst.plans.logical.Sort(
+      Seq(SortOrder(Abs(k2), Ascending)), global = true, join)
+    val plan = GlobalLimit(Literal(1), sorted) // value-affecting: a cut
+    assert(Abs(k2).nullable == false,
+      "precondition: the composite must carry the inherited static claim this red-proof targets")
+    assert(offendingSortKeysIn(plan).nonEmpty,
+      "abs(pre-join attr) inherits a stale nullable=false across a LEFT JOIN — the fast path " +
+        "must defer to the outer-join facts, not the static claim")
   }
 
   test("detector is not fooled by NULL-introducers, outer joins, unions, or facts ABOVE the sort") {

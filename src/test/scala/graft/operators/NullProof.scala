@@ -40,7 +40,12 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate,
   *    Bare AttributeReferences are EXCLUDED from the fast path: an
   *    attribute instance resolved before an outer join can carry a
   *    stale nullable=false for rows the join later null-extends — the
-  *    attr case below consults the outer-join facts instead.
+  *    attr case below consults the outer-join facts instead. Since
+  *    r20 (r19 ADVICE) COMPOSITES carry the same guard: length(x)
+  *    over such a stale instance inherits nullable=false wholesale,
+  *    so the fast path also requires every referenced attr clear of
+  *    the outer-join facts, else the expression proves itself through
+  *    the kernel rules below.
   */
 private[operators] object NullProof {
 
@@ -145,6 +150,26 @@ private[operators] object NullProof {
     (ids.toSet, glob.toSeq)
   }
 
+  /** Follow Alias / single-definition AttributeReference chains to the
+    * defining expression. Union-output attrs stop the chase (branch
+    * rows mix under the first branch's ExprIds — resolving would read
+    * one branch's definition for every branch's rows). Shared by the
+    * array-ordering, bounded-global-window, and top-k-determinism
+    * walks (r20 — extracted from ArrayOrderingConventionSpec so the
+    * walks cannot diverge on what "the defining expression" means).
+    */
+  private[operators] def resolveDefn(
+      e: Expression, facts: Facts, scope: LogicalPlan, depth: Int = 0): Expression =
+    e match {
+      case a: Alias if depth < 16 => resolveDefn(a.child, facts, scope, depth + 1)
+      case ar: AttributeReference
+          if depth < 16 &&
+            !facts.unionsIn(scope).exists(_.output.exists(_.exprId == ar.exprId)) =>
+        facts.aliases.get(ar.exprId)
+          .map(d => resolveDefn(d._1, facts, scope, depth + 1)).getOrElse(ar)
+      case other => other
+    }
+
   def collectFacts(plan: LogicalPlan): Facts = {
     val aliases = scala.collection.mutable.Map.empty[ExprId, (Expression, Boolean)]
     val leafCols = scala.collection.mutable.Map.empty[ExprId, String]
@@ -247,8 +272,15 @@ private[operators] object NullProof {
                   }))
         }
       // static fast path (class doc): a nullable=false claim on a
-      // non-attribute expression is sound — Spark codegen relies on it
-      case e2 if !e2.nullable => true
+      // non-attribute expression is sound — Spark codegen relies on
+      // it — UNLESS the claim was inherited from an attribute instance
+      // resolved before an outer join null-extended it (the exact
+      // staleness the attr case below routes around): length(staleAttr)
+      // carries the stale false, so every referenced attr must be
+      // clear of the outer-join facts first (r19 ADVICE, red-proofed
+      // in NullOrderingConventionSpec on a hand-built Catalyst plan)
+      case e2 if !e2.nullable &&
+          e2.references.forall(r => !facts.outerNullable.contains(r.exprId)) => true
       // ANSI casts throw on bad non-null input instead of returning
       // NULL (AnsiDivisionSpec pins the mode) — null-preserving-total
       case c: Cast if c.evalMode == EvalMode.ANSI => rec(c.child)
