@@ -29,16 +29,28 @@ object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Distinct word 3-gram shingles per (doc_id, text) frame row. */
+  /** Distinct word 3-gram shingles per (doc_id, text) frame row.
+    *
+    * Per-doc dedup happens IN the row (array_distinct before the
+    * explode): doc_id is unique per input row, so (doc_id, sh) can
+    * only duplicate within one row — the post-explode `.distinct()`
+    * this replaces (r20 optimization, guide §2.4) shuffled the ~30×
+    * shingle stream to dedup rows that never collide across rows. The
+    * doc-keyed repartition keeps what that exchange incidentally
+    * provided: the fan-out + md5 work downstream must not inherit the
+    * source file's task count (derivedShingleArrays' lesson) — it
+    * shuffles doc-sized rows, 1/30th of the removed exchange's bytes.
+    */
   private def shinglesFrom(base: DataFrame): DataFrame =
     base
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
+      .repartition(col("doc_id"))
       .select(
         col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        explode(expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))"))
           .as("sh"))
-      .distinct()
 
   /** Distinct word 3-gram shingles per document (doc_id, sh). */
   private def shingles(s: SparkSession, dir: String, maxDocId: Option[Long]): DataFrame =
@@ -361,8 +373,12 @@ object DedupOps {
       .filter(length(col("p")) >= 4)
       .select(
         col("doc_id"),
-        explode(expr("transform(sequence(1, length(p) - 3), i -> substring(p, i, 4))")).as("g"))
-      .distinct()
+        // per-doc distinct in the row (array_distinct): doc_id is
+        // unique, so the post-explode distinct() this replaces only
+        // ever deduped within a row — one exchange of the ~37×/doc
+        // gram stream removed (r20, guide §2.4)
+        explode(expr("array_distinct(transform(sequence(1, length(p) - 3), " +
+          "i -> substring(p, i, 4)))")).as("g"))
       .withColumn("h32", expr("CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(simhash32(col("h32")).as("ph"))
@@ -628,21 +644,30 @@ object DedupOps {
       // back. No all-pairs anywhere.
       "q93_dup_spans",
       (s, dir) => {
+        // checkpoint ONE positioned gram ARRAY per doc (r20): the
+        // cross-doc test explodes a row-local array_distinct of it —
+        // count(*) on that per-doc-distinct stream IS
+        // countDistinct(doc_id), minus the distinct-aggregate's second
+        // exchange of the gram stream (guide §2.3) — while the span
+        // count explodes the positioned array unchanged.
         val grams = docs(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 5)
+          // spread the ~200× fan-out before amplification
+          .repartition(col("doc_id"))
           .select(
             col("doc_id"),
-            explode(expr(
-              "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-              .as("gram"))
+            expr("transform(sequence(1, size(toks) - 4), " +
+              "i -> concat_ws(' ', slice(toks, i, 5)))").as("garr"))
           .localCheckpoint()
         val crossDoc = grams
+          .select(explode(expr("array_distinct(garr)")).as("gram"))
           .groupBy("gram")
-          .agg(countDistinct(col("doc_id")).as("nd"))
+          .agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2)
           .select("gram")
         grams
+          .select(col("doc_id"), explode(col("garr")).as("gram"))
           .join(crossDoc, Seq("gram"), "left_semi")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_dup_spans"))
@@ -670,14 +695,19 @@ object DedupOps {
         val g = docs(s, dir)
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 5)
+          // spread the ~200×/doc gram fan-out + md5 work before
+          // amplification (doc-sized shuffle, q142's lesson)
+          .repartition(col("doc_id"))
           .select(
             col("doc_id"),
+            // per-doc distinct in the row, ON THE FINGERPRINT (not the
+            // gram), so the dedup key is bit-identical to the
+            // post-explode distinct() this replaces — one exchange of
+            // the exploded gram stream removed (r20, guide §2.4)
             explode(expr(
-              "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
-          .select(
-            col("doc_id"),
-            expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
-          .distinct()
+              "array_distinct(transform(transform(sequence(1, size(w) - 4), " +
+                "i -> concat_ws(' ', slice(w, i, 5))), " +
+                "g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)))")).as("fp"))
         g.groupBy("fp").agg(count(lit(1)).as("n_docs"))
           .groupBy("n_docs").agg(count(lit(1)).as("n_fingerprints"))
       },
@@ -1082,13 +1112,22 @@ object DedupOps {
         val g = docs(s, dir)
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 5)
+          // spread the gram fan-out + md5 work before amplification
+          .repartition(col("doc_id"))
           .select(
             col("doc_id"), col("source"),
+            // per-doc distinct in the row, on the FINGERPRINT — the
+            // same dedup key as the post-explode distinct() this
+            // replaces, minus its full-gram-stream exchange (r20,
+            // guide §2.4)
             explode(expr(
-              "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
-          .select(col("doc_id"), col("source"),
-            expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
-          .distinct()
+              "array_distinct(transform(transform(sequence(1, size(w) - 4), " +
+                "i -> concat_ws(' ', slice(w, i, 5))), " +
+                "g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)))")).as("fp"))
+          // feeds first-seen AND the attribution join: materialize once
+          // (the distinct's exchange used to be the shared reuse point;
+          // without it the scan + fan-out + 1M md5s would run per branch)
+          .localCheckpoint()
         val firstSeen = g.groupBy("fp").agg(min(col("doc_id")).as("first_doc"))
         g.join(firstSeen, Seq("fp"))
           .groupBy("source")
@@ -1152,14 +1191,13 @@ object DedupOps {
     */
   private[graft] def containmentFrames(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val sh = derivedShingles(s, dir)
+    val arrs = derivedShingleArrays(s, dir)
+    val sh = explodedShingles(arrs)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val wDoc = Window.partitionBy("doc_id")
     val prefix = sh.join(dfreq, "sh")
-      .select(col("doc_id"), col("sh"),
-        row_number().over(wPos).as("pos"),
-        count(lit(1)).over(wDoc).as("n"))
+      .select(col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
       .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
       .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
     val cand = prefix
@@ -1173,8 +1211,9 @@ object DedupOps {
     // ~1.6× SLOWER cold (21.2 s vs 13.3 s, identical 12,033 rows):
     // the |cand|×|A| row expansion plus its shuffle costs more
     // than shipping each doc's shingle array once — arrays win
-    // while |A| stays document-sized.
-    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    // while |A| stays document-sized. The arrays come STRAIGHT from
+    // the checkpoint (r20: no collect_list re-aggregation of the
+    // exploded stream).
     val result = cand
       .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
       .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
@@ -1182,26 +1221,35 @@ object DedupOps {
       .filter(col("inter") * 10 >= col("na") * 8)
       .select(col("da"), col("db"),
         round(col("inter") / col("na").cast("double"), 6).as("containment"))
-    (sh, prefix, cand, result)
+    (sh.select("doc_id", "sh"), prefix, cand, result)
   }
 
-  /** q142 internals, exposed so the spec and the DedupScale audit can
-    * measure prefix pruning: returns (derived-corpus shingles, prefix
-    * tokens, candidate pairs, final result).
-    */
   /** The derived-corpus shingle frame BOTH exact-join queries (q142
     * symmetric PPJoin, q177 asymmetric containment) start from: base
     * docs plus an 85%-prefix twin per doc (so true near-dups exist by
     * construction), 3-shingled, per-doc distinct, eagerly
-    * localCheckpoint'd — it feeds df, sizes, prefix, and the verify
-    * branches of each caller. One definition so the two families can
-    * never silently diverge on their input corpus. Each CALL
-    * materializes its own checkpoint on purpose: q142 and q177 are
-    * benched and baselined as independent queries, so they must not
-    * share work across invocations (DedupScale's double compute is the
-    * accepted cost of that per-query accounting).
+    * localCheckpoint'd as ONE ARRAY ROW PER DOC (r20 optimization).
+    * The r19 shape checkpointed the EXPLODED (doc_id, sh) stream after
+    * a post-explode `.distinct()`: that distinct shuffled the ~30×
+    * shingle stream to dedup pairs that only ever collide within one
+    * document (doc_id is unique — `array_distinct` in the row is
+    * equivalent, guide §2.4), and the verify step then had to
+    * re-aggregate the stream BACK into per-doc arrays with a
+    * collect_list groupBy per join side (two ObjectHashAggregate +
+    * Exchange pairs over the 30× stream —
+    * plans/r20/q177_containment_join_before.txt nodes 26-38). Storing
+    * the array row serves both: consumers derive the exploded stream
+    * by re-exploding the in-memory arrays (codegen-cheap), the verify
+    * joins read the arrays directly, and the per-doc set size is
+    * size(arr) instead of a count-over-doc window. One definition so
+    * the two families can never silently diverge on their input
+    * corpus. Each CALL materializes its own checkpoint on purpose:
+    * q142 and q177 are benched and baselined as independent queries,
+    * so they must not share work across invocations (DedupScale's
+    * double compute is the accepted cost of that per-query
+    * accounting).
     */
-  private def derivedShingles(s: SparkSession, dir: String): DataFrame = {
+  private def derivedShingleArrays(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1210,37 +1258,50 @@ object DedupOps {
         (col("doc_id") + 1000000L).as("doc_id"),
         expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
           .as("toks")))
-      // the ~30× shingle explode must not inherit the source file's
+      // the ~30× shingle fan-out must not inherit the source file's
       // task count (a single-row-group fixture scans in 1-2 tasks):
       // spread the doc-sized rows BEFORE amplification
       .repartition(col("doc_id"))
     derived
       .select(
         col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-          .as("sh"))
-      .distinct()
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))").as("arr"))
       .localCheckpoint()
   }
 
+  /** Exploded (doc_id, n, sh) view of [[derivedShingleArrays]]: the
+    * per-doc distinct-shingle-set size rides along as size(arr) — the
+    * r19 shape recomputed it as a count-over-doc-partition window (a
+    * second WindowExec on the prefix pipeline's exchange).
+    */
+  private def explodedShingles(arrs: DataFrame): DataFrame =
+    arrs.select(
+      col("doc_id"), size(col("arr")).cast("long").as("n"),
+      explode(col("arr")).as("sh"))
+
   private[graft] def ppjoinFrames(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val sh = derivedShingles(s, dir)
+    val arrs = derivedShingleArrays(s, dir)
+    val sh = explodedShingles(arrs)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // ONE doc-keyed shuffle computes rarity rank AND set size (two
-    // Window operators, same partitioning — no second exchange)
+    // set size rides from the array row (size(arr)); the doc-keyed
+    // shuffle carries ONE window function (rarity rank) — the r19
+    // shape computed n as a second count-over-doc window here
     val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val wDoc = Window.partitionBy("doc_id")
     val prefix = sh.join(dfreq, "sh")
       .select(
-        col("doc_id"), col("sh"),
-        row_number().over(wPos).as("pos"),
-        count(lit(1)).over(wDoc).as("n"))
+        col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
       // Jaccard prefix: a qualifying partner overlaps in ≥ ceil(τ·n)
       // tokens, so the rarest n - ceil(τ·n) + 1 must hit
       .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
       .select(col("doc_id"), col("sh"), col("n"))
+      // BOTH self-join sides consume prefix: materialize once — the
+      // r19 plan re-ran the dfreq aggregate, its join, and the rank
+      // window per side (plans/r20/q142_ppjoin_exact_before.txt nodes
+      // 1-17 vs 18-34)
+      .localCheckpoint()
     // sizes ride through the candidate join — no post-hoc size joins
     val cand = prefix.as("a")
       .join(
@@ -1253,8 +1314,9 @@ object DedupOps {
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
     // verification: per-doc shingle-set arrays (bounded by doc length),
-    // intersection counted per candidate ROW — no pair×token re-explode
-    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    // intersection counted per candidate ROW — no pair×token re-explode;
+    // the arrays come STRAIGHT from the checkpoint (r20: no
+    // collect_list re-aggregation of the exploded stream)
     val result = cand
       .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
       .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
@@ -1262,6 +1324,6 @@ object DedupOps {
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
       .filter(col("jaccard") >= 0.7)
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-    (sh, prefix, cand.select("da", "db"), result)
+    (sh.select("doc_id", "sh"), prefix, cand.select("da", "db"), result)
   }
 }

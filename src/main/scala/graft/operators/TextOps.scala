@@ -532,8 +532,10 @@ object TextOps {
       // Inverted-index construction — the search-engine build step:
       // per term, document frequency over the whole corpus plus the
       // FIRST 32 postings (doc ids ascending) as a bounded sample.
-      // Scale shapes: distinct (term, doc) pairs are one combinable
-      // shuffle; df is a counting agg on that frame; the postings
+      // Scale shapes: distinct (term, doc) pairs are derived IN the
+      // scan row (array_distinct — doc_id is unique per row, so no
+      // cross-row dedup exists to shuffle for); df is a counting agg
+      // on that frame; the postings
       // sample is rank-window + collect of ≤ 32 ids — WindowGroupLimit
       // prunes before the list ever materializes, so no posting list
       // is corpus-sized in memory even for a stopword. (A full
@@ -542,8 +544,12 @@ object TextOps {
       "q164_inverted_index",
       (s, dir) => {
         val pairs = docs(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .distinct()
+          // per-doc distinct in the row (array_distinct): doc_id is
+          // unique, so the post-explode distinct() this replaces only
+          // deduped within one row — its full exchange of the exploded
+          // token stream is removed (r20, guide §2.4)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term"))
         val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("term").orderBy(col("doc_id").asc)
