@@ -337,13 +337,16 @@ object CurationOps {
           .select(
             col("doc_id"),
             col("bucket"),
+            // per-doc distinct in the row, on the FINGERPRINT — the
+            // same dedup key as the post-explode distinct() this
+            // replaces (bucket is doc-functional), minus its exchange
+            // of the exploded gram stream per split branch (r20,
+            // guide §2.4); the branch bucket filters still push below
+            // the explode
             explode(expr(
-              "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("sh"))
-          .select(
-            col("doc_id"),
-            col("bucket"),
-            expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
-          .distinct()
+              "array_distinct(transform(transform(sequence(1, size(w) - 4), " +
+                "i -> concat_ws(' ', slice(w, i, 5))), " +
+                "g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)))")).as("fp"))
         val train = g.filter(col("bucket") < 80).select(col("fp").as("tfp")).distinct()
         g.filter(col("bucket") >= 90)
           .join(train, col("fp") === col("tfp"), "left")
