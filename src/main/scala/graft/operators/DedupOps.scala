@@ -1103,7 +1103,8 @@ object DedupOps {
       // build order), so per source the report splits its gram volume
       // into first-seen (novel contribution) vs already-covered. The
       // deduped-pretraining diagnostic for dropping a redundant crawl.
-      // Shapes: gram explode + distinct is the q112 frame; first-seen
+      // Shapes: the row-local-distinct gram explode is the q112 frame
+      // (array_distinct on the fingerprint, no dedup shuffle); first-seen
       // is one min-agg keyed by fingerprint; attribution joins
       // fingerprint-keyed frames; everything combinable, nothing
       // corpus-quadratic.
