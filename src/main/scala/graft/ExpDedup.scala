@@ -1,0 +1,306 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TEMPORARY r21 experiment harness: A/B the q142/q177 checkpoint
+  * placements in ONE JVM (one calibration window, interleaved reps)
+  * per VERDICT r20 #1/#2. Self-contained copies of the DedupOps
+  * internals — the winner gets folded back into DedupOps and this file
+  * is deleted before the round closes. Not part of SparkEntry.queries.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ExpDedup <reps> [variant...]
+  */
+object ExpDedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** The derived corpus (base + 85%-prefix twin), tokenized. */
+  private def derivedToks(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    base.unionByName(
+      base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
+          .as("toks")))
+      .repartition(col("doc_id"))
+  }
+
+  /** r20 shape: one array row per doc, eagerly checkpointed. */
+  private def arrsCkpt(s: SparkSession, dir: String): DataFrame =
+    derivedToks(s, dir)
+      .select(
+        col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))").as("arr"))
+      .localCheckpoint()
+
+  private def explSh(arrs: DataFrame): DataFrame =
+    arrs.select(
+      col("doc_id"), size(col("arr")).cast("long").as("n"),
+      explode(col("arr")).as("sh"))
+
+  // ---------- q177 variants ----------
+
+  private def q177From(sh: DataFrame, dfreq: DataFrame, arrs: DataFrame): DataFrame = {
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = sh.join(dfreq, "sh")
+      .select(col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
+      .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db", "na").distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("inter") * 10 >= col("na") * 8)
+      .select(col("da"), col("db"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+  }
+
+  /** v0: current r20 shape — arrs ckpt, exploded view re-derived per consumer. */
+  private def q177_v0(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val sh = explSh(arrs)
+    q177From(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")), arrs)
+  }
+
+  /** v1: arrs ckpt + exploded view checkpointed ONCE (verdict fix). */
+  private def q177_v1(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val sh = explSh(arrs).localCheckpoint()
+    q177From(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")), arrs)
+  }
+
+  /** v2: arrs ckpt + exploded view WITH df attached by a window over sh
+    * (no dfreq aggregate+join at all), checkpointed once.
+    */
+  private def q177_v2(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val shW = explSh(arrs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = shW
+      .select(col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
+      .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+    val cand = prefix
+      .join(shW.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db", "na").distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("inter") * 10 >= col("na") * 8)
+      .select(col("da"), col("db"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+  }
+
+  /** v3: the r19 shape — exploded distinct stream checkpointed, n via
+    * count-over-doc window, verify arrays re-aggregated per side.
+    */
+  private def q177_v3(s: SparkSession, dir: String): DataFrame = {
+    val sh = derivedToks(s, dir)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val wDoc = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfreq, "sh")
+      .select(col("doc_id"), col("sh"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wDoc).as("n"))
+      .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
+      .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db", "na").distinct()
+    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("inter") * 10 >= col("na") * 8)
+      .select(col("da"), col("db"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+  }
+
+  // ---------- q142 variants ----------
+
+  private def q142From(prefix: DataFrame, arrs: DataFrame): DataFrame = {
+    val cand = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 10 >= col("a.n") * 7 && col("a.n") * 10 >= col("b.n") * 7)
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def q142Prefix(sh: DataFrame, dfreq: DataFrame): DataFrame = {
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    sh.join(dfreq, "sh")
+      .select(
+        col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+  }
+
+  /** p0: current r20 shape — arrs ckpt + prefix ckpt. */
+  private def q142_p0(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val sh = explSh(arrs)
+    val prefix = q142Prefix(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")))
+      .localCheckpoint()
+    q142From(prefix, arrs)
+  }
+
+  /** p1: arrs ckpt + sh ckpt + prefix ckpt. */
+  private def q142_p1(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val sh = explSh(arrs).localCheckpoint()
+    val prefix = q142Prefix(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")))
+      .localCheckpoint()
+    q142From(prefix, arrs)
+  }
+
+  /** p2: arrs ckpt + sh ckpt, prefix NOT checkpointed (pipeline runs
+    * once per self-join side, but from the materialized stream).
+    */
+  private def q142_p2(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val sh = explSh(arrs).localCheckpoint()
+    val prefix = q142Prefix(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")))
+    q142From(prefix, arrs)
+  }
+
+  /** p3: arrs ckpt + window-df stream ckpt + prefix ckpt (no dfreq join). */
+  private def q142_p3(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val shW = explSh(arrs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = shW
+      .select(
+        col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+      .localCheckpoint()
+    q142From(prefix, arrs)
+  }
+
+  /** p4: arrs ckpt ONLY — prefix pipeline re-derived per self-join side. */
+  private def q142_p4(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val sh = explSh(arrs)
+    val prefix = q142Prefix(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")))
+    q142From(prefix, arrs)
+  }
+
+  /** p5: r19 shape — exploded distinct ckpt, windows for n, collect_list verify. */
+  private def q142_p5(s: SparkSession, dir: String): DataFrame = {
+    val sh = derivedToks(s, dir)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val wDoc = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfreq, "sh")
+      .select(
+        col("doc_id"), col("sh"),
+        row_number().over(wPos).as("pos"),
+        count(lit(1)).over(wDoc).as("n"))
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+      .localCheckpoint()
+    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    q142From(prefix, arrs)
+  }
+
+  private val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q177_v0" -> q177_v0 _,
+    "q177_v1" -> q177_v1 _,
+    "q177_v2" -> q177_v2 _,
+    "q177_v3" -> q177_v3 _,
+    "q142_p0" -> q142_p0 _,
+    "q142_p1" -> q142_p1 _,
+    "q142_p2" -> q142_p2 _,
+    "q142_p3" -> q142_p3 _,
+    "q142_p4" -> q142_p4 _,
+    "q142_p5" -> q142_p5 _,
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.fromEnv()
+    val nominal = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val pick = args.drop(1).toSet
+    val sel = variants.filter(v => pick.isEmpty || pick.contains(v._1))
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    println(f"== cal pre: effective_cores=${Bench.effectiveCores(nominal)._1}%.1f")
+    // result-identity gate: every variant of a query must agree on
+    // count + order-independent checksum
+    sel.groupBy(_._1.take(4)).foreach { case (_, vs) =>
+      val sums = vs.map { case (name, fn) =>
+        val df = fn(spark, sfDir)
+        val c = df.count()
+        val h = df.select(sum(xxhash64(df.columns.map(col): _*)).as("h"))
+          .collect()(0).getLong(0)
+        name -> ((c, h))
+      }
+      println(s"[exp] identity: ${sums.map { case (n, (c, h)) => s"$n rows=$c h=$h" }.mkString(" | ")}")
+      require(sums.map(_._2).distinct.size == 1, "VARIANTS DISAGREE")
+    }
+    if (explain) sel.foreach { case (name, fn) =>
+      println(s"==== plan $name ====")
+      fn(spark, sfDir).explain("formatted")
+    }
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (r <- 1 to reps; (name, fn) <- sel) {
+      spark.sparkContext.setJobDescription(s"$name rep$r")
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      times(name) = times.getOrElse(name, Nil) :+ t
+      println(f"[exp] $name rep$r $t%.3f s")
+    }
+    println(f"== cal post: effective_cores=${Bench.effectiveCores(nominal)._1}%.1f")
+    sel.foreach { case (name, _) =>
+      val ts = times(name)
+      println(f"[exp] SUMMARY $name min=${ts.min}%.3f warmmin=${ts.drop(1).min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
