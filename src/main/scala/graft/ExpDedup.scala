@@ -21,12 +21,16 @@ object ExpDedup {
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    base.unionByName(
+    val u = base.unionByName(
       base.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
           .as("toks")))
-      .repartition(col("doc_id"))
+    sys.env.getOrElse("GRAFT_EXP_SPREAD", "col") match {
+      case "none" => u
+      case "fixed" => u.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      case _ => u.repartition(col("doc_id"))
+    }
   }
 
   /** r20 shape: one array row per doc, eagerly checkpointed. */
@@ -224,6 +228,60 @@ object ExpDedup {
     q142From(prefix, arrs)
   }
 
+  /** p6: NO checkpoint anywhere — everything re-derives from the scan. */
+  private def q142_p6(s: SparkSession, dir: String): DataFrame = {
+    val arrs = derivedToks(s, dir)
+      .select(
+        col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))").as("arr"))
+    val sh = explSh(arrs)
+    val prefix = q142Prefix(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")))
+    q142From(prefix, arrs)
+  }
+
+  /** p7: prefix ckpt ONLY — arrays re-derived from the scan per verify side. */
+  private def q142_p7(s: SparkSession, dir: String): DataFrame = {
+    val arrs = derivedToks(s, dir)
+      .select(
+        col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))").as("arr"))
+    val sh = explSh(arrs)
+    val prefix = q142Prefix(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")))
+      .localCheckpoint()
+    q142From(prefix, arrs)
+  }
+
+  /** v4: q177 with NO checkpoint anywhere. */
+  private def q177_v4(s: SparkSession, dir: String): DataFrame = {
+    val arrs = derivedToks(s, dir)
+      .select(
+        col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))").as("arr"))
+    val sh = explSh(arrs)
+    q177From(sh, sh.groupBy("sh").agg(count(lit(1)).as("df")), arrs)
+  }
+
+  /** p8: arrs ckpt + window-df stream ckpt, prefix NOT checkpointed
+    * (the v2 shape applied to q142).
+    */
+  private def q142_p8(s: SparkSession, dir: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val shW = explSh(arrs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = shW
+      .select(
+        col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    q142From(prefix, arrs)
+  }
+
   /** p5: r19 shape — exploded distinct ckpt, windows for n, collect_list verify. */
   private def q142_p5(s: SparkSession, dir: String): DataFrame = {
     val sh = derivedToks(s, dir)
@@ -248,12 +306,98 @@ object ExpDedup {
     q142From(prefix, arrs)
   }
 
+  /** Production containment shape with a join-strategy hint on the
+    * verify joins' array side ("merge" | "shuffle_hash" | "" = as-is).
+    */
+  private def q177Hint(s: SparkSession, dir: String, hint: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val shW = explSh(arrs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = shW
+      .select(col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
+      .select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+    val shC = if (hint == "candmerge") shW.hint("merge") else shW
+    val cand = prefix
+      .join(shC.select(col("doc_id").as("db"), col("sh")), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .select("da", "db", "na").distinct()
+    val av = if (hint.isEmpty || hint == "candmerge") arrs.hint("merge") else arrs.hint(hint)
+    cand
+      .join(av.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(av.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(col("inter") * 10 >= col("na") * 8)
+      .select(col("da"), col("db"),
+        round(col("inter") / col("na").cast("double"), 6).as("containment"))
+  }
+
+  private def q142Hint(s: SparkSession, dir: String, hint: String): DataFrame = {
+    val arrs = arrsCkpt(s, dir)
+    val shW = explSh(arrs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = shW
+      .select(
+        col("doc_id"), col("sh"), col("n"),
+        row_number().over(wPos).as("pos"))
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cand = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 10 >= col("a.n") * 7 && col("a.n") * 10 >= col("b.n") * 7)
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val av = if (hint.isEmpty) arrs else arrs.hint(hint)
+    cand
+      .join(av.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(av.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   private val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q177_cm" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "candmerge")),
+    "q177_hb" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "")),
+    "q177_hm" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "merge")),
+    "q177_hh" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "shuffle_hash")),
+    "q142_hb" -> ((s: SparkSession, dir: String) => q142Hint(s, dir, "")),
+    "q142_hm" -> ((s: SparkSession, dir: String) => q142Hint(s, dir, "merge")),
+    "q142_hh" -> ((s: SparkSession, dir: String) => q142Hint(s, dir, "shuffle_hash")),
+    // production sub-frame probes (read the real DedupOps internals)
+    "prod177_sh" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.containmentFrames(s, dir)._1),
+    "prod177_prefix" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.containmentFrames(s, dir)._2),
+    "prod177_cand" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.containmentFrames(s, dir)._3),
+    "prod177_full" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.containmentFrames(s, dir)._4),
+    "prod142_prefix" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.ppjoinFrames(s, dir)._2),
+    "prod142_cand" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.ppjoinFrames(s, dir)._3),
+    "prod142_full" -> ((s: SparkSession, dir: String) =>
+      graft.operators.DedupOps.ppjoinFrames(s, dir)._4),
     "q177_v0" -> q177_v0 _,
     "q177_v1" -> q177_v1 _,
     "q177_v2" -> q177_v2 _,
     "q177_v3" -> q177_v3 _,
+    "q177_v4" -> q177_v4 _,
     "q142_p0" -> q142_p0 _,
+    "q142_p6" -> q142_p6 _,
+    "q142_p8" -> q142_p8 _,
+    "q142_p7" -> q142_p7 _,
     "q142_p1" -> q142_p1 _,
     "q142_p2" -> q142_p2 _,
     "q142_p3" -> q142_p3 _,
@@ -272,11 +416,11 @@ object ExpDedup {
     println(f"== cal pre: effective_cores=${Bench.effectiveCores(nominal)._1}%.1f")
     // result-identity gate: every variant of a query must agree on
     // count + order-independent checksum
-    sel.groupBy(_._1.take(4)).foreach { case (_, vs) =>
+    sel.filter(_._1.startsWith("q")).groupBy(_._1.take(4)).foreach { case (_, vs) =>
       val sums = vs.map { case (name, fn) =>
         val df = fn(spark, sfDir)
         val c = df.count()
-        val h = df.select(sum(xxhash64(df.columns.map(col): _*)).as("h"))
+        val h = df.select(bit_xor(xxhash64(df.columns.map(col): _*)).as("h"))
           .collect()(0).getLong(0)
         name -> ((c, h))
       }

@@ -29,23 +29,50 @@ object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
+  /** Spread doc rows before a shingle/gram fan-out ONLY when the
+    * source scan is drastically under-partitioned (r21, guide §2.4/§2.5
+    * — VERDICT r20 #3). The r20 shape repartitioned unconditionally by
+    * bare `doc_id`: that exchange is REPARTITION_BY_COL, which AQE's
+    * coalescing happily shrinks to 1-2 partitions on the KB-sized
+    * doc-row stream, serializing the 30-200× explode + md5 work it was
+    * supposed to parallelize — measured +11-31% on
+    * q27/q29x/q93/q112/q127/q128/q175 at the bench SF (multi8,
+    * interleaved warm reps, r21). On any real layout the scan already
+    * has ≥ cores tasks and the exchange is pure overhead; ONLY the
+    * single-row-group fixture (1-task scan) needs it, and there it is
+    * worth 25-35% (q29b 2.38→1.65 s, q93 1.69→1.12, q112 1.26→0.84,
+    * single-file warm reps). So: spread iff the scan has fewer than
+    * cores/8 partitions, to an explicit (AQE-exempt,
+    * REPARTITION_BY_NUM) defaultParallelism partition count — scale-
+    * adaptive via the session's core count, never a local constant.
+    * Streaming frames pass through untouched (.rdd is illegal there;
+    * the streaming signature path uses withRowwiseBands directly).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val n = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 8 <= n) df.repartition(n, col("doc_id")) else df
+    }
+  }
+
   /** Distinct word 3-gram shingles per (doc_id, text) frame row.
     *
-    * Per-doc dedup happens IN the row (array_distinct before the
-    * explode): doc_id is unique per input row, so (doc_id, sh) can
-    * only duplicate within one row — the post-explode `.distinct()`
-    * this replaces (r20 optimization, guide §2.4) shuffled the ~30×
-    * shingle stream to dedup rows that never collide across rows. The
-    * doc-keyed repartition keeps what that exchange incidentally
-    * provided: the fan-out + md5 work downstream must not inherit the
-    * source file's task count (derivedShingleArrays' lesson) — it
-    * shuffles doc-sized rows, 1/30th of the removed exchange's bytes.
+    * PRECONDITION (ADVICE r20): `base` must have unique doc_id rows —
+    * per-doc dedup happens IN the row (array_distinct before the
+    * explode), which is equivalent to the post-explode `.distinct()`
+    * it replaced (r20, guide §2.4) only because (doc_id, sh) cannot
+    * collide across rows. All callers pass per-doc frames; a frame
+    * with duplicate doc_id rows would inflate downstream df counts.
+    * The removed distinct shuffled the ~30× shingle stream; [[spread]]
+    * keeps the fan-out parallel when (and only when) the source scan
+    * under-partitions.
     */
   private def shinglesFrom(base: DataFrame): DataFrame =
     base
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .repartition(col("doc_id"))
+      .transform(spread)
       .select(
         col("doc_id"),
         explode(expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
@@ -182,7 +209,7 @@ object DedupOps {
         // don't let that inherit the fixture's 1-2-task row-group
         // parallelism (same lesson as q142's pre-explode repartition);
         // shuffling the doc-sized rows is far cheaper than the fold
-        .repartition(col("doc_id"))
+        .transform(spread)
         .crossJoin(broadcast(stopShingleRowFrom(frame))))
       .select(col("doc_id"), explode(col("band_arr")).as("bs"))
       .select(
@@ -654,7 +681,7 @@ object DedupOps {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 5)
           // spread the ~200× fan-out before amplification
-          .repartition(col("doc_id"))
+          .transform(spread)
           .select(
             col("doc_id"),
             expr("transform(sequence(1, size(toks) - 4), " +
@@ -697,7 +724,7 @@ object DedupOps {
           .filter(size(col("w")) >= 5)
           // spread the ~200×/doc gram fan-out + md5 work before
           // amplification (doc-sized shuffle, q142's lesson)
-          .repartition(col("doc_id"))
+          .transform(spread)
           .select(
             col("doc_id"),
             // per-doc distinct in the row, ON THE FINGERPRINT (not the
@@ -1114,7 +1141,7 @@ object DedupOps {
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 5)
           // spread the gram fan-out + md5 work before amplification
-          .repartition(col("doc_id"))
+          .transform(spread)
           .select(
             col("doc_id"), col("source"),
             // per-doc distinct in the row, on the FINGERPRINT — the
@@ -1192,11 +1219,9 @@ object DedupOps {
     */
   private[graft] def containmentFrames(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val arrs = derivedShingleArrays(s, dir)
-    val sh = explodedShingles(arrs)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val (arrs, sh) = derivedShingleFrames(s, dir)
     val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val prefix = sh.join(dfreq, "sh")
+    val prefix = sh
       .select(col("doc_id"), col("sh"), col("n"),
         row_number().over(wPos).as("pos"))
       .filter(col("pos") <= expr("n - (8 * n + 9) DIV 10 + 1"))
@@ -1213,11 +1238,17 @@ object DedupOps {
     // the |cand|×|A| row expansion plus its shuffle costs more
     // than shipping each doc's shingle array once — arrays win
     // while |A| stays document-sized. The arrays come STRAIGHT from
-    // the checkpoint (r20: no collect_list re-aggregation of the
-    // exploded stream).
+    // the checkpoint. MERGE hint (r21, guide §3.1): the checkpoint's
+    // origin stats read small enough to static-plan BOTH verify joins
+    // as broadcasts of the ARRAY-PAYLOAD frame — two driver-side
+    // ~60 MB hash-relation builds that dominated the query (A/B at
+    // the bench SF: broadcast 4.91-7.12 s, merge 3.06-3.89,
+    // shuffle_hash 2.99-3.82 — identical rows). Merge over
+    // shuffle_hash: graceful spill on the array payload at 100 TB vs
+    // a build-side OOM risk, for ~0.1-0.3 s locally.
     val result = cand
-      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
-      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .join(arrs.hint("merge").select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.hint("merge").select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
       .filter(col("inter") * 10 >= col("na") * 8)
       .select(col("da"), col("db"),
@@ -1250,7 +1281,7 @@ object DedupOps {
     * double compute is the accepted cost of that per-query
     * accounting).
     */
-  private def derivedShingleArrays(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def derivedShingleArrays(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -1262,7 +1293,7 @@ object DedupOps {
       // the ~30× shingle fan-out must not inherit the source file's
       // task count (a single-row-group fixture scans in 1-2 tasks):
       // spread the doc-sized rows BEFORE amplification
-      .repartition(col("doc_id"))
+      .transform(spread)
     derived
       .select(
         col("doc_id"),
@@ -1271,26 +1302,45 @@ object DedupOps {
       .localCheckpoint()
   }
 
-  /** Exploded (doc_id, n, sh) view of [[derivedShingleArrays]]: the
-    * per-doc distinct-shingle-set size rides along as size(arr) — the
-    * r19 shape recomputed it as a count-over-doc-partition window (a
-    * second WindowExec on the prefix pipeline's exchange).
+  /** Exploded (doc_id, n, sh, df) stream of [[derivedShingleArrays]],
+    * materialized ONCE per call next to the array frame (r21 fix for
+    * VERDICT r20 #1/#2). The r20 shape re-derived the exploded view
+    * per consumer — six Generate nodes in q177's plan, one of them
+    * under a BroadcastExchange (the 30×-amplified stream as a
+    * broadcast BUILD side, an anti-scaling pathology: driver-built,
+    * 8c/32c ratio 0.81). Two further exchanges die with it:
+    *  - df (per-shingle document frequency) is computed by ONE count
+    *    window over the sh-keyed exchange instead of a separate
+    *    groupBy aggregate + join back (the r19/r20 dfreq shape paid
+    *    the sh exchange twice: once for the aggregate, once for the
+    *    join probe);
+    *  - the per-doc set size stays `size(arr)` from the array row.
+    * A/B at the bench SF (multi8, interleaved warm reps, one JVM):
+    * q177 re-explode 4.67-5.69 s / exploded-ckpt + dfreq join
+    * 5.01-5.29 / THIS (window-df ckpt) 3.64-4.37; q142 prefix-ckpt
+    * (r20) 4.26-5.31 / arrays-only 3.80-4.10 (forbidden shape: its
+    * plan re-broadcasts a Generate of the stream) / THIS 3.04-3.14.
+    * The r19 shapes measured worst of all (q177 6.05+, q142 6.62+).
     */
-  private def explodedShingles(arrs: DataFrame): DataFrame =
-    arrs.select(
-      col("doc_id"), size(col("arr")).cast("long").as("n"),
-      explode(col("arr")).as("sh"))
+  private def derivedShingleFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val arrs = derivedShingleArrays(s, dir)
+    val sh = arrs
+      .select(
+        col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    (arrs, sh)
+  }
 
   private[graft] def ppjoinFrames(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val arrs = derivedShingleArrays(s, dir)
-    val sh = explodedShingles(arrs)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val (arrs, sh) = derivedShingleFrames(s, dir)
     // set size rides from the array row (size(arr)); the doc-keyed
-    // shuffle carries ONE window function (rarity rank) — the r19
-    // shape computed n as a second count-over-doc window here
+    // shuffle carries ONE window function (rarity rank)
     val wPos = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val prefix = sh.join(dfreq, "sh")
+    val prefix = sh
       .select(
         col("doc_id"), col("sh"), col("n"),
         row_number().over(wPos).as("pos"))
@@ -1298,11 +1348,11 @@ object DedupOps {
       // tokens, so the rarest n - ceil(τ·n) + 1 must hit
       .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
       .select(col("doc_id"), col("sh"), col("n"))
-      // BOTH self-join sides consume prefix: materialize once — the
-      // r19 plan re-ran the dfreq aggregate, its join, and the rank
-      // window per side (plans/r20/q142_ppjoin_exact_before.txt nodes
-      // 1-17 vs 18-34)
-      .localCheckpoint()
+    // prefix is NOT checkpointed (r20 did; measured +1.1-1.2 s): both
+    // self-join sides re-run only the doc-keyed rank window over the
+    // materialized stream, and their identical exchanges are deduped
+    // by ReuseExchange — the eager barrier cost more than the reuse
+    // saved (r21 A/B: prefix-ckpt 4.26-5.31 s vs this 3.04-3.14 s)
     // sizes ride through the candidate join — no post-hoc size joins
     val cand = prefix.as("a")
       .join(
@@ -1316,11 +1366,12 @@ object DedupOps {
       .distinct()
     // verification: per-doc shingle-set arrays (bounded by doc length),
     // intersection counted per candidate ROW — no pair×token re-explode;
-    // the arrays come STRAIGHT from the checkpoint (r20: no
-    // collect_list re-aggregation of the exploded stream)
+    // the arrays come STRAIGHT from the checkpoint. MERGE hint: same
+    // broadcast-of-the-array-payload pathology and A/B as
+    // containmentFrames (broadcast 3.86-5.86 s, merge 3.25-3.41)
     val result = cand
-      .join(arrs.select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
-      .join(arrs.select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
+      .join(arrs.hint("merge").select(col("doc_id").as("da"), col("arr").as("arr_a")), "da")
+      .join(arrs.hint("merge").select(col("doc_id").as("db"), col("arr").as("arr_b")), "db")
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (na + nb - inter)"))
       .filter(col("jaccard") >= 0.7)
