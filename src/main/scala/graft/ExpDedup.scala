@@ -366,7 +366,94 @@ object ExpDedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------- q155 bucketed-edges experiment (VERDICT r20 #5) ----------
+
+  private def tradeEdgesCopy(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  private def lpaRounds(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to 3) {
+      labels = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.neg")).as("lbl"))
+    }
+    labels.select(
+      col("id").as("node_id"), col("lbl").as("community"),
+      count(lit(1)).over(Window.partitionBy("lbl")).cast("bigint")
+        .as("community_size"))
+  }
+
+  /** Current q155 shape: edges localCheckpoint, 3 join+agg rounds. */
+  private def q155_cur(s: SparkSession, dir: String): DataFrame =
+    lpaRounds(tradeEdgesCopy(s, dir).localCheckpoint())
+
+  /** Bucketed variant: edges written ONCE as a src-bucketed catalog
+    * table inside the timed query, read per round — the per-round
+    * edges-side exchange disappears (the join reads bucketed scans).
+    */
+  private def q155_bucketed(s: SparkSession, dir: String): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    s.sql("DROP TABLE IF EXISTS exp155_edges")
+    tradeEdgesCopy(s, dir)
+      .write.mode("overwrite")
+      .bucketBy(n, "src").sortBy("src")
+      .format("parquet")
+      .saveAsTable("exp155_edges")
+    lpaRounds(s.table("exp155_edges"))
+  }
+
+  /** The derivedShingleArrays CHECKPOINT-BUILD expression (production
+    * body minus the eager localCheckpoint) — dumped so plans/r21 can
+    * account for the exchanges that run eagerly behind the boundary
+    * (VERDICT r20 #2: "dump the checkpoint build's plan too").
+    */
+  private def buildArrs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val derived = base.unionByName(
+      base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(3, CAST((17 * size(toks) + 19) DIV 20 AS INT)))")
+          .as("toks")))
+    val n = s.sparkContext.defaultParallelism
+    val spreadDf =
+      if (derived.rdd.getNumPartitions * 8 <= n)
+        derived.repartition(n, col("doc_id"))
+      else derived
+    spreadDf.select(
+      col("doc_id"),
+      expr("array_distinct(transform(sequence(1, size(toks) - 2), " +
+        "i -> concat_ws(' ', slice(toks, i, 3))))").as("arr"))
+  }
+
+  /** The exploded-stream CHECKPOINT-BUILD expression, reading the real
+    * production array checkpoint.
+    */
+  private def buildShW(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupOps.derivedShingleArrays(s, dir)
+      .select(
+        col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+
   private val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "build_arrs" -> buildArrs _,
+    "build_shw" -> buildShW _,
+    "q155_cur" -> q155_cur _,
+    "q155_bucketed" -> q155_bucketed _,
     "q177_cm" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "candmerge")),
     "q177_hb" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "")),
     "q177_hm" -> ((s: SparkSession, dir: String) => q177Hint(s, dir, "merge")),

@@ -121,6 +121,8 @@ object DedupOps {
 
   /** The stop-shingle set of an arbitrary (doc_id, text) frame, folded
     * to a SINGLE row (`stop_arr` ARRAY<STRING>). Tiny by construction.
+    * PRECONDITION: unique doc_id rows (see [[shinglesFrom]] — duplicate
+    * doc_ids would inflate the df counts the 50% threshold reads).
     */
   def stopShingleRowFrom(frame: DataFrame): DataFrame =
     frequentShinglesFrom(frame, shinglesFrom(frame))
