@@ -60,9 +60,6 @@ class CollectConventionSpec extends AnyFunSuite {
     ("StreamBench.scala", ".collect()"),
     // KMV audit main: one row per (table-pair, k) — pairs × 3 rows
     ("KmvScale.scala", ".collect()"),
-    // r21 A/B experiment main (temporary, deleted at round close):
-    // single-row checksum aggregate per variant
-    ("ExpDedup.scala", ".collect()(0).getLong(0)"),
   )
 
   /** How many sites each entry is expected to match (default 1) — the
